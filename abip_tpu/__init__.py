@@ -1,0 +1,37 @@
+"""ABIP-TPU: a TPU-native ADMM-based interior point solver framework.
+
+A ground-up JAX/XLA/Pallas re-design with the capabilities of the reference
+ABIP solver (leavesgrp/ABIP): LP and conic/QP solving via an outer
+interior-point path-following loop around an inner ADMM loop on the
+homogeneous self-dual embedding.
+
+Quick start::
+
+    import abip_tpu
+    sol = abip_tpu.solve_lp(A, b, c, eps=1e-6)
+
+The solver needs float64; importing this package enables JAX x64 mode
+(set ABIP_TPU_NO_X64=1 to opt out and manage precision yourself).
+"""
+import os
+
+if not os.environ.get("ABIP_TPU_NO_X64"):
+    import jax
+
+    jax.config.update("jax_enable_x64", True)
+
+from .settings import Settings, Status          # noqa: E402
+from .problem import LinearOperator             # noqa: E402
+from .lp import solve_lp, LPWorkspace, LPSolution  # noqa: E402
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "Settings",
+    "Status",
+    "LinearOperator",
+    "solve_lp",
+    "LPWorkspace",
+    "LPSolution",
+    "__version__",
+]

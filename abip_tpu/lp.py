@@ -1,0 +1,642 @@
+"""ABIP-TPU linear programming driver.
+
+Solves  min c'x  s.t. Ax = b, x >= 0  by the ADMM-based interior point
+method on the homogeneous self-dual (HSD) embedding.
+
+TPU-first re-design of the reference LP core
+(`/root/reference/src/abip-lp/src/abip.c`): the entire inner ADMM loop --
+KKT projection, barrier prox, dual update, restart/averaging, inner
+termination and convergence checks -- is ONE jitted `lax.while_loop` on
+device (SURVEY.md section 7); the outer IPM loop runs on the host at a rate
+of one sync per barrier stage, where the mu schedule (a table of host-side
+branches, `abip.c:753-992`) lives naturally.
+
+Iterates: u = (y, x, tau), v = (0, s, kappa), length l = m + n + 1
+(`abip.c:2076`, `include/abip.h:136-150`).
+"""
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .problem import LinearOperator
+from .linsys import make_solver
+from .scaling import equilibrate, ScalingData
+from .settings import Settings, Status
+from . import schedules
+
+EPS_TOL = 1e-18
+INDETERMINATE_TOL = 1e-9
+
+
+def _safediv_pos(x, y):
+    """SAFEDIV_POS from `glbopts.h:157-158`."""
+    return jnp.where(y < EPS_TOL, x / EPS_TOL, x / y)
+
+
+class Residuals(NamedTuple):
+    res_pri: jnp.ndarray
+    res_dual: jnp.ndarray
+    rel_gap: jnp.ndarray
+    res_infeas: jnp.ndarray
+    res_unbdd: jnp.ndarray
+    tau: jnp.ndarray
+    kap: jnp.ndarray
+    bt_y_by_tau: jnp.ndarray
+    ct_x_by_tau: jnp.ndarray
+
+    @staticmethod
+    def init(dtype):
+        z = jnp.zeros((), dtype)
+        nan = jnp.full((), jnp.nan, dtype)
+        return Residuals(nan, nan, nan, nan, nan, z, z, z, z)
+
+
+class InnerState(NamedTuple):
+    """Carry of the jitted inner ADMM loop."""
+
+    u: jnp.ndarray
+    v: jnp.ndarray
+    u_prev: jnp.ndarray
+    u_avg: jnp.ndarray        # restart accumulator (`abip.c:587-630`)
+    v_avg: jnp.ndarray
+    u_sum: jnp.ndarray        # cumulative average (`abip.c:635-659`)
+    v_sum: jnp.ndarray
+    u_avgcon: jnp.ndarray
+    v_avgcon: jnp.ndarray
+    j: jnp.ndarray            # inner iteration counter
+    k: jnp.ndarray            # global ADMM iteration counter
+    qres: jnp.ndarray         # last inner-criterion value
+    avg_criterion: jnp.ndarray  # bool: averaged iterate is the candidate
+    status: jnp.ndarray       # Status code, 0 while running
+    res: Residuals
+    cg_iters: jnp.ndarray     # accumulated linsys aux iterations
+
+
+@dataclass
+class LPSolution:
+    x: np.ndarray
+    y: np.ndarray
+    s: np.ndarray
+    status: int
+    status_name: str
+    pobj: float
+    dobj: float
+    res_pri: float
+    res_dual: float
+    rel_gap: float
+    res_infeas: float
+    res_unbdd: float
+    ipm_iters: int
+    admm_iters: int
+    setup_time: float
+    solve_time: float
+    avg_cg_iters: float = 0.0
+
+
+class LPWorkspace:
+    """Setup-once state: scaled data, cached factorization, jitted kernels.
+
+    Mirrors the `ABIP(init)` / `ABIP(solve)` split (`abip.c:2341-2422`) so a
+    single factorization can serve repeated solves.
+    """
+
+    def __init__(self, A, b, c, settings: Settings = Settings()):
+        settings = settings.resolved()
+        settings.validate()
+        t0 = time.perf_counter()
+        self.stgs = settings
+        dtype = jnp.dtype(settings.dtype)
+        self.dtype = dtype
+
+        A = jnp.asarray(A, dtype)
+        b = jnp.asarray(b, dtype)
+        c = jnp.asarray(c, dtype)
+        if A.ndim != 2:
+            raise ValueError(f"A must be 2-D; got shape {A.shape}")
+        m, n = A.shape
+        if m <= 0 or n <= 0:
+            raise ValueError(f"m and n must be positive; got m={m}, n={n}")
+        if b.shape != (m,):
+            raise ValueError(f"b must have shape ({m},) to match A; got {b.shape}")
+        if c.shape != (n,):
+            raise ValueError(f"c must have shape ({n},) to match A; got {c.shape}")
+        self.m, self.n = m, n
+        self.l = m + n + 1
+        nnz = int(jnp.sum(A != 0))
+        self.sp = nnz / (m * n)
+
+        # norms of the ORIGINAL data (used by certificates, `abip.c:1855-1856`)
+        self.nm_b = jnp.linalg.norm(b)
+        self.nm_c = jnp.linalg.norm(c)
+
+        # -- equilibration (`linsys/common.c:150-565`) -----------------------
+        if settings.normalize:
+            A_s, scal = equilibrate(A, settings)
+            # b/c normalization (`normalize.c:11-40`)
+            c_s = c / scal.E
+            sc_c = scal.mean_norm_row / jnp.maximum(jnp.linalg.norm(c_s), 1e-3)
+            b_s = b / scal.D
+            sc_b = scal.mean_norm_col / jnp.maximum(jnp.linalg.norm(b_s), 1e-3)
+            c_s = c_s * sc_c * settings.scale
+            b_s = b_s * sc_b * settings.scale
+        else:
+            A_s, b_s, c_s = A, b, c
+            scal = ScalingData(
+                D=jnp.ones((m,), dtype),
+                E=jnp.ones((n,), dtype),
+                mean_norm_row=jnp.ones((), dtype),
+                mean_norm_col=jnp.ones((), dtype),
+            )
+            sc_b = jnp.ones((), dtype)
+            sc_c = jnp.ones((), dtype)
+        self.scal, self.sc_b, self.sc_c = scal, sc_b, sc_c
+        self.b, self.c = b_s, c_s
+
+        self.A_op = LinearOperator.from_dense(A_s, nnz=nnz)
+        self.solver = make_solver(self.A_op, m, n, settings.rho_y, settings)
+
+        # -- HSD rank-1 data: h = (-b; c), g = K^-1 h (x-part negated),
+        #    g_th = h.g   (`abip.c:1917-1924`) -------------------------------
+        # The reference solves K g = h then negates g[m:] (`abip.c:1922-1923`).
+        h = jnp.concatenate([-b_s, c_s])
+        g_y, g_x, _ = self.solver.solve(h[:m], h[m:], iter_count=-1)
+        g = jnp.concatenate([g_y, -g_x])
+        self.h, self.g = h, g
+        self.g_th = jnp.dot(h, g)
+
+        self._build_kernels()
+        self.setup_time = time.perf_counter() - t0
+
+    # ------------------------------------------------------------------ #
+    # jitted kernels                                                     #
+    # ------------------------------------------------------------------ #
+    def _build_kernels(self):
+        m, n, l = self.m, self.n, self.l
+        stgs = self.stgs
+        A_op, solver = self.A_op, self.solver
+        h, g, g_th = self.h, self.g, self.g_th
+        b, c = self.b, self.c
+        D, E = self.scal.D, self.scal.E
+        sc_b, sc_c, scale = self.sc_b, self.sc_c, stgs.scale
+        nm_b, nm_c = self.nm_b, self.nm_c
+        alpha = stgs.alpha
+        rho_y = stgs.rho_y
+        normalize = stgs.normalize
+        dtype = self.dtype
+
+        pr_scale = (D / (sc_b * scale)) if normalize else jnp.ones((m,), dtype)
+        dr_scale = (E / (sc_c * scale)) if normalize else jnp.ones((n,), dtype)
+        obj_scale = (scale * sc_c * sc_b) if normalize else jnp.ones((), dtype)
+
+        def project_lin_sys(u, v, k):
+            """u_t = (I+Q)^-1 (u+v) via cached factor + rank-1 tau correction
+            (`abip.c:539-562`)."""
+            r = u + v
+            q = jnp.concatenate([rho_y * r[:m], r[m : m + n]])
+            r_tau = r[l - 1]
+            q = q - r_tau * h
+            q = q - (jnp.dot(q, g) / (g_th + 1.0)) * h
+            z_y, z_x, its = solver.solve(q[:m], -q[m:], iter_count=k,
+                                         warm_start=u[:m])
+            z = jnp.concatenate([z_y, z_x])
+            tau_t = r_tau + jnp.dot(z, h)
+            return jnp.concatenate([z, tau_t[None]]), its
+
+        def barrier_prox(t, lam):
+            """Closed-form prox of -lam*sum(log): t/2 + sqrt(t^2/4 + lam)
+            (`abip.c:717-748`), with the numerically-stable negative branch
+            of `cones.c:279-289`."""
+            pos = 0.5 * (t + jnp.sqrt(t * t + 4.0 * lam))
+            # for very negative t the subtraction cancels; use conjugate form
+            neg = 2.0 * lam / (-t * (1.0 + jnp.sqrt(1.0 + 4.0 * lam / (t * t + EPS_TOL))))
+            return jnp.where(t >= 0, pos, neg)
+
+        def admm_update(u, v, u_prev, u_t, lam):
+            """project_barrier (`abip.c:717-748`) + update_dual_vars (`:567-584`)."""
+            head = u_t[:m] - v[:m]
+            t = alpha * u_t[m:] + (1 - alpha) * u_prev[m:] - v[m:]
+            tail = barrier_prox(t, lam)
+            u_new = jnp.concatenate([head, tail])
+            v_new = v.at[m:].add(u_new[m:] - alpha * u_t[m:] - (1 - alpha) * u_prev[m:])
+            return u_new, v_new
+
+        def admm_update_half(u, v, u_prev, u_t, lam):
+            """half_update variant (`abip.c:663-711`)."""
+            v_half = v + 0.5 * (u - u_t)
+            w = u_t - v_half
+            tail = barrier_prox(w[m:], lam)
+            u_new = jnp.concatenate([w[:m], tail])
+            v_new = v_half + (u_new - u_t)
+            return u_new, v_new
+
+        def q_norm_resd(u, v):
+            """HSD operator residual for one iterate (`abip.c:1951-1996`)."""
+            y, x, tau = u[:m], u[m : m + n], u[l - 1]
+            s, kap = v[m : m + n], v[l - 1]
+            Ax = A_op.matvec(x)
+            ATy_s = A_op.rmatvec(y) + s
+            q1 = Ax - b * tau
+            q2 = ATy_s - c * tau
+            q3 = jnp.dot(y, b) - jnp.dot(x, c) - kap
+            qres = jnp.sum(q1 * q1) + jnp.sum(q2 * q2) + q3 * q3
+            norm = 1.0 + jnp.sqrt(jnp.sum(u * u) + jnp.sum(v * v))
+            return jnp.sqrt(qres) / norm
+
+        def calc_residuals(u, v):
+            """`calc_residuals` (`abip.c:458-535`) on a chosen iterate."""
+            y, x, tau_raw = u[:m], u[m : m + n], u[l - 1]
+            s = v[m : m + n]
+            tau = jnp.abs(tau_raw)
+            kap = jnp.abs(v[l - 1]) / obj_scale
+
+            pr = A_op.matvec(x)
+            nm_A_x = jnp.linalg.norm(pr * pr_scale)
+            pres = jnp.linalg.norm((pr - b * tau) * pr_scale)
+
+            dr = A_op.rmatvec(y) + s
+            nm_At_ys = jnp.linalg.norm(dr * dr_scale)
+            dres = jnp.linalg.norm((dr - c * tau) * dr_scale)
+
+            bty = jnp.dot(y, b) / obj_scale
+            ctx = jnp.dot(x, c) / obj_scale
+            nan = jnp.full((), jnp.nan, dtype)
+            res_infeas = jnp.where(bty > 0, nm_b * nm_At_ys / jnp.where(bty > 0, bty, 1.0), nan)
+            res_unbdd = jnp.where(ctx < 0, nm_c * nm_A_x / jnp.where(ctx < 0, -ctx, 1.0), nan)
+
+            bt_y = _safediv_pos(bty, tau)
+            ct_x = _safediv_pos(ctx, tau)
+            return Residuals(
+                res_pri=_safediv_pos(pres / (1 + nm_b), tau),
+                res_dual=_safediv_pos(dres / (1 + nm_c), tau),
+                rel_gap=jnp.abs(ct_x - bt_y) / (1 + jnp.abs(ct_x) + jnp.abs(bt_y)),
+                res_infeas=res_infeas,
+                res_unbdd=res_unbdd,
+                tau=tau,
+                kap=kap,
+                bt_y_by_tau=bty,
+                ct_x_by_tau=ctx,
+            )
+
+        def has_converged(r: Residuals, k, total_iters_pos):
+            """`has_converged` (`abip.c:1613-1641`).  NaN compares false."""
+            eps = stgs.eps
+            solved = (r.res_pri < eps) & ((r.res_dual < eps) | stgs.pfeasopt) & (r.rel_gap < eps)
+            unbdd = (r.res_unbdd < eps) & total_iters_pos
+            infeas = (r.res_infeas < eps) & total_iters_pos
+            return jnp.where(
+                solved,
+                Status.SOLVED,
+                jnp.where(unbdd, Status.UNBOUNDED, jnp.where(infeas, Status.INFEASIBLE, 0)),
+            ).astype(jnp.int32)
+
+        def inner_body(state: InnerState, mu, beta, gamma, final_check, ipm_i):
+            u_prev = state.u
+            v_prev = state.v
+            u_t, its = project_lin_sys(state.u, state.v, state.k)
+            lam = mu / beta
+            if stgs.half_update:
+                u, v = admm_update_half(state.u, state.v, u_prev, u_t, lam)
+            else:
+                u, v = admm_update(state.u, state.v, u_prev, u_t, lam)
+
+            # restart (`abip.c:587-630`): accumulate, then average every
+            # restart_fre iterations once past restart_thresh.
+            u_avg = state.u_avg + u
+            v_avg = state.v_avg + v
+            fre = stgs.restart_fre
+            do_restart = (state.k >= stgs.restart_thresh) & ((state.j + 1) % fre == 0)
+            u = jnp.where(do_restart, u_avg / fre, u)
+            v = jnp.where(do_restart, v_avg / fre, v)
+            u_avg = jnp.where(do_restart, jnp.zeros_like(u_avg), u_avg)
+            v_avg = jnp.where(do_restart, jnp.zeros_like(v_avg), v_avg)
+
+            # cumulative average candidate (`abip.c:635-659`)
+            u_sum = state.u_sum + u
+            v_sum = state.v_sum + v
+            dom = (state.j + 1).astype(u.dtype)
+            u_avgcon = u_sum / dom
+            v_avgcon = v_sum / dom
+
+            # inner criterion (`abip.c:1951-2051`): every 10th iteration also
+            # evaluate the averaged iterate and adopt it if better.
+            q_cur = q_norm_resd(u, v)
+
+            def with_avg(_):
+                q_avg = q_norm_resd(u_avgcon, v_avgcon)
+                better = q_avg < q_cur
+                return jnp.where(better, q_avg, q_cur), better
+
+            def without_avg(_):
+                return q_cur, jnp.zeros((), bool)
+
+            qres, avg_crit = jax.lax.cond(
+                (state.j + 1) % 10 == 0, with_avg, without_avg, operand=None
+            )
+
+            # convergence check (CONVERGED_INTERVAL=1) when final_check is on
+            u_sel = jnp.where(avg_crit, u_avgcon, u)
+            v_sel = jnp.where(avg_crit, v_avgcon, v)
+
+            def check(_):
+                r = calc_residuals(u_sel, v_sel)
+                st = has_converged(r, state.k, (ipm_i > 0) & (state.k > 0))
+                return r, st
+
+            def no_check(_):
+                return state.res, jnp.zeros((), jnp.int32)
+
+            res, status = jax.lax.cond(final_check, check, no_check, operand=None)
+
+            return InnerState(
+                u=u, v=v, u_prev=u_prev,
+                u_avg=u_avg, v_avg=v_avg,
+                u_sum=u_sum, v_sum=v_sum,
+                u_avgcon=u_avgcon, v_avgcon=v_avgcon,
+                j=state.j + 1, k=state.k + 1,
+                qres=qres,
+                avg_criterion=avg_crit,
+                status=status,
+                res=res,
+                cg_iters=state.cg_iters + its,
+            )
+
+        def run_inner(state: InnerState, mu, beta, gamma, inner_stopper,
+                      final_check, ipm_i, max_iters):
+            """The hot loop: `abip.c:2131-2215` as one lax.while_loop."""
+
+            def cond(s: InnerState):
+                return (
+                    (s.j < inner_stopper)
+                    & (s.qres >= gamma * mu)
+                    & (s.status == 0)
+                    & (s.k < max_iters)
+                )
+
+            def body(s):
+                return inner_body(s, mu, beta, gamma, final_check, ipm_i)
+
+            out = jax.lax.while_loop(cond, body, state)
+            if stgs.half_update:
+                # clamp negative duals on qres-triggered exit (`abip.c:2175-2185`)
+                out = out._replace(v=jnp.maximum(out.v, 1e-6))
+            return out
+
+        self._run_inner = jax.jit(run_inner)
+        self._calc_residuals = jax.jit(calc_residuals)
+        self._q_norm = jax.jit(q_norm_resd)
+        self.project_lin_sys = project_lin_sys  # exposed for adaptive/tests
+
+    # ------------------------------------------------------------------ #
+    # host-side driver                                                   #
+    # ------------------------------------------------------------------ #
+    def _cold_start(self, mu, beta):
+        """`cold_start_vars` (`abip.c:361-381`)."""
+        m, l = self.m, self.l
+        val = np.sqrt(mu / beta)
+        u = jnp.concatenate([
+            jnp.zeros((m,), self.dtype),
+            jnp.full((l - m,), val, self.dtype),
+        ])
+        return u, u
+
+    def _init_inner_state(self, u, v):
+        l = self.l
+        z = jnp.zeros((l,), self.dtype)
+        return InnerState(
+            u=u, v=v, u_prev=u,
+            u_avg=z, v_avg=z, u_sum=z, v_sum=z,
+            u_avgcon=u, v_avgcon=v,
+            j=jnp.zeros((), jnp.int32), k=jnp.zeros((), jnp.int32),
+            qres=jnp.full((), jnp.inf, self.dtype),
+            avg_criterion=jnp.zeros((), bool),
+            status=jnp.zeros((), jnp.int32),
+            res=Residuals.init(self.dtype),
+            cg_iters=jnp.zeros((), jnp.int32),
+        )
+
+    def solve(self, warm=None) -> LPSolution:
+        stgs = self.stgs
+        m, n, l = self.m, self.n, self.l
+        t0 = time.perf_counter()
+
+        # `update_work` (`abip.c:1843-1927`): sigma/gamma by sparsity
+        sp_hi = max(self.sp, stgs.sparsity_ratio)
+        sp_lo = min(self.sp, stgs.sparsity_ratio)
+        if sp_hi > 0.4 or (0.1 < sp_lo < 0.2):
+            sigma, gamma = 0.3, 2.0
+        elif sp_lo > 0.2:
+            sigma, gamma = 0.5, 3.0
+        else:
+            sigma, gamma = 0.8, 3.0
+
+        mu, beta = 1.0, 1.0
+        final_check = False
+        double_check = False
+        dynamic_sigma = stgs.dynamic_sigma
+
+        u, v = self._cold_start(mu, beta)
+        state = self._init_inner_state(u, v)
+
+        status = Status.UNFINISHED
+        ipm_iter = 0
+        admm_total = 0
+        res_np = None
+        max_admm = stgs.max_admm_iters
+
+        for i in range(stgs.max_ipm_iters):
+            ipm_iter = i
+            # inner_stopper by sparsity (`abip.c:2104-2115`)
+            if sp_lo > 0.5:
+                inner_stopper = max(1, int(round(mu ** -0.35)))
+            elif sp_lo > 0.2:
+                inner_stopper = max(1, int(round(mu ** -1.0)))
+            else:
+                inner_stopper = max_admm
+
+            # reset per-stage accumulators; adopt averaged iterate if selected
+            avg_crit = bool(state.avg_criterion)
+            u = state.u_avgcon if avg_crit else state.u
+            v = state.v_avgcon if avg_crit else state.v
+            z = jnp.zeros((l,), self.dtype)
+            state = state._replace(
+                u=u, v=v,
+                u_avg=z, v_avg=z, u_sum=z, v_sum=z,
+                j=jnp.zeros((), jnp.int32),
+                qres=jnp.full((), jnp.inf, self.dtype),
+                status=jnp.zeros((), jnp.int32),
+            )
+
+            state = self._run_inner(
+                state,
+                jnp.asarray(mu, self.dtype),
+                jnp.asarray(beta, self.dtype),
+                jnp.asarray(gamma, self.dtype),
+                jnp.asarray(inner_stopper, jnp.int32),
+                jnp.asarray(final_check, bool),
+                jnp.asarray(i, jnp.int32),
+                jnp.asarray(max_admm, jnp.int32),
+            )
+            admm_total = int(state.k)
+            inner_status = int(state.status)
+            if inner_status != 0:
+                status = inner_status
+                res_np = jax.tree.map(float, state.res)._asdict()
+                break
+
+            # time limit (`abip.c:2217-2221`)
+            if time.perf_counter() - t0 > stgs.max_time:
+                max_admm = int(admm_total * 1.05) + 1
+
+            if mu < stgs.eps:
+                final_check = True
+
+            # outer-loop residual check (`abip.c:2229-2248`)
+            avg_crit = bool(state.avg_criterion)
+            u_sel = state.u_avgcon if avg_crit else state.u
+            v_sel = state.v_avgcon if avg_crit else state.v
+            r = self._calc_residuals(u_sel, v_sel)
+            res_np = jax.tree.map(float, r)._asdict()
+            state = state._replace(res=r)
+
+            if stgs.verbose:
+                print(
+                    f"ipm {i:4d} admm {admm_total:7d} mu {mu:9.2e} "
+                    f"pres {res_np['res_pri']:9.2e} dres {res_np['res_dual']:9.2e} "
+                    f"gap {res_np['rel_gap']:9.2e} tau {res_np['tau']:9.2e}"
+                )
+
+            status = schedules.check_converged(res_np, stgs, i, admm_total)
+            if status != 0 or admm_total + 1 >= max_admm:
+                break
+
+            # mu update (`abip.c:2251-2277`)
+            u_np = np.asarray(u_sel)
+            v_np = np.asarray(v_sel)
+            mu, sigma, gamma, final_check, double_check, dynamic_sigma = (
+                schedules.update_mu(
+                    mu, sigma, gamma, res_np, stgs, self.sp,
+                    final_check, double_check, dynamic_sigma,
+                    u=u_np, v=v_np, m=m,
+                )
+            )
+
+            # reinitialize for next stage (`abip.c:996-1075`, indx=0)
+            state = self._reinit(state, sigma)
+
+        solve_time = time.perf_counter() - t0
+        return self._extract_solution(
+            state, res_np, status, ipm_iter, admm_total, solve_time
+        )
+
+    def _reinit(self, state: InnerState, sigma):
+        """`reinitialize_vars(w, 0)` on the active iterate."""
+        m = self.m
+        sig = jnp.asarray(sigma, self.dtype)
+
+        def reb(u, v):
+            cond = u[m:] > v[m:]
+            v_new = v.at[m:].set(jnp.where(cond, sig * v[m:], v[m:]))
+            u_new = u.at[m:].set(jnp.where(cond, u[m:], sig * u[m:]))
+            return u_new, v_new
+
+        if bool(state.avg_criterion):
+            u, v = reb(state.u_avgcon, state.v_avgcon)
+            return state._replace(u_avgcon=u, v_avgcon=v)
+        u, v = reb(state.u, state.v)
+        return state._replace(u=u, v=v)
+
+    def _extract_solution(self, state, res_np, status, ipm_iter, admm_total,
+                          solve_time) -> LPSolution:
+        """`get_solution` (`abip.c:1344-1414`) + un-normalization
+        (`normalize.c:133-158`)."""
+        m, n, l = self.m, self.n, self.l
+        stgs = self.stgs
+        avg = bool(state.avg_criterion)
+        u = np.asarray(state.u_avgcon if avg else state.u)
+        v = np.asarray(state.v_avgcon if avg else state.v)
+        if res_np is None:
+            r = self._calc_residuals(
+                state.u_avgcon if avg else state.u,
+                state.v_avgcon if avg else state.v,
+            )
+            res_np = jax.tree.map(float, r)._asdict()
+
+        x = u[m : m + n].copy()
+        y = u[:m].copy()
+        s = v[m : m + n].copy()
+        tau = res_np["tau"]
+        kap = res_np["kap"]
+        bty = res_np["bt_y_by_tau"]
+        ctx = res_np["ct_x_by_tau"]
+
+        if status == Status.UNFINISHED:
+            if tau > INDETERMINATE_TOL and tau > kap:
+                status = Status.SOLVED_INACCURATE
+                x, y, s = x / max(tau, EPS_TOL), y / max(tau, EPS_TOL), s / max(tau, EPS_TOL)
+            elif np.linalg.norm(u) < INDETERMINATE_TOL * np.sqrt(l):
+                status = Status.INDETERMINATE
+                x[:], y[:], s[:] = np.nan, np.nan, np.nan
+            elif -bty < ctx:
+                status = Status.INFEASIBLE_INACCURATE
+                y, s = y / bty, s / bty
+                x[:] = np.nan
+            else:
+                status = Status.UNBOUNDED_INACCURATE
+                x = x / (-ctx)
+                y[:], s[:] = np.nan, np.nan
+        elif status == Status.SOLVED:
+            x, y, s = x / max(tau, EPS_TOL), y / max(tau, EPS_TOL), s / max(tau, EPS_TOL)
+        elif status == Status.INFEASIBLE:
+            y, s = y / bty, s / bty
+            x[:] = np.nan
+        elif status == Status.UNBOUNDED:
+            x = x / (-ctx)
+            y[:], s[:] = np.nan, np.nan
+
+        if stgs.normalize:
+            D = np.asarray(self.scal.D)
+            E = np.asarray(self.scal.E)
+            sc_b = float(self.sc_b)
+            sc_c = float(self.sc_c)
+            x = x / (E * sc_b)
+            y = y / (D * sc_c)
+            s = s * E / (sc_c * stgs.scale)
+
+        solved_like = status in (Status.SOLVED, Status.SOLVED_INACCURATE)
+        pobj = ctx / tau if (solved_like and tau > EPS_TOL) else (
+            -np.inf if status in (Status.UNBOUNDED, Status.UNBOUNDED_INACCURATE) else np.inf
+        )
+        dobj = bty / tau if (solved_like and tau > EPS_TOL) else pobj
+
+        return LPSolution(
+            x=x, y=y, s=s,
+            status=int(status),
+            status_name=Status.name(status),
+            pobj=float(pobj), dobj=float(dobj),
+            res_pri=res_np["res_pri"], res_dual=res_np["res_dual"],
+            rel_gap=res_np["rel_gap"],
+            res_infeas=res_np["res_infeas"], res_unbdd=res_np["res_unbdd"],
+            ipm_iters=ipm_iter + 1, admm_iters=admm_total,
+            setup_time=self.setup_time, solve_time=solve_time,
+            avg_cg_iters=float(state.cg_iters) / max(1, admm_total),
+        )
+
+
+def solve_lp(A, b, c, settings: Settings = Settings(), **overrides) -> LPSolution:
+    """One-call LP solve: min c'x s.t. Ax = b, x >= 0.
+
+    Equivalent of the reference `ABIP(main)` (`abip.c:2393-2422`).
+    """
+    if overrides:
+        import dataclasses
+
+        settings = dataclasses.replace(settings, **overrides)
+    w = LPWorkspace(A, b, c, settings)
+    return w.solve()

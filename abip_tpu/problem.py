@@ -1,0 +1,71 @@
+"""Problem operators: the matrix-free abstraction of the constraint matrix.
+
+TPU-native analogue of the reference's `spe_problem` vtable
+(`/root/reference/src/abip-qcp/include/abip.h:29-60`): where the reference
+stores C function pointers (`spe_A_times`, `spe_AT_times`, ...), we compose
+jitted closures over jnp arrays.  Reformulated problems (LASSO/SVM) provide
+operators that apply their constraint matrix without materializing it,
+exactly like `lasso_A_times` (`source/lasso_config.c:99-110`) reuses the raw
+data matrix twice.
+"""
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax.numpy as jnp
+
+
+class LinearOperator:
+    """A (possibly matrix-free) linear map R^n -> R^m.
+
+    Attributes
+    ----------
+    matvec:  x (n,) -> A @ x (m,)
+    rmatvec: y (m,) -> A.T @ y (n,)
+    dense:   optional thunk returning the dense (m, n) matrix, used by the
+             direct linsys backend and the equilibration pipeline.
+    """
+
+    def __init__(
+        self,
+        m: int,
+        n: int,
+        matvec: Callable,
+        rmatvec: Callable,
+        dense: Optional[Callable] = None,
+        nnz: Optional[int] = None,
+    ):
+        self.m = int(m)
+        self.n = int(n)
+        self.matvec = matvec
+        self.rmatvec = rmatvec
+        self._dense = dense
+        # nnz drives the sparsity-ratio heuristics of the barrier schedule
+        # (`src/abip-lp/src/abip.c:2104-2115`); dense operators report full.
+        self.nnz = int(nnz) if nnz is not None else m * n
+
+    @property
+    def has_dense(self) -> bool:
+        return self._dense is not None
+
+    def dense(self) -> jnp.ndarray:
+        if self._dense is None:
+            raise ValueError("operator has no dense representation")
+        return self._dense()
+
+    @property
+    def sparsity(self) -> float:
+        return self.nnz / max(1, self.m * self.n)
+
+    @classmethod
+    def from_dense(cls, A: jnp.ndarray, nnz: Optional[int] = None) -> "LinearOperator":
+        A = jnp.asarray(A)
+        m, n = A.shape
+        return cls(
+            m,
+            n,
+            matvec=lambda x: A @ x,
+            rmatvec=lambda y: A.T @ y,
+            dense=lambda: A,
+            nnz=nnz,
+        )

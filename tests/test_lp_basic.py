@@ -1,0 +1,72 @@
+"""Golden tests of the LP driver against scipy.optimize.linprog.
+
+Test strategy per SURVEY.md section 4: the reference has no unit tests, so we
+build the pyramid ourselves -- random solvable LPs cross-checked against a
+trusted simplex/IPM implementation, plus status classification checks.
+"""
+import numpy as np
+import pytest
+from scipy.optimize import linprog
+
+import abip_tpu
+from tests.conftest import random_lp
+
+
+def scipy_opt(A, b, c):
+    res = linprog(c, A_eq=A, b_eq=b, bounds=(0, None), method="highs")
+    assert res.status == 0, res.message
+    return res.fun
+
+
+@pytest.mark.parametrize("m,n", [(10, 30), (20, 60), (40, 150)])
+def test_random_lp_matches_scipy(rng, m, n):
+    A, b, c = random_lp(rng, m, n)
+    ref = scipy_opt(A, b, c)
+    sol = abip_tpu.solve_lp(A, b, c, eps=1e-6, verbose=False)
+    assert sol.status_name in ("Solved", "Solved/Inaccurate"), sol.status_name
+    assert sol.pobj == pytest.approx(ref, abs=1e-4 * (1 + abs(ref)))
+    # primal feasibility in original units
+    assert np.linalg.norm(A @ sol.x - b) < 1e-4 * (1 + np.linalg.norm(b))
+    assert sol.x.min() > -1e-6
+
+
+def test_lp_no_normalize(rng):
+    A, b, c = random_lp(rng, 15, 45)
+    ref = scipy_opt(A, b, c)
+    sol = abip_tpu.solve_lp(A, b, c, eps=1e-6, normalize=False)
+    assert sol.status_name in ("Solved", "Solved/Inaccurate")
+    assert sol.pobj == pytest.approx(ref, abs=1e-4 * (1 + abs(ref)))
+
+
+def test_lp_cg_backend(rng):
+    A, b, c = random_lp(rng, 15, 45)
+    ref = scipy_opt(A, b, c)
+    sol = abip_tpu.solve_lp(A, b, c, eps=1e-6, linsys="cg")
+    assert sol.status_name in ("Solved", "Solved/Inaccurate")
+    assert sol.pobj == pytest.approx(ref, abs=1e-4 * (1 + abs(ref)))
+
+
+def test_duality_gap(rng):
+    A, b, c = random_lp(rng, 12, 40)
+    sol = abip_tpu.solve_lp(A, b, c, eps=1e-6)
+    # complementary slackness: x,s >= 0 and x's ~ 0
+    assert abs(sol.pobj - sol.dobj) < 1e-4 * (1 + abs(sol.pobj))
+    assert np.dot(np.abs(sol.x), np.abs(sol.s)) < 1e-2
+
+
+def test_infeasible_lp(rng):
+    # x1 + x2 = 1, x1 + x2 = 3 is infeasible over x >= 0
+    A = np.array([[1.0, 1.0], [1.0, 1.0]])
+    b = np.array([1.0, 3.0])
+    c = np.array([1.0, 1.0])
+    sol = abip_tpu.solve_lp(A, b, c, eps=1e-6)
+    assert "Infeasible" in sol.status_name
+
+
+def test_unbounded_lp():
+    # min -x1, s.t. x1 - x2 = 0, x >= 0: x1 = x2 -> infinity
+    A = np.array([[1.0, -1.0]])
+    b = np.array([0.0])
+    c = np.array([-1.0, 0.0])
+    sol = abip_tpu.solve_lp(A, b, c, eps=1e-6)
+    assert "Unbounded" in sol.status_name
