@@ -23,6 +23,8 @@ if not os.environ.get("ABIP_TPU_NO_X64"):
 from .settings import Settings, Status          # noqa: E402
 from .problem import LinearOperator             # noqa: E402
 from .lp import solve_lp, LPWorkspace, LPSolution  # noqa: E402
+from .cones import ConeSpec                     # noqa: E402
+from .qcp import solve_qcp, ConicWorkspace, ConicSolution, conic_defaults  # noqa: E402
 
 __version__ = "0.1.0"
 
@@ -30,8 +32,13 @@ __all__ = [
     "Settings",
     "Status",
     "LinearOperator",
+    "ConeSpec",
     "solve_lp",
     "LPWorkspace",
     "LPSolution",
+    "solve_qcp",
+    "ConicWorkspace",
+    "ConicSolution",
+    "conic_defaults",
     "__version__",
 ]

@@ -1,0 +1,106 @@
+"""Conic KKT backends: Schur-complement solvers for the DR block system.
+
+The conic projection step needs
+
+    [[R_y,  A  ],   [z_y]   [w_y]
+     [-A^T, Q+R_x]] [z_x] = [w_x]
+
+(the symmetrized form the reference assembles in `form_qcp_kkt`,
+`/root/reference/src/abip-qcp/source/qcp_config.c:699-748`).  Eliminating
+z_y = R_y^-1 (w_y - A z_x) gives the SPD n x n Schur system
+
+    S z_x = w_x + A^T R_y^-1 w_y,      S = Q + R_x + A^T R_y^-1 A
+
+which is exactly the operator of the reference's `qcp_pcg`
+(`source/linsys.c:725-851`).  On TPU:
+
+  * dense: S is ONE matmul chain on the MXU; Cholesky cached per solve
+    (replaces MKL-DSS/QDLDL/PARDISO, `source/linsys.c:318-611`).
+  * cg: matrix-free PCG with the Jacobi preconditioner of
+    `init_qcp_precon` (`source/qcp_config.c:754-780`) and the tolerance
+    ladder of `get_qcp_pcg_tol` (`:786-793`).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+class DenseSchurSolver:
+    """Cached-Cholesky Schur solver for the conic block system."""
+
+    def __init__(self, A, Q, rho_y_vec, rho_x_vec):
+        # A: (m, n) dense; Q: (n, n) dense or None
+        self.A = A
+        self.Q = Q
+        self.ry_inv = 1.0 / rho_y_vec
+        m, n = A.shape
+        S = (A * self.ry_inv[:, None]).T @ A + jnp.diag(rho_x_vec)
+        if Q is not None:
+            S = S + Q
+        self.chol = jax.lax.linalg.cholesky(S)
+
+    def solve(self, w_y, w_x, iter_count=0, warm_start=None, tol_hint=None):
+        rhs = w_x + self.A.T @ (self.ry_inv * w_y)
+        z_x = jax.scipy.linalg.cho_solve((self.chol, True), rhs)
+        z_y = self.ry_inv * (w_y - self.A @ z_x)
+        return z_y, z_x, jnp.zeros((), jnp.int32)
+
+
+class CGSchurSolver:
+    """Matrix-free PCG on the Schur system (mirrors `qcp_pcg`)."""
+
+    def __init__(self, A_op, Q_op, rho_y_vec, rho_x_vec, diag_S, max_iters=1000):
+        self.A_op = A_op      # LinearOperator (m, n)
+        self.Q_op = Q_op      # callable x -> Qx, or None
+        self.ry_inv = 1.0 / rho_y_vec
+        self.rho_x = rho_x_vec
+        self.M = 1.0 / diag_S  # Jacobi preconditioner (`init_qcp_precon`)
+        self.max_iters = max_iters
+
+    def _S(self, x):
+        y = self.A_op.matvec(x)
+        out = self.A_op.rmatvec(self.ry_inv * y) + self.rho_x * x
+        if self.Q_op is not None:
+            out = out + self.Q_op(x)
+        return out
+
+    def solve(self, w_y, w_x, iter_count=0, warm_start=None, tol_hint=None):
+        norm_p = jnp.linalg.norm(w_x)
+        it = jnp.asarray(iter_count, w_x.dtype)
+        # `get_qcp_pcg_tol` (`qcp_config.c:786-793`)
+        tol = jnp.where(
+            it < 0,
+            1e-9 * norm_p,
+            jnp.maximum(1e-9, 1e-5 * norm_p / (jnp.maximum(it, 0.0) + 1.0) ** 2),
+        )
+        rhs = w_x + self.A_op.rmatvec(self.ry_inv * w_y)
+        x0 = warm_start if warm_start is not None else jnp.zeros_like(w_x)
+
+        M = self.M
+        x = x0
+        r = rhs - self._S(x)
+        z = M * r
+        p = z
+        ipzr = jnp.dot(z, r)
+
+        def cond(carry):
+            x, r, p, ipzr, i = carry
+            return (jnp.linalg.norm(r) >= tol) & (i < self.max_iters)
+
+        def body(carry):
+            x, r, p, ipzr, i = carry
+            Sp = self._S(p)
+            a = ipzr / jnp.dot(p, Sp)
+            x = x + a * p
+            r = r - a * Sp
+            z = M * r
+            new = jnp.dot(z, r)
+            p = z + (new / ipzr) * p
+            return (x, r, p, new, i + 1)
+
+        z_x, r, p, ipzr, iters = jax.lax.while_loop(
+            cond, body, (x, r, p, ipzr, jnp.zeros((), jnp.int32))
+        )
+        z_y = self.ry_inv * (w_y - self.A_op.matvec(z_x))
+        return z_y, z_x, iters

@@ -1,0 +1,571 @@
+"""ABIP-TPU conic / quadratic cone programming driver.
+
+Solves   min (1/2) x'Qx + c'x   s.t.  Ax = b,  x in K
+with K a product of {zero, free, nonneg, SOC, RSOC} cones.
+
+TPU-first re-design of the reference conic core
+(`/root/reference/src/abip-qcp/source/abip.c`): the Douglas-Rachford inner
+loop -- Schur-complement projection with the quadratic-formula tau step,
+segment-vectorized cone barrier prox, dual update, inner HSD-operator
+check, cadenced residual checks -- is ONE jitted `lax.while_loop`; the
+outer loop (barrier schedule `adjust_barrier`, `source/abip.c:994-1071`)
+runs on the host, one sync per barrier stage.
+
+LP is the special case Q=0, K=R+^n -- but the dedicated `lp.py` driver
+keeps the reference's LP-specialized economies (rank-1 HSD correction,
+restart/averaging, hybrid mu schedules).
+"""
+from __future__ import annotations
+
+import dataclasses
+import time
+from dataclasses import dataclass
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .cones import ConeSpec, ConeLayout, cone_barrier_prox
+from .linsys.schur import DenseSchurSolver, CGSchurSolver
+from .problem import LinearOperator
+from .scaling import equilibrate_conic, ConicScalingData
+from .settings import Settings, Status
+
+EPS_TOL = 1e-18
+
+
+def conic_defaults(**overrides) -> Settings:
+    """Conic defaults (`src/abip-qcp/source/util.c:203-255`): rho_y=1e-6."""
+    base = dict(rho_y=1e-6, rho_x=1.0, rho_tau=1.0, psi=1.0,
+                origin_rescale=True, pc_ruiz_rescale=True, qp_rescale=False)
+    base.update(overrides)
+    return Settings(**base)
+
+
+class ConicResiduals(NamedTuple):
+    res_pri: jnp.ndarray
+    res_dual: jnp.ndarray
+    rel_gap: jnp.ndarray
+    res_dif: jnp.ndarray
+    error_ratio: jnp.ndarray
+    res_infeas: jnp.ndarray
+    res_unbdd: jnp.ndarray
+    pobj: jnp.ndarray
+    dobj: jnp.ndarray
+    tau: jnp.ndarray
+    kap: jnp.ndarray
+    Ax_b_norm: jnp.ndarray
+    Qx_ATy_c_s_norm: jnp.ndarray
+
+    @staticmethod
+    def init(dtype):
+        big = jnp.full((), 1e8, dtype)
+        z = jnp.ones((), dtype)
+        nan = jnp.full((), jnp.nan, dtype)
+        return ConicResiduals(big, big, big, big, big, nan, nan, nan, nan,
+                              z, z, big, big)
+
+
+class ConicInnerState(NamedTuple):
+    u: jnp.ndarray
+    v: jnp.ndarray
+    v_origin: jnp.ndarray
+    j: jnp.ndarray
+    k: jnp.ndarray
+    err_inner: jnp.ndarray
+    status: jnp.ndarray
+    res: ConicResiduals
+    cg_iters: jnp.ndarray
+
+
+@dataclass
+class ConicSolution:
+    x: np.ndarray
+    y: np.ndarray
+    s: np.ndarray
+    status: int
+    status_name: str
+    pobj: float
+    dobj: float
+    res_pri: float
+    res_dual: float
+    rel_gap: float
+    res_infeas: float
+    res_unbdd: float
+    ipm_iters: int
+    admm_iters: int
+    setup_time: float
+    solve_time: float
+    avg_cg_iters: float = 0.0
+
+
+class ConicWorkspace:
+    """Setup-once conic workspace (`ABIP(init)`, `source/abip.c:1271-1311`)."""
+
+    def __init__(self, A, b, c, cones: ConeSpec, Q=None,
+                 settings: Optional[Settings] = None):
+        settings = (settings or conic_defaults()).resolved()
+        settings.validate()
+        t0 = time.perf_counter()
+        self.stgs = settings
+        dtype = jnp.dtype(settings.dtype)
+        self.dtype = dtype
+
+        A = jnp.asarray(A, dtype)
+        b = jnp.asarray(b, dtype)
+        c = jnp.asarray(c, dtype)
+        Q = jnp.asarray(Q, dtype) if Q is not None else None
+        m, n = A.shape
+        if b.shape != (m,):
+            raise ValueError(f"b must have shape ({m},); got {b.shape}")
+        if c.shape != (n,):
+            raise ValueError(f"c must have shape ({n},); got {c.shape}")
+        if Q is not None and Q.shape != (n, n):
+            raise ValueError(f"Q must have shape ({n},{n}); got {Q.shape}")
+        cones.validate_dim(n)
+        self.m, self.n = m, n
+        self.l = m + n + 1
+        self.layout = ConeLayout(cones)
+        self.has_Q = Q is not None
+
+        # inf-norms of ORIGINAL data (`init_work`, `source/abip.c:873-874`)
+        self.nm_inf_b = jnp.max(jnp.abs(b)) if m else jnp.zeros((), dtype)
+        self.nm_inf_c = jnp.max(jnp.abs(c))
+
+        if settings.normalize:
+            A, Q, b, c, scal = equilibrate_conic(A, Q, b, c, self.layout, settings)
+        else:
+            scal = ConicScalingData(
+                D=jnp.ones((m,), dtype), E=jnp.ones((n,), dtype),
+                sc_b=jnp.ones((), dtype), sc_c=jnp.ones((), dtype))
+        self.scal = scal
+        self.A, self.Q, self.b, self.c = A, Q, b, c
+        self.A_op = LinearOperator.from_dense(A)
+
+        # DR scaling rho_dr = (rho_y 1_m, rho_x 1_n, rho_tau)
+        # (`init_qcp`, `qcp_config.c:26-36`)
+        self.rho = jnp.concatenate([
+            jnp.full((m,), settings.rho_y, dtype),
+            jnp.full((n,), settings.rho_x, dtype),
+            jnp.full((1,), settings.rho_tau, dtype),
+        ])
+
+        ry = self.rho[:m]
+        rx = self.rho[m : m + n]
+        if settings.linsys == "cg" or (settings.linsys == "auto" and n > 4096):
+            diag_S = rx + jnp.sum(A * A / ry[:, None], axis=0)
+            if Q is not None:
+                diag_S = diag_S + jnp.diag(Q)
+            Q_op = (lambda x: Q @ x) if Q is not None else None
+            self.solver = CGSchurSolver(self.A_op, Q_op, ry, rx, diag_S,
+                                        max_iters=settings.cg_max_iters)
+        else:
+            self.solver = DenseSchurSolver(A, Q, ry, rx)
+
+        # r = Ktilde^-1 (-b; c), a = rho_tau + <rho . r, r>
+        # (`pre_calculate`, `source/abip.c:886-910`)
+        r_y, r_x, _ = self.solver.solve(-b, c, iter_count=-1)
+        self.r_vec = jnp.concatenate([r_y, r_x])
+        self.a_coef = settings.rho_tau + jnp.dot(
+            self.rho[: m + n] * self.r_vec, self.r_vec
+        )
+
+        self._build_kernels()
+        self.setup_time = time.perf_counter() - t0
+
+    # ------------------------------------------------------------------ #
+    def _build_kernels(self):
+        m, n, l = self.m, self.n, self.l
+        stgs = self.stgs
+        A_op, solver = self.A_op, self.solver
+        A, Q, b, c = self.A, self.Q, self.b, self.c
+        rho, r_vec, a_coef = self.rho, self.r_vec, self.a_coef
+        layout = self.layout
+        D, E = self.scal.D, self.scal.E
+        sc_b, sc_c = self.scal.sc_b, self.scal.sc_c
+        nm_inf_b, nm_inf_c = self.nm_inf_b, self.nm_inf_c
+        alpha = stgs.alpha
+        dtype = self.dtype
+        rho_head = rho[: m + n]
+        rho_tau = rho[l - 1]
+        rho_tail = rho[m:]  # (n+1,): x block + tau
+
+        def Q_times(x):
+            return Q @ x if Q is not None else jnp.zeros_like(x)
+
+        def projection(u, v, k):
+            """DR projection with quadratic-formula tau
+            (`projection`, `source/abip.c:186-254`)."""
+            w_vec = rho_head * (u[: m + n] + v[: m + n])
+            eta = rho_tau * (u[l - 1] + v[l - 1])
+            z_y, z_x, its = solver.solve(w_vec[:m], w_vec[m:], iter_count=k,
+                                         warm_start=u[m : m + n])
+            p = jnp.concatenate([z_y, z_x])
+            b_coef = (
+                jnp.dot(r_vec, w_vec) - 2.0 * jnp.dot(r_vec, rho_head * p) - eta
+            )
+            c_coef = -jnp.dot(z_x, Q_times(z_x))
+            disc = jnp.maximum(b_coef * b_coef - 4.0 * a_coef * c_coef, 0.0)
+            tau_t = (-b_coef + jnp.sqrt(disc)) / (2.0 * a_coef)
+            tau_t = jnp.where(k > 0, tau_t, 1.0)
+            u_t = jnp.concatenate([p - tau_t * r_vec, tau_t[None]])
+            return u_t, its
+
+        def barrier_and_dual(u, v, u_t, lam):
+            """`solve_barrier_subproblem` + `update_dual_vars`
+            (`source/abip.c:314-413`): DR with over-relaxation."""
+            rel_ut = alpha * u_t + (1.0 - alpha) * u
+            t = rel_ut - v
+            head = t[:m]
+            lam_tail = lam / rho_tail  # per-element lambda (x block + tau)
+            tail = cone_barrier_prox(t[m : m + n], lam_tail[:n], layout)
+            tau_in = t[l - 1]
+            lam_tau = lam_tail[n]
+            tau = 0.5 * (tau_in + jnp.sqrt(tau_in * tau_in + 4.0 * lam_tau))
+            u_new = jnp.concatenate([head, tail, tau[None]])
+            v_new = v + u_new - rel_ut
+            return u_new, v_new
+
+        def inner_conv_check(u, v_origin):
+            """HSD-operator mismatch (`qcp_inner_conv_check`,
+            `qcp_config.c:518-557`)."""
+            y, x, tau = u[:m], u[m : m + n], u[l - 1]
+            Mu_y = A_op.matvec(x)
+            Mu_x = -A_op.rmatvec(y) + Q_times(x)
+            Qu_y = Mu_y - b * tau
+            Qu_x = Mu_x + c * tau
+            Mu = jnp.concatenate([Mu_y, Mu_x])
+            Qu_tau = (
+                -jnp.dot(u[: m + n], Mu) / jnp.where(jnp.abs(tau) < EPS_TOL, EPS_TOL, tau)
+                + jnp.dot(y, b)
+                - jnp.dot(x, c)
+            )
+            Qu = jnp.concatenate([Qu_y, Qu_x, Qu_tau[None]])
+            diff = Qu - v_origin
+            return jnp.linalg.norm(diff) / (
+                1.0 + jnp.linalg.norm(Qu) + jnp.linalg.norm(v_origin)
+            )
+
+        def calc_residuals(u, v_origin, prev: ConicResiduals):
+            """`calc_qcp_residuals` (`qcp_config.c:562-691`): unscaled
+            inf-norm residuals + certificates."""
+            tau = jnp.abs(u[l - 1])
+            tau_safe = jnp.maximum(tau, EPS_TOL)
+            kap = jnp.abs(v_origin[l - 1]) / (
+                (stgs.scale * sc_c * sc_b) if stgs.normalize else 1.0
+            )
+            y = u[:m] / tau_safe
+            x = u[m : m + n] / tau_safe
+            s = v_origin[m : m + n] / tau_safe
+
+            Ax = A_op.matvec(x)
+            Ax_b = Ax - b
+            Ax_b_norm = jnp.max(jnp.abs(Ax_b))
+            DAx = D * Ax
+            DAx_b = D * Ax_b
+            res_pri = jnp.max(jnp.abs(DAx_b)) / (
+                sc_b + jnp.maximum(jnp.max(jnp.abs(DAx)), sc_b * nm_inf_b)
+            )
+
+            Qx = Q_times(x)
+            xQx_2 = jnp.dot(x, Qx) / (2.0 * sc_b * sc_c)
+            ATy = A_op.rmatvec(y)
+            dres_vec = Qx - ATy + c - s
+            Qx_ATy_c_s_norm = jnp.max(jnp.abs(dres_vec))
+            res_dual = jnp.max(jnp.abs(E * dres_vec)) / (
+                sc_c + jnp.maximum(sc_c * nm_inf_c, jnp.max(jnp.abs(E * Qx)))
+            )
+
+            cTx = jnp.dot(c, x) / (sc_b * sc_c)
+            bTy = jnp.dot(b, y) / (sc_b * sc_c)
+            rel_gap = jnp.abs(2.0 * xQx_2 + cTx - bTy) / (
+                1.0 + jnp.maximum(2.0 * xQx_2, jnp.maximum(jnp.abs(cTx), jnp.abs(bTy)))
+            )
+            pobj = xQx_2 + cTx
+            dobj = -xQx_2 + bTy
+
+            res_dif = jnp.maximum(
+                jnp.maximum(jnp.abs(res_pri - prev.res_pri),
+                            jnp.abs(res_dual - prev.res_dual)),
+                jnp.abs(rel_gap - prev.rel_gap),
+            )
+            error_ratio = jnp.maximum(
+                res_pri / stgs.eps_p,
+                jnp.maximum(res_dual / stgs.eps_d, rel_gap / stgs.eps_g),
+            )
+
+            ctx_u = jnp.dot(c, u[m : m + n])
+            nan = jnp.full((), jnp.nan, dtype)
+            unb_num = jnp.maximum(
+                jnp.linalg.norm(E * Qx * tau), jnp.linalg.norm(DAx * tau)
+            )
+            res_unbdd = jnp.where(
+                ctx_u < 0, unb_num / jnp.where(ctx_u < 0, -ctx_u, 1.0), nan
+            )
+            bty_u = jnp.dot(b, u[:m])
+            inf_num = jnp.linalg.norm(E * (ATy * tau + s * tau))
+            res_infeas = jnp.where(
+                bty_u > 0, inf_num / jnp.where(bty_u > 0, bty_u, 1.0), nan
+            )
+
+            return ConicResiduals(
+                res_pri=res_pri, res_dual=res_dual, rel_gap=rel_gap,
+                res_dif=res_dif, error_ratio=error_ratio,
+                res_infeas=res_infeas, res_unbdd=res_unbdd,
+                pobj=pobj, dobj=dobj, tau=tau, kap=kap,
+                Ax_b_norm=Ax_b_norm, Qx_ATy_c_s_norm=Qx_ATy_c_s_norm,
+            )
+
+        def has_converged(r: ConicResiduals, total_pos):
+            """`has_converged` (`source/abip.c:750-777`)."""
+            solved = (
+                (r.res_pri < stgs.eps_p)
+                & (r.res_dual < stgs.eps_d)
+                & (r.rel_gap < stgs.eps_g)
+            )
+            stag = r.res_dif < stgs.err_dif * max(stgs.eps_p, stgs.eps_d, stgs.eps_g)
+            unbdd = (r.res_unbdd < stgs.eps_unb) & total_pos
+            infeas = (r.res_infeas < stgs.eps_inf) & total_pos
+            return jnp.where(
+                solved, Status.SOLVED,
+                jnp.where(stag, Status.SOLVED_INACCURATE,
+                          jnp.where(unbdd, Status.UNBOUNDED,
+                                    jnp.where(infeas, Status.INFEASIBLE, 0))),
+            ).astype(jnp.int32)
+
+        def inner_body(state: ConicInnerState, mu, beta, tol_inner, ipm_i, k_cap):
+            u_t, its = projection(state.u, state.v, state.k)
+            lam = mu / beta
+            u, v = barrier_and_dual(state.u, state.v, u_t, lam)
+            v_origin = rho * v
+            k = state.k + 1
+            err_inner = inner_conv_check(u, v_origin)
+
+            # cadenced residual check (`source/abip.c:1170-1207`)
+            do_check = ((state.j + 1) % stgs.inner_check_period == 0) | (
+                state.res.error_ratio <= 8.0
+            )
+
+            def check(_):
+                r = calc_residuals(u, v_origin, state.res)
+                st = has_converged(r, (ipm_i > 0) & (k > 0))
+                return r, st
+
+            def no_check(_):
+                return state.res, jnp.zeros((), jnp.int32)
+
+            res, status = jax.lax.cond(do_check, check, no_check, operand=None)
+            return ConicInnerState(
+                u=u, v=v, v_origin=v_origin, j=state.j + 1, k=k,
+                err_inner=err_inner, status=status, res=res,
+                cg_iters=state.cg_iters + its,
+            )
+
+        def run_inner(state: ConicInnerState, mu, beta, tol_inner, ipm_i, k_cap):
+            def cond(s: ConicInnerState):
+                return (
+                    (s.j < stgs.max_admm_iters)
+                    & (s.err_inner >= tol_inner)
+                    & (s.status == 0)
+                    & (s.k < k_cap)
+                )
+
+            def body(s):
+                return inner_body(s, mu, beta, tol_inner, ipm_i, k_cap)
+
+            return jax.lax.while_loop(cond, body, state)
+
+        self._run_inner = jax.jit(run_inner)
+        self._calc_residuals = jax.jit(
+            lambda u, v_origin, prev: calc_residuals(u, v_origin, prev)
+        )
+        self._has_converged = has_converged
+
+    # ------------------------------------------------------------------ #
+    def _adjust_barrier(self, mu, res_np):
+        """`adjust_barrier` (`source/abip.c:994-1071`): sigma/gamma tables."""
+        stgs = self.stgs
+        eps_min = min(stgs.eps_p, stgs.eps_d, stgs.eps_g)
+        ratio = mu / eps_min
+        sigma = 0.8
+        if ratio > 50:
+            gamma = 1.5
+        elif ratio > 10:
+            gamma = 1.3
+        elif ratio > 5:
+            gamma = 1.2
+        elif ratio > 1:
+            gamma = 1.1
+        elif ratio > 0.5:
+            gamma = 1.0
+        elif ratio > 0.05:
+            gamma = 0.9
+        elif ratio > 0.005:
+            gamma = 0.8
+        elif ratio > 0.0005:
+            gamma = 0.7
+        elif ratio > 0.00005:
+            gamma = 0.6
+        else:
+            gamma = 0.5
+
+        mr = res_np["error_ratio"]
+        if mr > 22:
+            gamma *= 4.4
+        elif mr > 18:
+            gamma *= 4.2
+        elif mr > 15:
+            gamma *= 4.0
+        elif mr > 12:
+            gamma *= 3.8
+        elif mr > 8:
+            gamma *= 3.6
+        elif mr > 6:
+            sigma, gamma = 0.81, gamma * 3.4
+        elif mr > 4:
+            sigma, gamma = 0.82, gamma * 3.4
+        elif mr > 3:
+            sigma, gamma = 0.83, gamma * 3.2
+        elif mr > 2:
+            sigma, gamma = 0.85, gamma * 2.8
+        elif mr > 1.5:
+            sigma, gamma = 0.85, gamma * 2.6
+        else:
+            sigma, gamma = 0.85, gamma * 2.4
+
+        sigma *= 0.2
+        mu = sigma * mu
+        return mu, gamma * mu ** stgs.psi
+
+    def solve(self) -> ConicSolution:
+        stgs = self.stgs
+        m, n, l = self.m, self.n, self.l
+        t0 = time.perf_counter()
+
+        # cone-aware cold start (`update_work`, `source/abip.c:912-992`)
+        x0 = self.layout.interior_point(self.dtype)
+        u = jnp.concatenate([jnp.zeros((m,), self.dtype), x0,
+                             jnp.ones((1,), self.dtype)])
+        v = u
+        mu, beta = 1.0, 1.0
+        tol_inner = 4.0 * mu ** stgs.psi
+
+        state = ConicInnerState(
+            u=u, v=v, v_origin=self.rho * v,
+            j=jnp.zeros((), jnp.int32), k=jnp.zeros((), jnp.int32),
+            err_inner=jnp.full((), jnp.inf, self.dtype),
+            status=jnp.zeros((), jnp.int32),
+            res=ConicResiduals.init(self.dtype),
+            cg_iters=jnp.zeros((), jnp.int32),
+        )
+        k_cap = stgs.max_admm_iters * stgs.max_ipm_iters
+        status = Status.UNFINISHED
+        ipm_iter = 0
+        res_np = None
+
+        for i in range(stgs.max_ipm_iters):
+            ipm_iter = i
+            state = state._replace(
+                j=jnp.zeros((), jnp.int32),
+                err_inner=jnp.full((), jnp.inf, self.dtype),
+                status=jnp.zeros((), jnp.int32),
+            )
+            state = self._run_inner(
+                state,
+                jnp.asarray(mu, self.dtype),
+                jnp.asarray(beta, self.dtype),
+                jnp.asarray(tol_inner, self.dtype),
+                jnp.asarray(i, jnp.int32),
+                jnp.asarray(k_cap, jnp.int32),
+            )
+            inner_status = int(state.status)
+            if inner_status != 0:
+                status = inner_status
+                res_np = jax.tree.map(float, state.res)._asdict()
+                break
+
+            # outer residual check (`source/abip.c:1212-1243`)
+            r = self._calc_residuals(state.u, state.v_origin, state.res)
+            state = state._replace(res=r)
+            res_np = jax.tree.map(float, r)._asdict()
+            if stgs.verbose:
+                print(
+                    f"ipm {i:4d} admm {int(state.k):7d} mu {mu:9.2e} "
+                    f"pres {res_np['res_pri']:9.2e} dres {res_np['res_dual']:9.2e} "
+                    f"gap {res_np['rel_gap']:9.2e} pobj {res_np['pobj']:11.4e}"
+                )
+            status = int(self._has_converged(
+                r, jnp.asarray((i > 0) and int(state.k) > 0)))
+            if (
+                status != 0
+                or int(state.k) + 1 >= k_cap
+                or time.perf_counter() - t0 > stgs.max_time
+            ):
+                break
+
+            mu, tol_inner = self._adjust_barrier(mu, res_np)
+
+        return self._extract_solution(state, res_np, status, ipm_iter, t0)
+
+    def _extract_solution(self, state, res_np, status, ipm_iter, t0):
+        """`get_solution` (`source/abip.c:559-587`) + un-scaling
+        (`un_scaling_qcp_sol`, `qcp_config.c:496-513`)."""
+        m, n = self.m, self.n
+        stgs = self.stgs
+        u = np.asarray(state.u)
+        v = np.asarray(state.v)
+        if res_np is None:
+            res_np = jax.tree.map(
+                float, self._calc_residuals(state.u, state.v_origin, state.res)
+            )._asdict()
+        tau = max(res_np["tau"], EPS_TOL)
+
+        x = u[m : m + n].copy()
+        y = u[:m].copy()
+        s = v[m : m + n].copy()
+
+        if status in (Status.INFEASIBLE, Status.INFEASIBLE_INACCURATE):
+            bty = res_np["dobj"] * res_np["tau"]
+            y, s = y / bty, s / bty
+            x[:] = np.nan
+        elif status in (Status.UNBOUNDED, Status.UNBOUNDED_INACCURATE):
+            ctx = res_np["pobj"] * res_np["tau"]
+            x = x / (-ctx)
+            y[:], s[:] = np.nan, np.nan
+        else:
+            if status == Status.UNFINISHED:
+                status = Status.SOLVED_INACCURATE
+            x, y, s = x / tau, y / tau, s / tau
+
+        if stgs.normalize:
+            D = np.asarray(self.scal.D)
+            E = np.asarray(self.scal.E)
+            sc_b = float(self.scal.sc_b)
+            sc_c = float(self.scal.sc_c)
+            x = x / (E * sc_b)
+            y = y / (D * sc_c)
+            s = s * E / (sc_c * stgs.scale)
+
+        return ConicSolution(
+            x=x, y=y, s=s,
+            status=int(status), status_name=Status.name(status),
+            pobj=res_np["pobj"], dobj=res_np["dobj"],
+            res_pri=res_np["res_pri"], res_dual=res_np["res_dual"],
+            rel_gap=res_np["rel_gap"],
+            res_infeas=res_np["res_infeas"], res_unbdd=res_np["res_unbdd"],
+            ipm_iters=ipm_iter + 1, admm_iters=int(state.k),
+            setup_time=self.setup_time,
+            solve_time=time.perf_counter() - t0,
+            avg_cg_iters=float(state.cg_iters) / max(1, int(state.k)),
+        )
+
+
+def solve_qcp(A, b, c, cones: ConeSpec, Q=None,
+              settings: Optional[Settings] = None, **overrides) -> ConicSolution:
+    """One-call conic solve (`abip()`, `source/abip.c:1335-1371`)."""
+    settings = settings or conic_defaults()
+    if overrides:
+        settings = dataclasses.replace(settings, **overrides)
+    w = ConicWorkspace(A, b, c, cones, Q=Q, settings=settings)
+    return w.solve()

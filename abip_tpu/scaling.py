@@ -103,6 +103,83 @@ def _qp_pass(A):
     return A, D, E
 
 
+class ConicScalingData(NamedTuple):
+    D: jnp.ndarray
+    E: jnp.ndarray
+    sc_b: jnp.ndarray
+    sc_c: jnp.ndarray
+
+
+def _clip_keep(v, n_other):
+    """Conic variant of the scale guard (`qcp_config.c:220-232`)."""
+    lo = MIN_SCALE * jnp.sqrt(jnp.asarray(n_other, v.dtype))
+    hi = MAX_SCALE * jnp.sqrt(jnp.asarray(n_other, v.dtype))
+    return jnp.where(v < lo, 1.0, jnp.minimum(v, hi))
+
+
+def equilibrate_conic(A, Q, b, c, layout, settings):
+    """Conic equilibration (`scaling_qcp_data`, `qcp_config.c:91-491`).
+
+    Column scalings are computed from BOTH A and Q (elementwise max), tied
+    to a common value within each SOC/RSOC block (so cone geometry is
+    preserved), then applied as A <- A E^-1 D^-1-rows, Q <- E^-1 Q E^-1.
+    Order matches the reference: ruiz (10 iters) -> origin -> pc, followed
+    by b/c scaling with sc = (||b||^2+||c||^2)^(1/4) of the ORIGINAL data.
+    """
+    m, n = A.shape
+    dtype = A.dtype
+    D_hat = jnp.ones((m,), dtype)
+    E_hat = jnp.ones((n,), dtype)
+
+    # sc from the un-equilibrated b, c (`qcp_config.c:462-463`)
+    sc = jnp.sqrt(jnp.sqrt(jnp.sum(c * c) + jnp.sum(b * b)))
+    sc = jnp.where(sc < MIN_SCALE, 1.0, jnp.minimum(sc, MAX_SCALE))
+    sc_b = 1.0 / sc
+    sc_c = 1.0 / sc
+
+    def col_metric(A, Q, kind):
+        if kind == "inf":
+            e1 = jnp.sqrt(jnp.max(jnp.abs(A), axis=0))
+            e2 = jnp.sqrt(jnp.max(jnp.abs(Q), axis=0)) if Q is not None else 0.0
+        elif kind == "l2":
+            e1 = jnp.sqrt(jnp.linalg.norm(A, axis=0))
+            e2 = jnp.sqrt(jnp.linalg.norm(Q, axis=0)) if Q is not None else 0.0
+        else:  # l1
+            e1 = jnp.sqrt(jnp.sum(jnp.abs(A), axis=0))
+            e2 = jnp.sqrt(jnp.sum(jnp.abs(Q), axis=0)) if Q is not None else 0.0
+        return jnp.maximum(e1, e2) if Q is not None else e1
+
+    def row_metric(A, kind):
+        if kind == "inf":
+            return jnp.sqrt(jnp.max(jnp.abs(A), axis=1))
+        if kind == "l2":
+            return jnp.sqrt(jnp.sqrt(jnp.sum(A * A, axis=1)))
+        return jnp.sqrt(jnp.sum(jnp.abs(A), axis=1))
+
+    def one_pass(A, Q, D_hat, E_hat, kind):
+        E = col_metric(A, Q, kind)
+        E = layout.segment_mean_tie(E)
+        E = _clip_keep(E, m)
+        D = row_metric(A, kind)
+        D = _clip_keep(D, n)
+        A = A / E[None, :] / D[:, None]
+        if Q is not None:
+            Q = Q / E[None, :] / E[:, None]
+        return A, Q, D_hat * D, E_hat * E
+
+    if settings.pc_ruiz_rescale:  # ruiz_scaling in the conic reference
+        for _ in range(settings.ruiz_iter):
+            A, Q, D_hat, E_hat = one_pass(A, Q, D_hat, E_hat, "inf")
+    if settings.origin_rescale:
+        A, Q, D_hat, E_hat = one_pass(A, Q, D_hat, E_hat, "l2")
+    if settings.qp_rescale:  # pc_scaling slot in the conic reference
+        A, Q, D_hat, E_hat = one_pass(A, Q, D_hat, E_hat, "l1")
+
+    b = b / D_hat * (sc_b * settings.scale)
+    c = c / E_hat * (sc_c * settings.scale)
+    return A, Q, b, c, ConicScalingData(D=D_hat, E=E_hat, sc_b=sc_b, sc_c=sc_c)
+
+
 def equilibrate(A: jnp.ndarray, settings) -> tuple[jnp.ndarray, ScalingData]:
     """Full pipeline (`common.c:150-565`): pc -> origin -> ruiz -> qp.
 
