@@ -30,32 +30,11 @@ from .linsys import make_solver
 from .scaling import equilibrate, ScalingData
 from .settings import Settings, Status
 from . import schedules
+from . import hsd
+from .hsd import LPResiduals as Residuals
 
-EPS_TOL = 1e-18
+EPS_TOL = hsd.EPS_TOL
 INDETERMINATE_TOL = 1e-9
-
-
-def _safediv_pos(x, y):
-    """SAFEDIV_POS from `glbopts.h:157-158`."""
-    return jnp.where(y < EPS_TOL, x / EPS_TOL, x / y)
-
-
-class Residuals(NamedTuple):
-    res_pri: jnp.ndarray
-    res_dual: jnp.ndarray
-    rel_gap: jnp.ndarray
-    res_infeas: jnp.ndarray
-    res_unbdd: jnp.ndarray
-    tau: jnp.ndarray
-    kap: jnp.ndarray
-    bt_y_by_tau: jnp.ndarray
-    ct_x_by_tau: jnp.ndarray
-
-    @staticmethod
-    def init(dtype):
-        z = jnp.zeros((), dtype)
-        nan = jnp.full((), jnp.nan, dtype)
-        return Residuals(nan, nan, nan, nan, nan, z, z, z, z)
 
 
 class InnerState(NamedTuple):
@@ -195,116 +174,31 @@ class LPWorkspace:
         dr_scale = (E / (sc_c * scale)) if normalize else jnp.ones((n,), dtype)
         obj_scale = (scale * sc_c * sc_b) if normalize else jnp.ones((), dtype)
 
-        def project_lin_sys(u, v, k):
-            """u_t = (I+Q)^-1 (u+v) via cached factor + rank-1 tau correction
-            (`abip.c:539-562`)."""
-            r = u + v
-            q = jnp.concatenate([rho_y * r[:m], r[m : m + n]])
-            r_tau = r[l - 1]
-            q = q - r_tau * h
-            q = q - (jnp.dot(q, g) / (g_th + 1.0)) * h
-            z_y, z_x, its = solver.solve(q[:m], -q[m:], iter_count=k,
-                                         warm_start=u[:m])
-            z = jnp.concatenate([z_y, z_x])
-            tau_t = r_tau + jnp.dot(z, h)
-            return jnp.concatenate([z, tau_t[None]]), its
-
-        def barrier_prox(t, lam):
-            """Closed-form prox of -lam*sum(log): t/2 + sqrt(t^2/4 + lam)
-            (`abip.c:717-748`), with the numerically-stable negative branch
-            of `cones.c:279-289`."""
-            pos = 0.5 * (t + jnp.sqrt(t * t + 4.0 * lam))
-            # for very negative t the subtraction cancels; use conjugate form
-            neg = 2.0 * lam / (-t * (1.0 + jnp.sqrt(1.0 + 4.0 * lam / (t * t + EPS_TOL))))
-            return jnp.where(t >= 0, pos, neg)
-
-        def admm_update(u, v, u_prev, u_t, lam):
-            """project_barrier (`abip.c:717-748`) + update_dual_vars (`:567-584`)."""
-            head = u_t[:m] - v[:m]
-            t = alpha * u_t[m:] + (1 - alpha) * u_prev[m:] - v[m:]
-            tail = barrier_prox(t, lam)
-            u_new = jnp.concatenate([head, tail])
-            v_new = v.at[m:].add(u_new[m:] - alpha * u_t[m:] - (1 - alpha) * u_prev[m:])
-            return u_new, v_new
-
-        def admm_update_half(u, v, u_prev, u_t, lam):
-            """half_update variant (`abip.c:663-711`)."""
-            v_half = v + 0.5 * (u - u_t)
-            w = u_t - v_half
-            tail = barrier_prox(w[m:], lam)
-            u_new = jnp.concatenate([w[:m], tail])
-            v_new = v_half + (u_new - u_t)
-            return u_new, v_new
+        def solve_fn(w_y, w_x, k, warm):
+            return solver.solve(w_y, w_x, iter_count=k, warm_start=warm)
 
         def q_norm_resd(u, v):
-            """HSD operator residual for one iterate (`abip.c:1951-1996`)."""
-            y, x, tau = u[:m], u[m : m + n], u[l - 1]
-            s, kap = v[m : m + n], v[l - 1]
-            Ax = A_op.matvec(x)
-            ATy_s = A_op.rmatvec(y) + s
-            q1 = Ax - b * tau
-            q2 = ATy_s - c * tau
-            q3 = jnp.dot(y, b) - jnp.dot(x, c) - kap
-            qres = jnp.sum(q1 * q1) + jnp.sum(q2 * q2) + q3 * q3
-            norm = 1.0 + jnp.sqrt(jnp.sum(u * u) + jnp.sum(v * v))
-            return jnp.sqrt(qres) / norm
+            return hsd.q_norm_resd(u, v, A_op.matvec, A_op.rmatvec, b, c, m, n)
 
         def calc_residuals(u, v):
-            """`calc_residuals` (`abip.c:458-535`) on a chosen iterate."""
-            y, x, tau_raw = u[:m], u[m : m + n], u[l - 1]
-            s = v[m : m + n]
-            tau = jnp.abs(tau_raw)
-            kap = jnp.abs(v[l - 1]) / obj_scale
-
-            pr = A_op.matvec(x)
-            nm_A_x = jnp.linalg.norm(pr * pr_scale)
-            pres = jnp.linalg.norm((pr - b * tau) * pr_scale)
-
-            dr = A_op.rmatvec(y) + s
-            nm_At_ys = jnp.linalg.norm(dr * dr_scale)
-            dres = jnp.linalg.norm((dr - c * tau) * dr_scale)
-
-            bty = jnp.dot(y, b) / obj_scale
-            ctx = jnp.dot(x, c) / obj_scale
-            nan = jnp.full((), jnp.nan, dtype)
-            res_infeas = jnp.where(bty > 0, nm_b * nm_At_ys / jnp.where(bty > 0, bty, 1.0), nan)
-            res_unbdd = jnp.where(ctx < 0, nm_c * nm_A_x / jnp.where(ctx < 0, -ctx, 1.0), nan)
-
-            bt_y = _safediv_pos(bty, tau)
-            ct_x = _safediv_pos(ctx, tau)
-            return Residuals(
-                res_pri=_safediv_pos(pres / (1 + nm_b), tau),
-                res_dual=_safediv_pos(dres / (1 + nm_c), tau),
-                rel_gap=jnp.abs(ct_x - bt_y) / (1 + jnp.abs(ct_x) + jnp.abs(bt_y)),
-                res_infeas=res_infeas,
-                res_unbdd=res_unbdd,
-                tau=tau,
-                kap=kap,
-                bt_y_by_tau=bty,
-                ct_x_by_tau=ctx,
-            )
+            return hsd.lp_residuals(u, v, A_op.matvec, A_op.rmatvec, b, c,
+                                    pr_scale, dr_scale, obj_scale, nm_b, nm_c,
+                                    m, n)
 
         def has_converged(r: Residuals, k, total_iters_pos):
-            """`has_converged` (`abip.c:1613-1641`).  NaN compares false."""
-            eps = stgs.eps
-            solved = (r.res_pri < eps) & ((r.res_dual < eps) | stgs.pfeasopt) & (r.rel_gap < eps)
-            unbdd = (r.res_unbdd < eps) & total_iters_pos
-            infeas = (r.res_infeas < eps) & total_iters_pos
-            return jnp.where(
-                solved,
-                Status.SOLVED,
-                jnp.where(unbdd, Status.UNBOUNDED, jnp.where(infeas, Status.INFEASIBLE, 0)),
-            ).astype(jnp.int32)
+            return hsd.lp_converged_code(r, stgs.eps, stgs.pfeasopt,
+                                         total_iters_pos)
 
         def inner_body(state: InnerState, mu, beta, gamma, final_check, ipm_i):
             u_prev = state.u
-            v_prev = state.v
-            u_t, its = project_lin_sys(state.u, state.v, state.k)
+            u_t, its = hsd.project_lin_sys(state.u, state.v, h, g, g_th,
+                                           rho_y, solve_fn, state.k, m, n)
             lam = mu / beta
             if stgs.half_update:
-                u, v = admm_update_half(state.u, state.v, u_prev, u_t, lam)
+                u, v = hsd.admm_update_half(state.u, state.v, u_t, lam, m)
             else:
-                u, v = admm_update(state.u, state.v, u_prev, u_t, lam)
+                u, v = hsd.admm_update(state.u, state.v, u_prev, u_t, lam,
+                                       alpha, m)
 
             # restart (`abip.c:587-630`): accumulate, then average every
             # restart_fre iterations once past restart_thresh.
@@ -391,7 +285,12 @@ class LPWorkspace:
         self._run_inner = jax.jit(run_inner)
         self._calc_residuals = jax.jit(calc_residuals)
         self._q_norm = jax.jit(q_norm_resd)
-        self.project_lin_sys = project_lin_sys  # exposed for adaptive/tests
+        # exposed for adaptive/tests
+        self.project_lin_sys = jax.jit(
+            lambda u, v, k: hsd.project_lin_sys(
+                u, v, h, g, g_th, rho_y, solve_fn, k, m, n
+            )
+        )
 
     # ------------------------------------------------------------------ #
     # host-side driver                                                   #
@@ -541,10 +440,7 @@ class LPWorkspace:
         sig = jnp.asarray(sigma, self.dtype)
 
         def reb(u, v):
-            cond = u[m:] > v[m:]
-            v_new = v.at[m:].set(jnp.where(cond, sig * v[m:], v[m:]))
-            u_new = u.at[m:].set(jnp.where(cond, u[m:], sig * u[m:]))
-            return u_new, v_new
+            return hsd.reinit_rebalance(u, v, sig, m)
 
         if bool(state.avg_criterion):
             u, v = reb(state.u_avgcon, state.v_avgcon)

@@ -1,0 +1,23 @@
+"""Parallel execution layer: batched (vmap) and sharded (shard_map) solves.
+
+The reference is a single-process CPU solver (SURVEY.md section 2.5); its
+only scale-out is running benchmark instances as separate processes.  On
+TPU these become first-class:
+
+  * `batched`: a fully-on-device LP solver (outer IPM loop included) that
+    `vmap`s over stacked instances -- a whole benchmark suite as one XLA
+    program, instances masked as they converge.  The batch axis shards over
+    the mesh with `pjit` for multi-chip suite runs.
+  * `sharded`: block-row sharding of A across a mesh axis with
+    `shard_map`; SpMV partials and CG/residual reductions ride `psum` over
+    ICI (SURVEY.md section 3.4's "would-be distributed boundary").
+"""
+from .batched import device_solve_lp, solve_lp_batch
+from .sharded import sharded_normal_matvec, sharded_pcg
+
+__all__ = [
+    "device_solve_lp",
+    "solve_lp_batch",
+    "sharded_normal_matvec",
+    "sharded_pcg",
+]

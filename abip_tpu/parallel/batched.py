@@ -1,0 +1,261 @@
+"""Fully-on-device LP solver for batched suite runs.
+
+The host-driven solver (`lp.py`) syncs once per barrier stage to run the
+mu-schedule tables -- the right trade for one instance.  For a SUITE of
+instances (the reference's benchmark mode, run as separate processes,
+`scripts/bench-lp/run_all_abip.sh`), the TPU-first design is one XLA
+program: outer IPM loop AND inner ADMM loop as nested `lax.while_loop`s,
+`vmap`ped over stacked instances with per-instance convergence masking
+(SURVEY.md section 5.7).  The mu rule is the default hybrid
+aggressive->LOQO pair (`abip.c:2251-2277`), which is pure jnp -- the
+tabulated "tedious" schedule stays a host-side luxury.
+
+Everything reuses the shared step math in `abip_tpu.hsd`.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import hsd
+from ..scaling import equilibrate
+from ..settings import Settings
+
+
+class DeviceSolveResult(NamedTuple):
+    x: jnp.ndarray
+    y: jnp.ndarray
+    s: jnp.ndarray
+    status: jnp.ndarray        # int32: 1 solved, -1 unbounded, -2 infeasible, 0 unfinished
+    ipm_iters: jnp.ndarray
+    admm_iters: jnp.ndarray
+    res_pri: jnp.ndarray
+    res_dual: jnp.ndarray
+    rel_gap: jnp.ndarray
+    pobj: jnp.ndarray
+    dobj: jnp.ndarray
+
+
+@partial(jax.jit, static_argnames=("eps", "max_ipm", "max_admm", "alpha",
+                                   "rho_y", "normalize", "scale", "ruiz_iter",
+                                   "hybrid_thresh", "dynamic_x", "dynamic_eta",
+                                   "shrink_second", "gamma0", "sigma0"))
+def device_solve_lp(A, b, c, *, eps=1e-6, max_ipm=200, max_admm=200_000,
+                    alpha=1.8, rho_y=1e-3, normalize=True, scale=1.0,
+                    ruiz_iter=10, hybrid_thresh=1000.0, dynamic_x=0.8,
+                    dynamic_eta=1.1, shrink_second=0.5, gamma0=2.0,
+                    sigma0=0.3) -> DeviceSolveResult:
+    """Solve one standard-form LP entirely on device.  vmap-able."""
+    dtype = A.dtype
+    m, n = A.shape
+    l = m + n + 1
+
+    # -- setup (equilibration + b/c normalization + cached factor) ----------
+    nm_b0 = jnp.linalg.norm(b)
+    nm_c0 = jnp.linalg.norm(c)
+    if normalize:
+        stg = Settings(pc_ruiz_rescale=True, origin_rescale=False,
+                       qp_rescale=False, ruiz_iter=ruiz_iter, scale=scale)
+        A_s, scal = equilibrate(A, stg)
+        c_s = c / scal.E
+        sc_c = scal.mean_norm_row / jnp.maximum(jnp.linalg.norm(c_s), 1e-3)
+        b_s = b / scal.D
+        sc_b = scal.mean_norm_col / jnp.maximum(jnp.linalg.norm(b_s), 1e-3)
+        c_s = c_s * sc_c * scale
+        b_s = b_s * sc_b * scale
+        D, E = scal.D, scal.E
+    else:
+        A_s, b_s, c_s = A, b, c
+        D = jnp.ones((m,), dtype)
+        E = jnp.ones((n,), dtype)
+        sc_b = jnp.ones((), dtype)
+        sc_c = jnp.ones((), dtype)
+
+    pr_scale = D / (sc_b * scale)
+    dr_scale = E / (sc_c * scale)
+    obj_scale = scale * sc_c * sc_b
+
+    N = rho_y * jnp.eye(m, dtype=dtype) + A_s @ A_s.T
+    chol = jax.lax.linalg.cholesky(N)
+
+    def solve_fn(w_y, w_x, k, warm):
+        rhs = w_y + A_s @ w_x
+        z_y = jax.scipy.linalg.cho_solve((chol, True), rhs)
+        z_x = A_s.T @ z_y - w_x
+        return z_y, z_x, jnp.zeros((), jnp.int32)
+
+    matvec = lambda x: A_s @ x
+    rmatvec = lambda y: A_s.T @ y
+
+    h = jnp.concatenate([-b_s, c_s])
+    g_y, g_x, _ = solve_fn(h[:m], h[m:], -1, None)
+    g = jnp.concatenate([g_y, -g_x])
+    g_th = jnp.dot(h, g)
+
+    def residuals(u, v):
+        return hsd.lp_residuals(u, v, matvec, rmatvec, b_s, c_s, pr_scale,
+                                dr_scale, obj_scale, nm_b0, nm_c0, m, n)
+
+    # -- state --------------------------------------------------------------
+    val = jnp.sqrt(jnp.asarray(1.0, dtype))
+    u0 = jnp.concatenate([jnp.zeros((m,), dtype), jnp.full((l - m,), val, dtype)])
+
+    class C(NamedTuple):
+        u: jnp.ndarray
+        v: jnp.ndarray
+        mu: jnp.ndarray
+        i: jnp.ndarray
+        k: jnp.ndarray
+        final_check: jnp.ndarray
+        status: jnp.ndarray
+        res: hsd.LPResiduals
+
+    def inner(carry: C):
+        """One barrier stage: inner ADMM while_loop (`abip.c:2131-2215`),
+        including the cumulative-average candidate and its criterion
+        (`compute_avg` `:635-659`, `iterate_Q_norm_resd` `:1999-2050`)."""
+        mu = carry.mu
+
+        class IC(NamedTuple):
+            u: jnp.ndarray
+            v: jnp.ndarray
+            u_sum: jnp.ndarray
+            v_sum: jnp.ndarray
+            u_avg: jnp.ndarray
+            v_avg: jnp.ndarray
+            avg_crit: jnp.ndarray
+            j: jnp.ndarray
+            k: jnp.ndarray
+            qres: jnp.ndarray
+            status: jnp.ndarray
+            res: hsd.LPResiduals
+
+        def cond(s: IC):
+            return (
+                (s.qres >= gamma0 * mu)
+                & (s.status == 0)
+                & (s.k < max_admm)
+            )
+
+        def body(s: IC):
+            u_t, _ = hsd.project_lin_sys(s.u, s.v, h, g, g_th, rho_y,
+                                         solve_fn, s.k, m, n)
+            u, v = hsd.admm_update(s.u, s.v, s.u, u_t, mu, alpha, m)
+
+            u_sum = s.u_sum + u
+            v_sum = s.v_sum + v
+            dom = (s.j + 1).astype(u.dtype)
+            u_avg = u_sum / dom
+            v_avg = v_sum / dom
+
+            q_cur = hsd.q_norm_resd(u, v, matvec, rmatvec, b_s, c_s, m, n)
+
+            def with_avg(_):
+                q_avg = hsd.q_norm_resd(u_avg, v_avg, matvec, rmatvec,
+                                        b_s, c_s, m, n)
+                better = q_avg < q_cur
+                return jnp.where(better, q_avg, q_cur), better
+
+            def without_avg(_):
+                return q_cur, jnp.zeros((), bool)
+
+            qres, avg_crit = jax.lax.cond(
+                (s.j + 1) % 10 == 0, with_avg, without_avg, None
+            )
+
+            u_sel = jnp.where(avg_crit, u_avg, u)
+            v_sel = jnp.where(avg_crit, v_avg, v)
+
+            def check(_):
+                r = residuals(u_sel, v_sel)
+                st = hsd.lp_converged_code(r, eps, False,
+                                           (carry.i > 0) & (s.k > 0))
+                return r, st
+
+            def no_check(_):
+                return s.res, jnp.zeros((), jnp.int32)
+
+            r, st = jax.lax.cond(carry.final_check, check, no_check, None)
+            return IC(u=u, v=v, u_sum=u_sum, v_sum=v_sum,
+                      u_avg=u_avg, v_avg=v_avg, avg_crit=avg_crit,
+                      j=s.j + 1, k=s.k + 1, qres=qres, status=st, res=r)
+
+        z = jnp.zeros((l,), dtype)
+        init = IC(u=carry.u, v=carry.v, u_sum=z, v_sum=z,
+                  u_avg=carry.u, v_avg=carry.v,
+                  avg_crit=jnp.zeros((), bool),
+                  j=jnp.zeros((), jnp.int32),
+                  k=carry.k, qres=jnp.full((), jnp.inf, dtype),
+                  status=jnp.zeros((), jnp.int32), res=carry.res)
+        return jax.lax.while_loop(cond, body, init)
+
+    def outer_body(carry: C):
+        s = inner(carry)
+        # adopt the averaged iterate when it is the better candidate
+        # (`abip.c:2125-2129`)
+        u_sel = jnp.where(s.avg_crit, s.u_avg, s.u)
+        v_sel = jnp.where(s.avg_crit, s.v_avg, s.v)
+        r = residuals(u_sel, v_sel)
+        status = jnp.where(
+            s.status != 0,
+            s.status,
+            hsd.lp_converged_code(r, eps, False, (carry.i > 0) & (s.k > 0)),
+        )
+        final_check = carry.final_check | (carry.mu < eps)
+        mu = hsd.mu_update_hybrid(carry.mu, u_sel, v_sel, m, eps,
+                                  hybrid_thresh, dynamic_x, dynamic_eta,
+                                  shrink_second)
+        u, v = hsd.reinit_rebalance(u_sel, v_sel, sigma0, m)
+        # freeze the iterate once finished so vmapped lanes idle cleanly
+        done = status != 0
+        u = jnp.where(done, u_sel, u)
+        v = jnp.where(done, v_sel, v)
+        mu = jnp.where(done, carry.mu, mu)
+        return C(u=u, v=v, mu=mu, i=carry.i + 1, k=s.k,
+                 final_check=final_check, status=status, res=r)
+
+    def outer_cond(carry: C):
+        return (carry.status == 0) & (carry.i < max_ipm) & (carry.k < max_admm)
+
+    init = C(u=u0, v=u0, mu=jnp.ones((), dtype),
+             i=jnp.zeros((), jnp.int32), k=jnp.zeros((), jnp.int32),
+             final_check=jnp.zeros((), bool),
+             status=jnp.zeros((), jnp.int32),
+             res=hsd.LPResiduals.init(dtype))
+    fin = jax.lax.while_loop(outer_cond, outer_body, init)
+
+    # -- extract + un-normalize (`get_solution`, `abip.c:1344-1414`) --------
+    r = fin.res
+    tau = jnp.maximum(r.tau, hsd.EPS_TOL)
+    x = fin.u[m : m + n] / tau / (E * sc_b)
+    y = fin.u[:m] / tau / (D * sc_c)
+    s_ = fin.v[m : m + n] / tau * E / (sc_c * scale)
+    return DeviceSolveResult(
+        x=x, y=y, s=s_, status=fin.status,
+        ipm_iters=fin.i, admm_iters=fin.k,
+        res_pri=r.res_pri, res_dual=r.res_dual, rel_gap=r.rel_gap,
+        pobj=r.ct_x_by_tau / tau, dobj=r.bt_y_by_tau / tau,
+    )
+
+
+def solve_lp_batch(As, bs, cs, mesh=None, **kw) -> DeviceSolveResult:
+    """Solve a stacked batch of same-shape LPs, one XLA program.
+
+    As: (B, m, n); bs: (B, m); cs: (B, n).  With `mesh` given (a 1-D
+    `jax.sharding.Mesh` over axis 'batch'), instances shard across devices.
+    """
+    fn = jax.vmap(lambda A, b, c: device_solve_lp(A, b, c, **kw))
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        sh = NamedSharding(mesh, P("batch"))
+        As = jax.device_put(As, sh)
+        bs = jax.device_put(bs, sh)
+        cs = jax.device_put(cs, sh)
+        fn = jax.jit(fn, in_shardings=(sh, sh, sh))
+    return fn(As, bs, cs)

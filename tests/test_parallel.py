@@ -1,0 +1,94 @@
+"""Tests for the batched (vmap) and sharded (shard_map) execution paths.
+
+Runs on the 8-virtual-device CPU mesh set up by conftest (SURVEY.md
+section 4's simulated-mesh strategy).
+"""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh
+from scipy.optimize import linprog
+
+import abip_tpu
+from abip_tpu.parallel.batched import device_solve_lp, solve_lp_batch
+from abip_tpu.parallel.sharded import make_sharded_kkt_solver
+from tests.conftest import random_lp
+
+
+def _batch(rng, B, m, n):
+    As = np.zeros((B, m, n))
+    bs = np.zeros((B, m))
+    cs = np.zeros((B, n))
+    refs = []
+    for i in range(B):
+        A, b, c = random_lp(rng, m, n)
+        As[i], bs[i], cs[i] = A, b, c
+        refs.append(linprog(c, A_eq=A, b_eq=b, bounds=(0, None), method="highs").fun)
+    return As, bs, cs, np.array(refs)
+
+
+def test_device_solve_matches_host(rng):
+    A, b, c = random_lp(rng, 12, 40)
+    ref = linprog(c, A_eq=A, b_eq=b, bounds=(0, None), method="highs").fun
+    res = device_solve_lp(jnp.asarray(A), jnp.asarray(b), jnp.asarray(c), eps=1e-6)
+    assert int(res.status) == 1
+    assert float(res.pobj) == pytest.approx(ref, abs=1e-4 * (1 + abs(ref)))
+
+
+def test_batch_vmap(rng):
+    As, bs, cs, refs = _batch(rng, 4, 10, 30)
+    res = solve_lp_batch(jnp.asarray(As), jnp.asarray(bs), jnp.asarray(cs), eps=1e-6)
+    assert (np.asarray(res.status) == 1).all()
+    np.testing.assert_allclose(np.asarray(res.pobj), refs,
+                               atol=1e-3 * (1 + np.abs(refs).max()))
+
+
+def test_batch_sharded_over_mesh(rng):
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multiple devices")
+    mesh = Mesh(np.array(jax.devices()), ("batch",))
+    B = len(jax.devices())
+    As, bs, cs, refs = _batch(rng, B, 10, 30)
+    res = solve_lp_batch(jnp.asarray(As), jnp.asarray(bs), jnp.asarray(cs),
+                         mesh=mesh, eps=1e-5)
+    assert (np.asarray(res.status) == 1).all()
+    np.testing.assert_allclose(np.asarray(res.pobj), refs,
+                               atol=1e-2 * (1 + np.abs(refs).max()))
+
+
+def test_sharded_kkt_solver_matches_dense(rng):
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multiple devices")
+    mesh = Mesh(np.array(jax.devices()), ("rows",))
+    ndev = len(jax.devices())
+    m, n = 8 * ndev, 200
+    A = rng.standard_normal((m, n))
+    rho_y = 1e-3
+    solve = make_sharded_kkt_solver(jnp.asarray(A), rho_y, mesh,
+                                    tol=1e-11, max_iters=1000)
+    w_y = rng.standard_normal(m)
+    w_x = rng.standard_normal(n)
+    z_y, z_x, iters = solve(jnp.asarray(w_y), jnp.asarray(w_x))
+    K = np.block([[rho_y * np.eye(m), A], [A.T, -np.eye(n)]])
+    z = np.linalg.solve(K, np.concatenate([w_y, w_x]))
+    np.testing.assert_allclose(np.asarray(z_y), z[:m], atol=1e-7)
+    np.testing.assert_allclose(np.asarray(z_x), z[m:], atol=1e-7)
+
+
+def test_sharded_rejects_bad_row_count(rng):
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multiple devices")
+    mesh = Mesh(np.array(jax.devices()), ("rows",))
+    A = rng.standard_normal((len(jax.devices()) * 4 + 1, 20))
+    with pytest.raises(ValueError, match="must divide"):
+        make_sharded_kkt_solver(jnp.asarray(A), 1e-3, mesh)
+
+
+def test_graft_entry_contract():
+    import __graft_entry__ as ge
+
+    fn, args = ge.entry()
+    out = jax.jit(fn)(*args)
+    jax.block_until_ready(out)
+    ge.dryrun_multichip(min(8, len(jax.devices())))
