@@ -1,0 +1,9 @@
+"""Problem IO: MPS reading and presolve to standard form.
+
+Replaces the reference's MATLAB front end (`mpsread` +
+`scripts/bench-lp/preprocess.m`) with a pure-Python pipeline.
+"""
+from .mps import read_mps, GeneralLP
+from .presolve import presolve_to_standard, StandardFormLP
+
+__all__ = ["read_mps", "GeneralLP", "presolve_to_standard", "StandardFormLP"]

