@@ -285,6 +285,15 @@ class LPWorkspace:
         self._run_inner = jax.jit(run_inner)
         self._calc_residuals = jax.jit(calc_residuals)
         self._q_norm = jax.jit(q_norm_resd)
+
+        from .adaptive import bb_update_beta
+
+        self._bb_beta = jax.jit(
+            lambda u, v, mu: bb_update_beta(
+                u, v, mu, h, g, g_th, rho_y, alpha, solve_fn, m, n,
+                stgs.adaptive_lookback, stgs.eps_cor, stgs.eps_pen,
+            )
+        )
         # exposed for adaptive/tests
         self.project_lin_sys = jax.jit(
             lambda u, v, k: hsd.project_lin_sys(
@@ -304,6 +313,37 @@ class LPWorkspace:
             jnp.full((l - m,), val, self.dtype),
         ])
         return u, u
+
+    def _warm_start(self, warm, mu, beta):
+        """Seed u, v from a caller-provided (x, y, s) in original units.
+
+        Intended semantics of `warm_start_vars` + `normalize_warm_start`
+        (`abip.c:307-357`, `normalize.c:100-128`).  NOTE: the reference's
+        own validation loop (`abip.c:326-349`) overwrites the entire warm
+        start with the cold-start value -- a bug we do not replicate;
+        here the barrier coordinates are floored at sqrt(mu/beta)*1e-3 to
+        stay safely interior instead.
+        """
+        x, y, s = (np.asarray(a, float) for a in warm)
+        m, n, l = self.m, self.n, self.l
+        if x.shape != (n,) or y.shape != (m,) or s.shape != (n,):
+            raise ValueError("warm start must be (x (n,), y (m,), s (n,))")
+        D = np.asarray(self.scal.D)
+        E = np.asarray(self.scal.E)
+        sc_b = float(self.sc_b)
+        sc_c = float(self.sc_c)
+        x_s = x * (E * sc_b)
+        y_s = y * (D * sc_c)
+        s_s = s / (E / (sc_c * self.stgs.scale))
+        floor = np.sqrt(mu / beta) * 1e-3
+        u = jnp.asarray(
+            np.concatenate([y_s, np.maximum(x_s, floor), [1.0]]), self.dtype
+        )
+        v = jnp.asarray(
+            np.concatenate([np.zeros(m), np.maximum(s_s, floor), [floor]]),
+            self.dtype,
+        )
+        return u, v
 
     def _init_inner_state(self, u, v):
         l = self.l
@@ -340,7 +380,10 @@ class LPWorkspace:
         double_check = False
         dynamic_sigma = stgs.dynamic_sigma
 
-        u, v = self._cold_start(mu, beta)
+        if warm is not None:
+            u, v = self._warm_start(warm, mu, beta)
+        else:
+            u, v = self._cold_start(mu, beta)
         state = self._init_inner_state(u, v)
 
         status = Status.UNFINISHED
@@ -429,6 +472,17 @@ class LPWorkspace:
             # reinitialize for next stage (`abip.c:996-1075`, indx=0)
             state = self._reinit(state, sigma)
 
+            # adaptive penalty via BB spectral trials (`abip.c:2281-2293`):
+            # sandwich the search between sqrt(sigma) re-scalings (indx=1/2)
+            if stgs.adaptive:
+                state = self._reinit_scale(state, np.sqrt(sigma))
+                beta = 1.0
+                u_a = state.u_avgcon if bool(state.avg_criterion) else state.u
+                v_a = state.v_avgcon if bool(state.avg_criterion) else state.v
+                beta = float(self._bb_beta(u_a, v_a,
+                                           jnp.asarray(mu, self.dtype)))
+                state = self._reinit_scale(state, np.sqrt(1.0 / sigma))
+
         solve_time = time.perf_counter() - t0
         return self._extract_solution(
             state, res_np, status, ipm_iter, admm_total, solve_time
@@ -446,6 +500,21 @@ class LPWorkspace:
             u, v = reb(state.u_avgcon, state.v_avgcon)
             return state._replace(u_avgcon=u, v_avgcon=v)
         u, v = reb(state.u, state.v)
+        return state._replace(u=u, v=v)
+
+    def _reinit_scale(self, state: InnerState, factor):
+        """`reinitialize_vars` modes 1/2 (`abip.c:1057-1072`): scale the
+        barrier coordinates of the active iterate by `factor`."""
+        m = self.m
+        f = jnp.asarray(factor, self.dtype)
+
+        def scl(u, v):
+            return u.at[m:].multiply(f), v.at[m:].multiply(f)
+
+        if bool(state.avg_criterion):
+            u, v = scl(state.u_avgcon, state.v_avgcon)
+            return state._replace(u_avgcon=u, v_avgcon=v)
+        u, v = scl(state.u, state.v)
         return state._replace(u=u, v=v)
 
     def _extract_solution(self, state, res_np, status, ipm_iter, admm_total,
