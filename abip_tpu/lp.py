@@ -361,9 +361,17 @@ class LPWorkspace:
         )
 
     def solve(self, warm=None) -> LPSolution:
+        from .utils import IterationLog, PhaseTimers, solver_banner
+
         stgs = self.stgs
         m, n, l = self.m, self.n, self.l
         t0 = time.perf_counter()
+        log = IterationLog(enabled=stgs.verbose)
+        timers = PhaseTimers()
+        self._timers = timers
+        if stgs.verbose:
+            print(solver_banner("LP", m, n, self.A_op.nnz,
+                                type(self.solver).__name__))
 
         # `update_work` (`abip.c:1843-1927`): sigma/gamma by sparsity
         sp_hi = max(self.sp, stgs.sparsity_ratio)
@@ -415,16 +423,18 @@ class LPWorkspace:
                 status=jnp.zeros((), jnp.int32),
             )
 
-            state = self._run_inner(
-                state,
-                jnp.asarray(mu, self.dtype),
-                jnp.asarray(beta, self.dtype),
-                jnp.asarray(gamma, self.dtype),
-                jnp.asarray(inner_stopper, jnp.int32),
-                jnp.asarray(final_check, bool),
-                jnp.asarray(i, jnp.int32),
-                jnp.asarray(max_admm, jnp.int32),
-            )
+            with timers.phase("inner_admm"):
+                state = self._run_inner(
+                    state,
+                    jnp.asarray(mu, self.dtype),
+                    jnp.asarray(beta, self.dtype),
+                    jnp.asarray(gamma, self.dtype),
+                    jnp.asarray(inner_stopper, jnp.int32),
+                    jnp.asarray(final_check, bool),
+                    jnp.asarray(i, jnp.int32),
+                    jnp.asarray(max_admm, jnp.int32),
+                )
+                jax.block_until_ready(state.u)
             admm_total = int(state.k)
             inner_status = int(state.status)
             if inner_status != 0:
@@ -443,16 +453,14 @@ class LPWorkspace:
             avg_crit = bool(state.avg_criterion)
             u_sel = state.u_avgcon if avg_crit else state.u
             v_sel = state.v_avgcon if avg_crit else state.v
-            r = self._calc_residuals(u_sel, v_sel)
-            res_np = jax.tree.map(float, r)._asdict()
+            with timers.phase("residuals"):
+                r = self._calc_residuals(u_sel, v_sel)
+                res_np = jax.tree.map(float, r)._asdict()
             state = state._replace(res=r)
 
-            if stgs.verbose:
-                print(
-                    f"ipm {i:4d} admm {admm_total:7d} mu {mu:9.2e} "
-                    f"pres {res_np['res_pri']:9.2e} dres {res_np['res_dual']:9.2e} "
-                    f"gap {res_np['rel_gap']:9.2e} tau {res_np['tau']:9.2e}"
-                )
+            pobj = res_np["ct_x_by_tau"] / max(res_np["tau"], EPS_TOL)
+            dobj = res_np["bt_y_by_tau"] / max(res_np["tau"], EPS_TOL)
+            log.row(i, admm_total, mu, res_np, pobj, dobj)
 
             status = schedules.check_converged(res_np, stgs, i, admm_total)
             if status != 0 or admm_total + 1 >= max_admm:
@@ -475,18 +483,28 @@ class LPWorkspace:
             # adaptive penalty via BB spectral trials (`abip.c:2281-2293`):
             # sandwich the search between sqrt(sigma) re-scalings (indx=1/2)
             if stgs.adaptive:
-                state = self._reinit_scale(state, np.sqrt(sigma))
-                beta = 1.0
-                u_a = state.u_avgcon if bool(state.avg_criterion) else state.u
-                v_a = state.v_avgcon if bool(state.avg_criterion) else state.v
-                beta = float(self._bb_beta(u_a, v_a,
-                                           jnp.asarray(mu, self.dtype)))
-                state = self._reinit_scale(state, np.sqrt(1.0 / sigma))
+                with timers.phase("adaptive_bb"):
+                    state = self._reinit_scale(state, np.sqrt(sigma))
+                    beta = 1.0
+                    u_a = state.u_avgcon if bool(state.avg_criterion) else state.u
+                    v_a = state.v_avgcon if bool(state.avg_criterion) else state.v
+                    beta = float(self._bb_beta(u_a, v_a,
+                                               jnp.asarray(mu, self.dtype)))
+                    state = self._reinit_scale(state, np.sqrt(1.0 / sigma))
 
         solve_time = time.perf_counter() - t0
-        return self._extract_solution(
+        sol = self._extract_solution(
             state, res_np, status, ipm_iter, admm_total, solve_time
         )
+        log.footer(sol.status_name, {
+            "pobj": sol.pobj, "dobj": sol.dobj,
+            "res_pri": sol.res_pri, "res_dual": sol.res_dual,
+            "rel_gap": sol.rel_gap,
+            "ipm_iters": sol.ipm_iters, "admm_iters": sol.admm_iters,
+            "setup_time": sol.setup_time, "solve_time": sol.solve_time,
+            "avg_cg_iters": sol.avg_cg_iters,
+        }, timers)
+        return sol
 
     def _reinit(self, state: InnerState, sigma):
         """`reinitialize_vars(w, 0)` on the active iterate."""

@@ -439,9 +439,16 @@ class ConicWorkspace:
         return mu, gamma * mu ** stgs.psi
 
     def solve(self) -> ConicSolution:
+        from .utils import IterationLog, PhaseTimers, solver_banner
+
         stgs = self.stgs
         m, n, l = self.m, self.n, self.l
         t0 = time.perf_counter()
+        log = IterationLog(enabled=stgs.verbose)
+        timers = PhaseTimers()
+        if stgs.verbose:
+            print(solver_banner("conic", m, n, int(jnp.sum(self.A != 0)),
+                                type(self.solver).__name__))
 
         # cone-aware cold start (`update_work`, `source/abip.c:912-992`)
         x0 = self.layout.interior_point(self.dtype)
@@ -471,14 +478,16 @@ class ConicWorkspace:
                 err_inner=jnp.full((), jnp.inf, self.dtype),
                 status=jnp.zeros((), jnp.int32),
             )
-            state = self._run_inner(
-                state,
-                jnp.asarray(mu, self.dtype),
-                jnp.asarray(beta, self.dtype),
-                jnp.asarray(tol_inner, self.dtype),
-                jnp.asarray(i, jnp.int32),
-                jnp.asarray(k_cap, jnp.int32),
-            )
+            with timers.phase("inner_admm"):
+                state = self._run_inner(
+                    state,
+                    jnp.asarray(mu, self.dtype),
+                    jnp.asarray(beta, self.dtype),
+                    jnp.asarray(tol_inner, self.dtype),
+                    jnp.asarray(i, jnp.int32),
+                    jnp.asarray(k_cap, jnp.int32),
+                )
+                jax.block_until_ready(state.u)
             inner_status = int(state.status)
             if inner_status != 0:
                 status = inner_status
@@ -486,15 +495,12 @@ class ConicWorkspace:
                 break
 
             # outer residual check (`source/abip.c:1212-1243`)
-            r = self._calc_residuals(state.u, state.v_origin, state.res)
+            with timers.phase("residuals"):
+                r = self._calc_residuals(state.u, state.v_origin, state.res)
+                res_np = jax.tree.map(float, r)._asdict()
             state = state._replace(res=r)
-            res_np = jax.tree.map(float, r)._asdict()
-            if stgs.verbose:
-                print(
-                    f"ipm {i:4d} admm {int(state.k):7d} mu {mu:9.2e} "
-                    f"pres {res_np['res_pri']:9.2e} dres {res_np['res_dual']:9.2e} "
-                    f"gap {res_np['rel_gap']:9.2e} pobj {res_np['pobj']:11.4e}"
-                )
+            log.row(i, int(state.k), mu, res_np,
+                    res_np["pobj"], res_np["dobj"])
             status = int(self._has_converged(
                 r, jnp.asarray((i > 0) and int(state.k) > 0)))
             if (
@@ -506,7 +512,16 @@ class ConicWorkspace:
 
             mu, tol_inner = self._adjust_barrier(mu, res_np)
 
-        return self._extract_solution(state, res_np, status, ipm_iter, t0)
+        sol = self._extract_solution(state, res_np, status, ipm_iter, t0)
+        log.footer(sol.status_name, {
+            "pobj": sol.pobj, "dobj": sol.dobj,
+            "res_pri": sol.res_pri, "res_dual": sol.res_dual,
+            "rel_gap": sol.rel_gap,
+            "ipm_iters": sol.ipm_iters, "admm_iters": sol.admm_iters,
+            "setup_time": sol.setup_time, "solve_time": sol.solve_time,
+            "avg_cg_iters": sol.avg_cg_iters,
+        }, timers)
+        return sol
 
     def _extract_solution(self, state, res_np, status, ipm_iter, t0):
         """`get_solution` (`source/abip.c:559-587`) + un-scaling

