@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import dataclasses
 import gzip
+import os
 from typing import Dict, List, Optional, Tuple
 
 import numpy as np
@@ -37,8 +38,19 @@ def _tokens(line: str) -> List[str]:
     return line.split()
 
 
-def read_mps(path: str) -> GeneralLP:
-    """Parse an MPS file (optionally .gz) into a GeneralLP."""
+def read_mps(path: str, prefer_native: str = "auto") -> GeneralLP:
+    """Parse an MPS file (optionally .gz) into a GeneralLP.
+
+    prefer_native: "auto" uses the C++ parser (native/abip_io.cpp) for
+    plain files above 1 MB when available; "always"/"never" force it.
+    """
+    if prefer_native != "never" and not str(path).endswith(".gz"):
+        from . import native as _native
+
+        big = os.path.getsize(path) > 1_000_000 if os.path.exists(path) else False
+        if (prefer_native == "always" or big) and _native.native_available():
+            return _native.read_mps_native(path)
+
     opener = gzip.open if str(path).endswith(".gz") else open
     with opener(path, "rt") as f:
         lines = f.readlines()

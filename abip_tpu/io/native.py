@@ -1,0 +1,119 @@
+"""ctypes bindings for the native C++ MPS parser (native/abip_io.cpp).
+
+Builds on demand (`make -C native`) and falls back to the pure-Python
+reader when the toolchain or library is unavailable, so the package stays
+importable everywhere.
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Optional
+
+import numpy as np
+import scipy.sparse as sp
+
+from .mps import GeneralLP
+
+_NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "..", "native")
+_LIB_PATH = os.path.abspath(os.path.join(_NATIVE_DIR, "libabip_io.so"))
+
+_lib: Optional[ctypes.CDLL] = None
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(["make", "-C", os.path.abspath(_NATIVE_DIR)],
+                       check=True, capture_output=True, text=True)
+        return True
+    except (subprocess.CalledProcessError, FileNotFoundError):
+        return False
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not os.path.exists(_LIB_PATH) and not _build():
+        return None
+    lib = ctypes.CDLL(_LIB_PATH)
+    lib.abip_mps_parse.restype = ctypes.c_void_p
+    lib.abip_mps_parse.argtypes = [ctypes.c_char_p, ctypes.c_char_p,
+                                   ctypes.c_int64]
+    lib.abip_mps_free.argtypes = [ctypes.c_void_p]
+    lib.abip_mps_dims.argtypes = [
+        ctypes.c_void_p,
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_double),
+    ]
+    f8 = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
+    i8 = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+    lib.abip_mps_data.argtypes = [ctypes.c_void_p, f8, f8, f8, f8, f8,
+                                  i8, i8, f8]
+    lib.abip_mps_row_names.restype = ctypes.c_int64
+    lib.abip_mps_row_names.argtypes = [ctypes.c_void_p, ctypes.c_char_p,
+                                       ctypes.c_int64]
+    lib.abip_mps_col_names.restype = ctypes.c_int64
+    lib.abip_mps_col_names.argtypes = [ctypes.c_void_p, ctypes.c_char_p,
+                                       ctypes.c_int64]
+    _lib = lib
+    return lib
+
+
+def native_available() -> bool:
+    return _load() is not None
+
+
+def read_mps_native(path: str) -> GeneralLP:
+    """Parse an MPS file with the C++ parser.  Raises if unavailable."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError(
+            "native MPS parser not available (g++/make missing?); "
+            "use abip_tpu.io.read_mps"
+        )
+    err = ctypes.create_string_buffer(1024)
+    h = lib.abip_mps_parse(str(path).encode(), err, len(err))
+    if not h:
+        raise ValueError(err.value.decode())
+    try:
+        m = ctypes.c_int64()
+        n = ctypes.c_int64()
+        nnz = ctypes.c_int64()
+        mx = ctypes.c_int32()
+        objcon = ctypes.c_double()
+        lib.abip_mps_dims(h, ctypes.byref(m), ctypes.byref(n),
+                          ctypes.byref(nnz), ctypes.byref(mx),
+                          ctypes.byref(objcon))
+        m, n, nnz = m.value, n.value, nnz.value
+        c = np.empty(n)
+        row_lo = np.empty(m)
+        row_hi = np.empty(m)
+        lb = np.empty(n)
+        ub = np.empty(n)
+        Ap = np.empty(n + 1, np.int64)
+        Ai = np.empty(max(nnz, 1), np.int64)
+        Ax = np.empty(max(nnz, 1))
+        lib.abip_mps_data(h, c, row_lo, row_hi, lb, ub, Ap, Ai, Ax)
+
+        def names(fn):
+            need = fn(h, None, 0)
+            buf = ctypes.create_string_buffer(int(need))
+            fn(h, buf, need)
+            out = buf.value.decode().split("\n")
+            return [s for s in out if s]
+
+        row_names = names(lib.abip_mps_row_names)
+        col_names = names(lib.abip_mps_col_names)
+    finally:
+        lib.abip_mps_free(h)
+
+    A = sp.csc_matrix((Ax[:nnz], Ai[:nnz], Ap), shape=(m, n))
+    return GeneralLP(
+        c=c, A=A, row_lo=row_lo, row_hi=row_hi, lb=lb, ub=ub,
+        objcon=objcon.value, maximize=bool(mx.value),
+        name=os.path.basename(path),
+        col_names=col_names, row_names=row_names,
+    )

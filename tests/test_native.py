@@ -1,0 +1,55 @@
+"""Native C++ MPS parser: parity with the Python reader."""
+import numpy as np
+import pytest
+
+from abip_tpu.io import read_mps
+from abip_tpu.io.native import native_available, read_mps_native
+from tests.test_io import SAMPLE_MPS
+
+
+@pytest.fixture
+def sample_path(tmp_path):
+    f = tmp_path / "sample.mps"
+    f.write_text(SAMPLE_MPS)
+    return str(f)
+
+
+needs_native = pytest.mark.skipif(not native_available(),
+                                  reason="native parser not built")
+
+
+@needs_native
+def test_native_matches_python(sample_path):
+    p1 = read_mps(sample_path, prefer_native="never")
+    p2 = read_mps_native(sample_path)
+    assert p1.col_names == p2.col_names
+    assert p1.row_names == p2.row_names
+    assert p1.maximize == p2.maximize
+    np.testing.assert_allclose(p1.c, p2.c)
+    np.testing.assert_allclose(p1.row_lo, p2.row_lo)
+    np.testing.assert_allclose(p1.row_hi, p2.row_hi)
+    np.testing.assert_allclose(p1.lb, p2.lb)
+    np.testing.assert_allclose(p1.ub, p2.ub)
+    np.testing.assert_allclose(p1.A.toarray(), p2.A.toarray())
+
+
+@needs_native
+def test_native_error_paths(tmp_path):
+    with pytest.raises(ValueError, match="cannot open"):
+        read_mps_native(str(tmp_path / "missing.mps"))
+    bad = tmp_path / "bad.mps"
+    bad.write_text("ROWS\n blah\n")
+    with pytest.raises(ValueError, match="parse error|no objective"):
+        read_mps_native(str(bad))
+    integer = tmp_path / "int.mps"
+    integer.write_text(SAMPLE_MPS.replace(
+        "    X1  COST  1.0   R1  1.0",
+        "    M1  'MARKER'  'INTORG'\n    X1  COST  1.0   R1  1.0"))
+    with pytest.raises(ValueError, match="continuous"):
+        read_mps_native(str(integer))
+
+
+@needs_native
+def test_prefer_native_always(sample_path):
+    p = read_mps(sample_path, prefer_native="always")
+    np.testing.assert_allclose(p.c, [1.0, 2.0, -1.0])
