@@ -66,13 +66,75 @@ def lasso_to_conic(X, y, lam: float) -> ConicProblem:
     return ConicProblem(A=A, b=b, c=c, cones=cones, recover=recover)
 
 
-def solve_lasso(X, y, lam: float, settings=None, **overrides):
+def lasso_operator(X, y, lam: float) -> ConicProblem:
+    """Matrix-free variant: the reformulated constraint matrix is never
+    materialized; X is applied twice per matvec, exactly like
+    `lasso_A_times` (`source/lasso_config.c:99-126`).
+
+    Layout: A z = [t1;  r + X w+ - X w-],  z = (t1, t2, r, w+, w-).
+    """
+    import jax.numpy as jnp
+
+    from ..problem import LinearOperator
+
+    Xj = jnp.asarray(np.asarray(X, float))
+    y = np.asarray(y, float)
+    m, n = Xj.shape
+    q = 2 + m + 2 * n
+    p = 1 + m
+
+    def matvec(z):
+        t1 = z[0]
+        r = z[2 : 2 + m]
+        w = z[2 + m : 2 + m + n] - z[2 + m + n :]
+        return jnp.concatenate([t1[None], r + Xj @ w])
+
+    def rmatvec(u):
+        u0, ur = u[0], u[1:]
+        xt = Xj.T @ ur
+        return jnp.concatenate(
+            [u0[None], jnp.zeros((1,), u.dtype), ur, xt, -xt]
+        )
+
+    op = LinearOperator(p, q, matvec, rmatvec, nnz=2 * int(np.prod(Xj.shape)) + m + 1)
+    # Jacobi diag for the Schur CG (`init_lasso_precon` analogue,
+    # `lasso_config.c:571-587`): column norms of the reformulated matrix.
+    colX = np.asarray(jnp.sum(Xj * Xj, axis=0))
+    op.col_norms_sq = np.concatenate(
+        [[1.0, 0.0], np.ones(m), colX, colX]
+    )
+
+    b = np.concatenate([[1.0], y])
+    c = np.zeros(q)
+    c[1] = 1.0
+    c[2 + m :] = lam
+    cones = ConeSpec(rsoc=(2 + m,), nonneg=2 * n)
+
+    def recover(sol):
+        z = sol.x
+        Xd = np.asarray(Xj)
+        w = z[2 + m : 2 + m + n] - z[2 + m + n :]
+        obj = 0.5 * np.sum((Xd @ w - y) ** 2) + lam * np.sum(np.abs(w))
+        return w, obj
+
+    return ConicProblem(A=op, b=b, c=c, cones=cones, recover=recover)
+
+
+def solve_lasso(X, y, lam: float, settings=None, matrix_free: bool = False,
+                **overrides):
     """One-call LASSO solve; returns (w, objective, conic solution).
 
-    Mirrors the `abip_ml` front door (`mex/abip_ml_mex.c:90-146`)."""
-    from ..qcp import solve_qcp
+    Mirrors the `abip_ml` front door (`mex/abip_ml_mex.c:90-146`).
+    `matrix_free=True` uses the operator form (X applied twice, the
+    reformulated matrix never materialized) with CG linear solves.
+    """
+    from ..qcp import conic_defaults, solve_qcp
 
-    prob = lasso_to_conic(X, y, lam)
+    if matrix_free:
+        prob = lasso_operator(X, y, lam)
+        settings = settings or conic_defaults(normalize=False, linsys="cg")
+    else:
+        prob = lasso_to_conic(X, y, lam)
     sol = solve_qcp(prob.A, prob.b, prob.c, prob.cones,
                     settings=settings, **overrides)
     w, obj = prob.recover(sol)

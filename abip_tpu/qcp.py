@@ -112,11 +112,28 @@ class ConicWorkspace:
         dtype = jnp.dtype(settings.dtype)
         self.dtype = dtype
 
-        A = jnp.asarray(A, dtype)
+        # A may be a dense array OR a matrix-free LinearOperator (the
+        # reference's `spe_A_times` path, e.g. LASSO's reformulated matrix
+        # that is never materialized, `lasso_config.c:99-126`).
+        matrix_free = isinstance(A, LinearOperator)
+        if matrix_free:
+            if settings.normalize:
+                raise ValueError(
+                    "matrix-free operators require normalize=False (provide "
+                    "pre-scaled data, as the reference app configs do)"
+                )
+            if settings.linsys == "dense":
+                raise ValueError("matrix-free operators require linsys='cg'")
+            m, n = A.m, A.n
+            self.A_op = A
+            A_dense = None
+        else:
+            A = jnp.asarray(A, dtype)
+            m, n = A.shape
+            A_dense = A
         b = jnp.asarray(b, dtype)
         c = jnp.asarray(c, dtype)
         Q = jnp.asarray(Q, dtype) if Q is not None else None
-        m, n = A.shape
         if b.shape != (m,):
             raise ValueError(f"b must have shape ({m},); got {b.shape}")
         if c.shape != (n,):
@@ -133,15 +150,20 @@ class ConicWorkspace:
         self.nm_inf_b = jnp.max(jnp.abs(b)) if m else jnp.zeros((), dtype)
         self.nm_inf_c = jnp.max(jnp.abs(c))
 
-        if settings.normalize:
-            A, Q, b, c, scal = equilibrate_conic(A, Q, b, c, self.layout, settings)
+        if settings.normalize and not matrix_free:
+            A_dense, Q, b, c, scal = equilibrate_conic(
+                A_dense, Q, b, c, self.layout, settings)
         else:
             scal = ConicScalingData(
                 D=jnp.ones((m,), dtype), E=jnp.ones((n,), dtype),
                 sc_b=jnp.ones((), dtype), sc_c=jnp.ones((), dtype))
         self.scal = scal
-        self.A, self.Q, self.b, self.c = A, Q, b, c
-        self.A_op = LinearOperator.from_dense(A)
+        self.Q, self.b, self.c = Q, b, c
+        if not matrix_free:
+            self.A = A_dense
+            self.A_op = LinearOperator.from_dense(A_dense)
+        else:
+            self.A = None
 
         # DR scaling rho_dr = (rho_y 1_m, rho_x 1_n, rho_tau)
         # (`init_qcp`, `qcp_config.c:26-36`)
@@ -153,15 +175,31 @@ class ConicWorkspace:
 
         ry = self.rho[:m]
         rx = self.rho[m : m + n]
-        if settings.linsys == "cg" or (settings.linsys == "auto" and n > 4096):
-            diag_S = rx + jnp.sum(A * A / ry[:, None], axis=0)
+        use_cg = (
+            matrix_free
+            or settings.linsys == "cg"
+            or (settings.linsys == "auto" and n > 4096)
+        )
+        if use_cg:
+            # Jacobi preconditioner diag(S) (`init_qcp_precon`,
+            # `qcp_config.c:754-780`); matrix-free operators may supply
+            # their column norms (`col_norms_sq`), like the custom
+            # preconditioners of `lasso_config.c:571-587`.
+            if matrix_free:
+                col_sq = getattr(self.A_op, "col_norms_sq", None)
+                diag_S = rx + (
+                    jnp.asarray(col_sq) / settings.rho_y
+                    if col_sq is not None else jnp.zeros((n,), dtype)
+                )
+            else:
+                diag_S = rx + jnp.sum(A_dense * A_dense / ry[:, None], axis=0)
             if Q is not None:
                 diag_S = diag_S + jnp.diag(Q)
             Q_op = (lambda x: Q @ x) if Q is not None else None
             self.solver = CGSchurSolver(self.A_op, Q_op, ry, rx, diag_S,
                                         max_iters=settings.cg_max_iters)
         else:
-            self.solver = DenseSchurSolver(A, Q, ry, rx)
+            self.solver = DenseSchurSolver(A_dense, Q, ry, rx)
 
         # r = Ktilde^-1 (-b; c), a = rho_tau + <rho . r, r>
         # (`pre_calculate`, `source/abip.c:886-910`)
@@ -179,7 +217,7 @@ class ConicWorkspace:
         m, n, l = self.m, self.n, self.l
         stgs = self.stgs
         A_op, solver = self.A_op, self.solver
-        A, Q, b, c = self.A, self.Q, self.b, self.c
+        Q, b, c = self.Q, self.b, self.c
         rho, r_vec, a_coef = self.rho, self.r_vec, self.a_coef
         layout = self.layout
         D, E = self.scal.D, self.scal.E
@@ -447,7 +485,8 @@ class ConicWorkspace:
         log = IterationLog(enabled=stgs.verbose)
         timers = PhaseTimers()
         if stgs.verbose:
-            print(solver_banner("conic", m, n, int(jnp.sum(self.A != 0)),
+            nnz = int(jnp.sum(self.A != 0)) if self.A is not None else self.A_op.nnz
+            print(solver_banner("conic", m, n, nnz,
                                 type(self.solver).__name__))
 
         # cone-aware cold start (`update_work`, `source/abip.c:912-992`)

@@ -80,3 +80,15 @@ def test_svm_bad_labels(rng):
     y = np.arange(10).astype(float)
     with pytest.raises(ValueError, match=r"\+/-1"):
         solve_svm(X, y, 1.0)
+
+
+def test_lasso_matrix_free_matches_dense(rng):
+    X = rng.standard_normal((25, 10))
+    w0 = np.zeros(10)
+    w0[:3] = [1.5, -1.0, 0.5]
+    y = X @ w0 + 0.05 * rng.standard_normal(25)
+    w1, obj1, s1 = solve_lasso(X, y, 0.5, eps=1e-5)
+    w2, obj2, s2 = solve_lasso(X, y, 0.5, matrix_free=True, eps=1e-5)
+    assert s2.status_name in ("Solved", "Solved/Inaccurate")
+    assert obj2 == pytest.approx(obj1, abs=1e-3 * (1 + obj1))
+    np.testing.assert_allclose(w2, w1, atol=1e-3)
