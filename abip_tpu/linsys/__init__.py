@@ -34,18 +34,23 @@ from .cg import CGSolver
 __all__ = ["DenseNormalSolver", "CGSolver", "make_solver"]
 
 
-def make_solver(A_op, m: int, n: int, rho_y: float, settings):
+def make_solver(A_op, m: int, n: int, rho_y: float, settings,
+                normal_matrix=None):
     """Pick and build a KKT solver for operator `A_op`.
 
     `A_op` is an `abip_tpu.problem.LinearOperator` (supports `.matvec`,
-    `.rmatvec`, optionally `.dense()`).
+    `.rmatvec`, optionally `.dense()`).  `normal_matrix` optionally
+    supplies a precomputed rho_y*I + A A^T (e.g. assembled host-side from
+    a sparse A), enabling the direct backend without a dense A.
     """
     kind = settings.linsys
     if kind == "auto":
         # Direct (dense Cholesky of the m x m normal matrix) when m is modest;
         # CG otherwise.  Mirrors the reference auto-select intent
         # (`src/abip-qcp/source/util.c:237-244`).
-        kind = "dense" if m <= 4096 and A_op.has_dense else "cg"
+        direct_ok = A_op.has_dense or normal_matrix is not None
+        kind = "dense" if m <= 4096 and direct_ok else "cg"
     if kind == "dense":
-        return DenseNormalSolver(A_op, m, n, rho_y, settings)
+        return DenseNormalSolver(A_op, m, n, rho_y, settings,
+                                 normal_matrix=normal_matrix)
     return CGSolver(A_op, m, n, rho_y, settings)

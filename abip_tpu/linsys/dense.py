@@ -21,16 +21,17 @@ import jax.numpy as jnp
 class DenseNormalSolver:
     """Cached-Cholesky solver for K z = w with K = [[rho_y I, A], [A^T, -I]]."""
 
-    def __init__(self, A_op, m, n, rho_y, settings):
+    def __init__(self, A_op, m, n, rho_y, settings, normal_matrix=None):
         self.A_op = A_op
         self.m = m
         self.n = n
         self.rho_y = rho_y
-        A = A_op.dense()
-        # One big MXU matmul; factor once per solve, reuse for every ADMM
-        # iteration (cf. `direct.c:218-270` factorize-once).
-        N = rho_y * jnp.eye(m, dtype=A.dtype) + A @ A.T
-        self.chol = jax.lax.linalg.cholesky(N)
+        if normal_matrix is None:
+            A = A_op.dense()
+            # One big MXU matmul; factor once per solve, reuse for every
+            # ADMM iteration (cf. `direct.c:218-270` factorize-once).
+            normal_matrix = rho_y * jnp.eye(m, dtype=A.dtype) + A @ A.T
+        self.chol = jax.lax.linalg.cholesky(jnp.asarray(normal_matrix))
         self.avg_cg_iters = 0.0  # parity field; direct solves report 0
 
     def solve(self, w_y, w_x, iter_count=0, warm_start=None, tol_hint=None):

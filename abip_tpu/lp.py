@@ -94,7 +94,11 @@ class LPWorkspace:
         dtype = jnp.dtype(settings.dtype)
         self.dtype = dtype
 
-        A = jnp.asarray(A, dtype)
+        import scipy.sparse as sps
+
+        is_sparse = sps.issparse(A)
+        if not is_sparse:
+            A = jnp.asarray(A, dtype)
         b = jnp.asarray(b, dtype)
         c = jnp.asarray(c, dtype)
         if A.ndim != 2:
@@ -108,7 +112,7 @@ class LPWorkspace:
             raise ValueError(f"c must have shape ({n},) to match A; got {c.shape}")
         self.m, self.n = m, n
         self.l = m + n + 1
-        nnz = int(jnp.sum(A != 0))
+        nnz = int(A.nnz) if is_sparse else int(jnp.sum(A != 0))
         self.sp = nnz / (m * n)
 
         # norms of the ORIGINAL data (used by certificates, `abip.c:1855-1856`)
@@ -117,7 +121,12 @@ class LPWorkspace:
 
         # -- equilibration (`linsys/common.c:150-565`) -----------------------
         if settings.normalize:
-            A_s, scal = equilibrate(A, settings)
+            if is_sparse:
+                from .scaling import equilibrate_sparse
+
+                A_s, scal = equilibrate_sparse(A, settings)
+            else:
+                A_s, scal = equilibrate(A, settings)
             # b/c normalization (`normalize.c:11-40`)
             c_s = c / scal.E
             sc_c = scal.mean_norm_row / jnp.maximum(jnp.linalg.norm(c_s), 1e-3)
@@ -138,8 +147,21 @@ class LPWorkspace:
         self.scal, self.sc_b, self.sc_c = scal, sc_b, sc_c
         self.b, self.c = b_s, c_s
 
-        self.A_op = LinearOperator.from_dense(A_s, nnz=nnz)
-        self.solver = make_solver(self.A_op, m, n, settings.rho_y, settings)
+        if is_sparse:
+            # block-sparse operator (ops/spmv_pallas.py); for modest m the
+            # normal matrix is assembled host-side so the direct backend
+            # still applies (the sparse-A analogue of `direct.c:218-270`)
+            self.A_op = LinearOperator.from_scipy_sparse(A_s, dtype=dtype)
+            normal = None
+            if m <= 4096 and settings.linsys in ("auto", "dense"):
+                N = (A_s @ A_s.T).toarray()
+                N[np.diag_indices(m)] += settings.rho_y
+                normal = jnp.asarray(N, dtype)
+            self.solver = make_solver(self.A_op, m, n, settings.rho_y,
+                                      settings, normal_matrix=normal)
+        else:
+            self.A_op = LinearOperator.from_dense(A_s, nnz=nnz)
+            self.solver = make_solver(self.A_op, m, n, settings.rho_y, settings)
 
         # -- HSD rank-1 data: h = (-b; c), g = K^-1 h (x-part negated),
         #    g_th = h.g   (`abip.c:1917-1924`) -------------------------------

@@ -69,3 +69,40 @@ class LinearOperator:
             dense=lambda: A,
             nnz=nnz,
         )
+
+    @classmethod
+    def from_scipy_sparse(cls, A, dtype=None, use_pallas: bool = False) -> "LinearOperator":
+        """Block-sparse operator backed by the BCSR kernels (`ops/`).
+
+        Both A and A^T are packed once at setup (the reference stores an
+        explicit transpose too, `linsys/indirect.c:290-300`).  With
+        `use_pallas=False` the matvecs use the XLA gather-einsum fallback,
+        which runs everywhere; flip to the Pallas kernel on TPU.
+        """
+        import numpy as np
+        import scipy.sparse as sp
+
+        import jax.numpy as jnp_
+
+        from .ops.spmv_pallas import BCSRMatrix, bcsr_matvec
+
+        dtype = dtype or jnp_.float64
+        A = sp.csr_matrix(A)
+        m, n = A.shape
+        B = BCSRMatrix.from_scipy(A, dtype=dtype)
+        BT = BCSRMatrix.from_scipy(A.T.tocsr(), dtype=dtype)
+
+        op = cls(
+            m,
+            n,
+            matvec=lambda x: bcsr_matvec(B, x, use_pallas=use_pallas),
+            rmatvec=lambda y: bcsr_matvec(BT, y, use_pallas=use_pallas),
+            nnz=int(A.nnz),
+        )
+        sq = A.copy()
+        sq.data = sq.data**2
+        op.row_norms_sq = jnp_.asarray(np.asarray(sq.sum(axis=1)).ravel())
+        op.col_norms_sq = jnp_.asarray(np.asarray(sq.sum(axis=0)).ravel())
+        op.bcsr = B
+        op.bcsr_T = BT
+        return op

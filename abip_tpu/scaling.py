@@ -180,6 +180,57 @@ def equilibrate_conic(A, Q, b, c, layout, settings):
     return A, Q, b, c, ConicScalingData(D=D_hat, E=E_hat, sc_b=sc_b, sc_c=sc_c)
 
 
+def equilibrate_sparse(A, settings):
+    """Host-side equilibration of a scipy sparse matrix: the same pc ->
+    ruiz pipeline as `equilibrate`, run once at setup in scipy (sparse
+    row/col reductions), returning the scaled CSR matrix and ScalingData.
+    """
+    import numpy as np
+    import scipy.sparse as sp
+
+    A = sp.csr_matrix(A, dtype=np.float64, copy=True)
+    m, n = A.shape
+    D = np.ones(m)
+    E = np.ones(n)
+
+    def clip_col(e, n_other):
+        lo = MIN_SCALE * np.sqrt(n_other)
+        hi = MAX_SCALE * np.sqrt(n_other)
+        return np.where(e < lo, 1.0, np.minimum(e, hi))
+
+    def scale(A, d, e):
+        return sp.diags(1.0 / d) @ A @ sp.diags(1.0 / e)
+
+    absA = abs(A)
+    if settings.pc_ruiz_rescale:
+        e = clip_col(np.sqrt(np.asarray(absA.sum(axis=0)).ravel()), m)
+        A = A @ sp.diags(1.0 / e)
+        d = clip_col(np.sqrt(np.asarray(abs(A).sum(axis=1)).ravel()), n)
+        A = sp.diags(1.0 / d) @ A
+        D *= d
+        E *= e
+        for _ in range(settings.ruiz_iter):
+            absA = abs(A)
+            e = clip_col(np.sqrt(absA.max(axis=0).toarray().ravel()), m)
+            A = A @ sp.diags(1.0 / e)
+            d = clip_col(np.sqrt(abs(A).max(axis=1).toarray().ravel()), n)
+            A = sp.diags(1.0 / d) @ A
+            D *= d
+            E *= e
+
+    sq = A.copy()
+    sq.data = sq.data**2
+    row_norms = np.sqrt(np.asarray(sq.sum(axis=1)).ravel())
+    col_norms = np.sqrt(np.asarray(sq.sum(axis=0)).ravel())
+    if settings.scale != 1:
+        A = A * settings.scale
+    return A, ScalingData(
+        D=jnp.asarray(D), E=jnp.asarray(E),
+        mean_norm_row=jnp.asarray(row_norms.mean()),
+        mean_norm_col=jnp.asarray(col_norms.mean()),
+    )
+
+
 def equilibrate(A: jnp.ndarray, settings) -> tuple[jnp.ndarray, ScalingData]:
     """Full pipeline (`common.c:150-565`): pc -> origin -> ruiz -> qp.
 

@@ -70,3 +70,23 @@ def test_unbounded_lp():
     c = np.array([-1.0, 0.0])
     sol = abip_tpu.solve_lp(A, b, c, eps=1e-6)
     assert "Unbounded" in sol.status_name
+
+
+def test_sparse_lp_matches_dense(rng):
+    import scipy.sparse as sp
+
+    m, n = 30, 200
+    Ad = rng.standard_normal((m, n)) * (rng.random((m, n)) < 0.08)
+    Ad[np.arange(m), rng.integers(0, n, m)] += 1.0
+    b = Ad @ (rng.random(n) + 0.5)
+    c = Ad.T @ rng.standard_normal(m) + rng.random(n) + 0.5
+    ref = scipy_opt(Ad, b, c)
+    A = sp.csr_matrix(Ad)
+    s_direct = abip_tpu.solve_lp(A, b, c, eps=1e-5)
+    s_cg = abip_tpu.solve_lp(A, b, c, eps=1e-5, linsys="cg")
+    s_dense = abip_tpu.solve_lp(Ad, b, c, eps=1e-5)
+    for s in (s_direct, s_cg, s_dense):
+        assert s.status_name.startswith("Solved")
+        assert s.pobj == pytest.approx(ref, abs=1e-3 * (1 + abs(ref)))
+    # same equilibration -> identical trajectories
+    assert s_direct.admm_iters == s_dense.admm_iters
