@@ -382,8 +382,18 @@ class LPWorkspace:
             cg_iters=jnp.zeros((), jnp.int32),
         )
 
-    def solve(self, warm=None) -> LPSolution:
+    def solve(self, warm=None, resume=None, checkpoint_path=None,
+              checkpoint_every=0) -> LPSolution:
+        """Run the outer IPM loop.
+
+        warm: optional (x, y, s) seed in original units.
+        resume: optional `SolverCheckpoint` to continue a prior solve.
+        checkpoint_path/checkpoint_every: save state every k outer
+        iterations (SURVEY.md section 5.4 -- the iterate is a small
+        pytree, so preemption recovery is an .npz round-trip).
+        """
         from .utils import IterationLog, PhaseTimers, solver_banner
+        from .utils.checkpoint import SolverCheckpoint
 
         stgs = self.stgs
         m, n, l = self.m, self.n, self.l
@@ -410,19 +420,30 @@ class LPWorkspace:
         double_check = False
         dynamic_sigma = stgs.dynamic_sigma
 
-        if warm is not None:
+        i0 = 0
+        if resume is not None:
+            u = jnp.asarray(resume.u, self.dtype)
+            v = jnp.asarray(resume.v, self.dtype)
+            mu, beta = resume.mu, resume.beta
+            sigma, gamma = resume.sigma, resume.gamma
+            final_check = resume.final_check
+            i0 = resume.ipm_iters
+        elif warm is not None:
             u, v = self._warm_start(warm, mu, beta)
         else:
             u, v = self._cold_start(mu, beta)
         state = self._init_inner_state(u, v)
+        if resume is not None:
+            state = state._replace(
+                k=jnp.asarray(resume.admm_iters, jnp.int32))
 
         status = Status.UNFINISHED
-        ipm_iter = 0
-        admm_total = 0
+        ipm_iter = i0
+        admm_total = int(state.k)
         res_np = None
         max_admm = stgs.max_admm_iters
 
-        for i in range(stgs.max_ipm_iters):
+        for i in range(i0, stgs.max_ipm_iters):
             ipm_iter = i
             # inner_stopper by sparsity (`abip.c:2104-2115`)
             if sp_lo > 0.5:
@@ -498,6 +519,16 @@ class LPWorkspace:
                     u=u_np, v=v_np, m=m,
                 )
             )
+
+            if checkpoint_path and checkpoint_every and (i + 1) % checkpoint_every == 0:
+                avg_c = bool(state.avg_criterion)
+                SolverCheckpoint(
+                    u=np.asarray(state.u_avgcon if avg_c else state.u),
+                    v=np.asarray(state.v_avgcon if avg_c else state.v),
+                    mu=mu, beta=beta, sigma=sigma, gamma=gamma,
+                    admm_iters=admm_total, ipm_iters=i + 1,
+                    final_check=final_check,
+                ).save(checkpoint_path)
 
             # reinitialize for next stage (`abip.c:996-1075`, indx=0)
             state = self._reinit(state, sigma)

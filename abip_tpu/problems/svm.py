@@ -87,14 +87,68 @@ def svm_to_conic_socp(X, y, C: float) -> ConicProblem:
     return ConicProblem(A=A, b=b, c=c, cones=cones, recover=recover)
 
 
-def solve_svm(X, y, C: float, form: str = "qp", settings=None, **overrides):
+def svm_operator_qp(X, y, C: float) -> ConicProblem:
+    """Matrix-free QP form: the label-folded data matrix applied on the
+    fly, like the reference's `svm_A_times`/`svm_AT_times`
+    (`source/svm_config.c:175-229`).  Q is the diagonal (1_n, 0, 0, 0).
+    """
+    import jax.numpy as jnp
+
+    from ..problem import LinearOperator
+
+    X, y, m, n = _check(X, y)
+    Xj = jnp.asarray(X)
+    yj = jnp.asarray(y)
+    q = n + 1 + 2 * m
+
+    def matvec(z):
+        w, b0 = z[:n], z[n]
+        xi, t = z[n + 1 : n + 1 + m], z[n + 1 + m :]
+        return yj * (Xj @ w) + yj * b0 + xi - t
+
+    def rmatvec(u):
+        yu = yj * u
+        return jnp.concatenate(
+            [Xj.T @ yu, jnp.dot(yj, u)[None], u, -u]
+        )
+
+    op = LinearOperator(m, q, matvec, rmatvec, nnz=m * n + 3 * m)
+    colX = np.asarray(jnp.sum(Xj * Xj, axis=0))
+    op.col_norms_sq = np.concatenate([colX, [float(m)], np.ones(2 * m)])
+
+    b = np.ones(m)
+    c = np.zeros(q)
+    c[n + 1 : n + 1 + m] = C
+    Q_diag = np.concatenate([np.ones(n), np.zeros(1 + 2 * m)])
+    cones = ConeSpec(free=n + 1, nonneg=2 * m)
+
+    def recover(sol):
+        z = sol.x
+        w, b0 = z[:n], z[n]
+        margins = 1 - y * (X @ w + b0)
+        obj = 0.5 * w @ w + C * np.sum(np.maximum(margins, 0))
+        return w, b0, obj
+
+    return ConicProblem(A=op, b=b, c=c, cones=cones, recover=recover,
+                        Q=Q_diag)
+
+
+def solve_svm(X, y, C: float, form: str = "qp", settings=None,
+              matrix_free: bool = False, **overrides):
     """One-call SVM solve; returns (w, b0, objective, conic solution).
 
     `form` selects the QP or SOCP embedding (the reference exposes both via
-    `prob_type`, `mex/abip_ml_mex.c:90-146`)."""
-    from ..qcp import solve_qcp
+    `prob_type`, `mex/abip_ml_mex.c:90-146`).  `matrix_free=True` (QP form
+    only) applies the label-folded data on the fly with CG solves.
+    """
+    from ..qcp import conic_defaults, solve_qcp
 
-    if form == "qp":
+    if matrix_free:
+        if form != "qp":
+            raise ValueError("matrix_free SVM supports form='qp' only")
+        prob = svm_operator_qp(X, y, C)
+        settings = settings or conic_defaults(normalize=False, linsys="cg")
+    elif form == "qp":
         prob = svm_to_conic_qp(X, y, C)
     elif form == "socp":
         prob = svm_to_conic_socp(X, y, C)

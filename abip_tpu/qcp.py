@@ -138,13 +138,21 @@ class ConicWorkspace:
             raise ValueError(f"b must have shape ({m},); got {b.shape}")
         if c.shape != (n,):
             raise ValueError(f"c must have shape ({n},); got {c.shape}")
-        if Q is not None and Q.shape != (n, n):
+        # Q: full (n, n) matrix or 1-D diagonal (the SVM-QP case,
+        # `svm_qp_config.c:8-60` builds an explicit diagonal Q)
+        self.Q_diag = None
+        if Q is not None and Q.ndim == 1:
+            if Q.shape != (n,):
+                raise ValueError(f"diagonal Q must have shape ({n},); got {Q.shape}")
+            self.Q_diag = Q
+            Q = None
+        elif Q is not None and Q.shape != (n, n):
             raise ValueError(f"Q must have shape ({n},{n}); got {Q.shape}")
         cones.validate_dim(n)
         self.m, self.n = m, n
         self.l = m + n + 1
         self.layout = ConeLayout(cones)
-        self.has_Q = Q is not None
+        self.has_Q = Q is not None or self.Q_diag is not None
 
         # inf-norms of ORIGINAL data (`init_work`, `source/abip.c:873-874`)
         self.nm_inf_b = jnp.max(jnp.abs(b)) if m else jnp.zeros((), dtype)
@@ -153,6 +161,9 @@ class ConicWorkspace:
         if settings.normalize and not matrix_free:
             A_dense, Q, b, c, scal = equilibrate_conic(
                 A_dense, Q, b, c, self.layout, settings)
+            if self.Q_diag is not None:
+                # diagonal Q transforms as E^-1 Q E^-1 (`qcp_config.c:239-248`)
+                self.Q_diag = self.Q_diag / (scal.E * scal.E)
         else:
             scal = ConicScalingData(
                 D=jnp.ones((m,), dtype), E=jnp.ones((n,), dtype),
@@ -195,11 +206,21 @@ class ConicWorkspace:
                 diag_S = rx + jnp.sum(A_dense * A_dense / ry[:, None], axis=0)
             if Q is not None:
                 diag_S = diag_S + jnp.diag(Q)
-            Q_op = (lambda x: Q @ x) if Q is not None else None
+            elif self.Q_diag is not None:
+                diag_S = diag_S + self.Q_diag
+            if Q is not None:
+                Q_op = lambda x: Q @ x  # noqa: E731
+            elif self.Q_diag is not None:
+                qd = self.Q_diag
+                Q_op = lambda x: qd * x  # noqa: E731
+            else:
+                Q_op = None
             self.solver = CGSchurSolver(self.A_op, Q_op, ry, rx, diag_S,
                                         max_iters=settings.cg_max_iters)
         else:
-            self.solver = DenseSchurSolver(A_dense, Q, ry, rx)
+            Q_dense = Q if Q is not None else (
+                jnp.diag(self.Q_diag) if self.Q_diag is not None else None)
+            self.solver = DenseSchurSolver(A_dense, Q_dense, ry, rx)
 
         # r = Ktilde^-1 (-b; c), a = rho_tau + <rho . r, r>
         # (`pre_calculate`, `source/abip.c:886-910`)
@@ -229,8 +250,14 @@ class ConicWorkspace:
         rho_tau = rho[l - 1]
         rho_tail = rho[m:]  # (n+1,): x block + tau
 
+        Q_diag = self.Q_diag
+
         def Q_times(x):
-            return Q @ x if Q is not None else jnp.zeros_like(x)
+            if Q is not None:
+                return Q @ x
+            if Q_diag is not None:
+                return Q_diag * x
+            return jnp.zeros_like(x)
 
         def projection(u, v, k):
             """DR projection with quadratic-formula tau

@@ -92,3 +92,32 @@ def test_lasso_matrix_free_matches_dense(rng):
     assert s2.status_name in ("Solved", "Solved/Inaccurate")
     assert obj2 == pytest.approx(obj1, abs=1e-3 * (1 + obj1))
     np.testing.assert_allclose(w2, w1, atol=1e-3)
+
+
+def test_svm_matrix_free_matches_dense(rng):
+    m, n = 30, 4
+    X = rng.standard_normal((m, n))
+    y = np.sign(X @ rng.standard_normal(n) + 0.2 * rng.standard_normal(m))
+    y[y == 0] = 1.0
+    w1, b1, o1, s1 = solve_svm(X, y, 1.0, form="qp", eps=1e-5)
+    w2, b2, o2, s2 = solve_svm(X, y, 1.0, matrix_free=True, eps=1e-5)
+    assert s2.status_name.startswith("Solved")
+    assert o2 == pytest.approx(o1, abs=1e-2 * (1 + o1))
+    with pytest.raises(ValueError, match="form='qp'"):
+        solve_svm(X, y, 1.0, form="socp", matrix_free=True)
+
+
+def test_diagonal_q_matches_dense_q(rng):
+    from abip_tpu import solve_qcp
+    from abip_tpu.problems.svm import svm_to_conic_qp
+
+    m, n = 20, 3
+    X = rng.standard_normal((m, n))
+    y = np.sign(X @ rng.standard_normal(n))
+    y[y == 0] = 1.0
+    prob = svm_to_conic_qp(X, y, 1.0)
+    s_full = solve_qcp(prob.A, prob.b, prob.c, prob.cones, Q=prob.Q, eps=1e-5)
+    s_diag = solve_qcp(prob.A, prob.b, prob.c, prob.cones,
+                       Q=np.diag(prob.Q), eps=1e-5)
+    assert s_diag.status_name.startswith("Solved")
+    assert s_diag.pobj == pytest.approx(s_full.pobj, abs=1e-3 * (1 + abs(s_full.pobj)))
