@@ -1,0 +1,210 @@
+"""Fully-on-device conic solver for batched suite runs.
+
+The conic analogue of `batched.py`: outer barrier loop AND inner DR loop
+as nested `lax.while_loop`s composed from `abip_tpu.conic_ops`, vmapped
+over same-shape instances.  This is the TPU-first replacement for the
+reference's LASSO/SVM sweep protocol (`scripts/bench-qcp/test_lasso.m`:
+a grid of instances run one process at a time) -- the whole sweep becomes
+one XLA program.
+
+The cone structure (`ConeSpec`) is static and shared across the batch;
+instance data (A, b, c, optional diagonal Q) is batched.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from .. import conic_ops
+from ..cones import ConeLayout, ConeSpec
+from ..settings import Settings
+
+
+class ConicDeviceResult(NamedTuple):
+    x: jnp.ndarray
+    y: jnp.ndarray
+    s: jnp.ndarray
+    status: jnp.ndarray
+    ipm_iters: jnp.ndarray
+    admm_iters: jnp.ndarray
+    res_pri: jnp.ndarray
+    res_dual: jnp.ndarray
+    rel_gap: jnp.ndarray
+    pobj: jnp.ndarray
+    dobj: jnp.ndarray
+
+
+def _device_solve_qcp(A, b, c, Q_diag, layout: ConeLayout, *, eps, max_ipm,
+                      max_admm, alpha, rho_y, rho_x, rho_tau, psi,
+                      inner_check_period):
+    """One conic instance entirely on device (no equilibration: callers
+    pre-scale, as the reference app configs do).  Dense Schur backend."""
+    dtype = A.dtype
+    m, n = A.shape
+    l = m + n + 1
+
+    rho = jnp.concatenate([
+        jnp.full((m,), rho_y, dtype),
+        jnp.full((n,), rho_x, dtype),
+        jnp.full((1,), rho_tau, dtype),
+    ])
+    rho_tail = rho[m:]
+    ry_inv = 1.0 / rho[:m]
+
+    def Q_times(x):
+        return Q_diag * x if Q_diag is not None else jnp.zeros_like(x)
+
+    S = (A * ry_inv[:, None]).T @ A + rho_x * jnp.eye(n, dtype=dtype)
+    if Q_diag is not None:
+        S = S + jnp.diag(Q_diag)
+    chol = jax.lax.linalg.cholesky(S)
+
+    def solve_fn(w_y, w_x, k, warm):
+        rhs = w_x + A.T @ (ry_inv * w_y)
+        z_x = jax.scipy.linalg.cho_solve((chol, True), rhs)
+        z_y = ry_inv * (w_y - A @ z_x)
+        return z_y, z_x, jnp.zeros((), jnp.int32)
+
+    r_y, r_x, _ = solve_fn(-b, c, -1, None)
+    r_vec = jnp.concatenate([r_y, r_x])
+    a_coef = rho_tau + jnp.dot(rho[: m + n] * r_vec, r_vec)
+
+    matvec = lambda x: A @ x
+    rmatvec = lambda y: A.T @ y
+    ones = jnp.ones((), dtype)
+    nm_inf_b = jnp.max(jnp.abs(b)) if m else jnp.zeros((), dtype)
+    nm_inf_c = jnp.max(jnp.abs(c))
+
+    def residuals(u, v_origin, prev):
+        return conic_ops.conic_residuals(
+            u, v_origin, prev, matvec, rmatvec, Q_times, b, c,
+            jnp.ones((m,), dtype), jnp.ones((n,), dtype), ones, ones, 1.0,
+            nm_inf_b, nm_inf_c, eps, eps, eps, m, n,
+        )
+
+    def converged(r, total_pos):
+        return conic_ops.conic_converged_code(r, eps, eps, eps, eps, eps,
+                                              0.0, total_pos)
+
+    class IC(NamedTuple):
+        u: jnp.ndarray
+        v: jnp.ndarray
+        v_origin: jnp.ndarray
+        j: jnp.ndarray
+        k: jnp.ndarray
+        err_inner: jnp.ndarray
+        status: jnp.ndarray
+        res: conic_ops.ConicResiduals
+
+    class OC(NamedTuple):
+        inner: IC
+        mu: jnp.ndarray
+        tol_inner: jnp.ndarray
+        i: jnp.ndarray
+
+    def inner_body(s: IC, mu, ipm_i):
+        u_t, _ = conic_ops.projection(s.u, s.v, solve_fn, rho, r_vec,
+                                      a_coef, Q_times, m, n, s.k)
+        u, v = conic_ops.barrier_and_dual(s.u, s.v, u_t, mu, rho_tail,
+                                          layout, alpha, m, n)
+        v_origin = rho * v
+        k = s.k + 1
+        err_inner = conic_ops.inner_conv_check(u, v_origin, matvec, rmatvec,
+                                               Q_times, b, c, m, n)
+        do_check = ((s.j + 1) % inner_check_period == 0) | (
+            s.res.error_ratio <= 8.0
+        )
+
+        def check(_):
+            r = residuals(u, v_origin, s.res)
+            return r, converged(r, (ipm_i > 0) & (k > 0))
+
+        r, st = jax.lax.cond(do_check, check,
+                             lambda _: (s.res, jnp.zeros((), jnp.int32)),
+                             None)
+        return IC(u=u, v=v, v_origin=v_origin, j=s.j + 1, k=k,
+                  err_inner=err_inner, status=st, res=r)
+
+    def outer_body(o: OC):
+        s = o.inner._replace(
+            j=jnp.zeros((), jnp.int32),
+            err_inner=jnp.full((), jnp.inf, dtype),
+            status=jnp.zeros((), jnp.int32),
+        )
+
+        def icond(s: IC):
+            return (
+                (s.j < max_admm)
+                & (s.err_inner >= o.tol_inner)
+                & (s.status == 0)
+                & (s.k < max_admm * max_ipm)
+            )
+
+        s = jax.lax.while_loop(icond, lambda ss: inner_body(ss, o.mu, o.i), s)
+        r = residuals(s.u, s.v_origin, s.res)
+        st = jnp.where(s.status != 0, s.status,
+                       converged(r, (o.i > 0) & (s.k > 0)))
+        s = s._replace(res=r, status=st)
+        mu, tol = conic_ops.adjust_barrier_device(o.mu, r.error_ratio, eps, psi)
+        done = st != 0
+        mu = jnp.where(done, o.mu, mu)
+        return OC(inner=s, mu=mu, tol_inner=tol, i=o.i + 1)
+
+    def outer_cond(o: OC):
+        return (o.inner.status == 0) & (o.i < max_ipm) & (
+            o.inner.k < max_admm * max_ipm
+        )
+
+    x0 = layout.interior_point(dtype)
+    u0 = jnp.concatenate([jnp.zeros((m,), dtype), x0, jnp.ones((1,), dtype)])
+    init = OC(
+        inner=IC(u=u0, v=u0, v_origin=rho * u0,
+                 j=jnp.zeros((), jnp.int32), k=jnp.zeros((), jnp.int32),
+                 err_inner=jnp.full((), jnp.inf, dtype),
+                 status=jnp.zeros((), jnp.int32),
+                 res=conic_ops.ConicResiduals.init(dtype)),
+        mu=jnp.ones((), dtype),
+        tol_inner=jnp.asarray(4.0, dtype),
+        i=jnp.zeros((), jnp.int32),
+    )
+    fin = jax.lax.while_loop(outer_cond, outer_body, init)
+
+    s = fin.inner
+    r = s.res
+    tau = jnp.maximum(r.tau, conic_ops.EPS_TOL)
+    return ConicDeviceResult(
+        x=s.u[m : m + n] / tau, y=s.u[:m] / tau,
+        s=s.v[m : m + n] / tau,
+        status=s.status, ipm_iters=fin.i, admm_iters=s.k,
+        res_pri=r.res_pri, res_dual=r.res_dual, rel_gap=r.rel_gap,
+        pobj=r.pobj, dobj=r.dobj,
+    )
+
+
+@partial(jax.jit, static_argnames=("cones", "eps", "max_ipm", "max_admm",
+                                   "alpha", "rho_y", "rho_x", "rho_tau",
+                                   "psi", "inner_check_period"))
+def solve_qcp_batch(As, bs, cs, Q_diags=None, *, cones: ConeSpec,
+                    eps=1e-4, max_ipm=200, max_admm=100_000, alpha=1.8,
+                    rho_y=1e-6, rho_x=1.0, rho_tau=1.0, psi=1.0,
+                    inner_check_period=500) -> ConicDeviceResult:
+    """Solve a stacked batch of same-shape conic programs on device.
+
+    As: (B, m, n); bs: (B, m); cs: (B, n); Q_diags: optional (B, n)
+    diagonal quadratic terms.  No equilibration -- pre-scale the data.
+    """
+    layout = ConeLayout(cones)
+
+    def one(A, b, c, qd):
+        return _device_solve_qcp(
+            A, b, c, qd, layout, eps=eps, max_ipm=max_ipm,
+            max_admm=max_admm, alpha=alpha, rho_y=rho_y, rho_x=rho_x,
+            rho_tau=rho_tau, psi=psi, inner_check_period=inner_check_period,
+        )
+
+    if Q_diags is None:
+        return jax.vmap(lambda A, b, c: one(A, b, c, None))(As, bs, cs)
+    return jax.vmap(one)(As, bs, cs, Q_diags)

@@ -120,6 +120,37 @@ def lasso_operator(X, y, lam: float) -> ConicProblem:
     return ConicProblem(A=op, b=b, c=c, cones=cones, recover=recover)
 
 
+def solve_lasso_batch(Xs, ys, lams, eps=1e-4, **kw):
+    """Solve a sweep of same-shape LASSO instances as ONE device program.
+
+    The TPU-first replacement for the reference's LASSO benchmark grid
+    (`scripts/bench-qcp/test_lasso.m:36-120`, one process per instance):
+    the whole (m, n, lambda) sweep is vmapped.  Returns (W, objs, result).
+    """
+    import jax.numpy as jnp
+
+    from ..parallel.batched_qcp import solve_qcp_batch
+
+    Xs = np.asarray(Xs, float)
+    ys = np.asarray(ys, float)
+    lams = np.asarray(lams, float)
+    B, m, n = Xs.shape
+    probs = [lasso_to_conic(Xs[i], ys[i], float(lams[i])) for i in range(B)]
+    As = np.stack([p.A for p in probs])
+    bs = np.stack([p.b for p in probs])
+    cs = np.stack([p.c for p in probs])
+    res = solve_qcp_batch(jnp.asarray(As), jnp.asarray(bs), jnp.asarray(cs),
+                          cones=probs[0].cones, eps=eps, **kw)
+    W = np.zeros((B, n))
+    objs = np.zeros(B)
+    for i in range(B):
+        z = np.asarray(res.x[i])
+        w = z[2 + m : 2 + m + n] - z[2 + m + n :]
+        W[i] = w
+        objs[i] = 0.5 * np.sum((Xs[i] @ w - ys[i]) ** 2) + lams[i] * np.abs(w).sum()
+    return W, objs, res
+
+
 def solve_lasso(X, y, lam: float, settings=None, matrix_free: bool = False,
                 **overrides):
     """One-call LASSO solve; returns (w, objective, conic solution).

@@ -43,28 +43,8 @@ def conic_defaults(**overrides) -> Settings:
     return Settings(**base)
 
 
-class ConicResiduals(NamedTuple):
-    res_pri: jnp.ndarray
-    res_dual: jnp.ndarray
-    rel_gap: jnp.ndarray
-    res_dif: jnp.ndarray
-    error_ratio: jnp.ndarray
-    res_infeas: jnp.ndarray
-    res_unbdd: jnp.ndarray
-    pobj: jnp.ndarray
-    dobj: jnp.ndarray
-    tau: jnp.ndarray
-    kap: jnp.ndarray
-    Ax_b_norm: jnp.ndarray
-    Qx_ATy_c_s_norm: jnp.ndarray
-
-    @staticmethod
-    def init(dtype):
-        big = jnp.full((), 1e8, dtype)
-        z = jnp.ones((), dtype)
-        nan = jnp.full((), jnp.nan, dtype)
-        return ConicResiduals(big, big, big, big, big, nan, nan, nan, nan,
-                              z, z, big, big)
+from . import conic_ops
+from .conic_ops import ConicResiduals  # re-exported for compatibility
 
 
 class ConicInnerState(NamedTuple):
@@ -259,145 +239,36 @@ class ConicWorkspace:
                 return Q_diag * x
             return jnp.zeros_like(x)
 
+        def solve_fn(w_y, w_x, k, warm):
+            return solver.solve(w_y, w_x, iter_count=k, warm_start=warm)
+
         def projection(u, v, k):
-            """DR projection with quadratic-formula tau
-            (`projection`, `source/abip.c:186-254`)."""
-            w_vec = rho_head * (u[: m + n] + v[: m + n])
-            eta = rho_tau * (u[l - 1] + v[l - 1])
-            z_y, z_x, its = solver.solve(w_vec[:m], w_vec[m:], iter_count=k,
-                                         warm_start=u[m : m + n])
-            p = jnp.concatenate([z_y, z_x])
-            b_coef = (
-                jnp.dot(r_vec, w_vec) - 2.0 * jnp.dot(r_vec, rho_head * p) - eta
-            )
-            c_coef = -jnp.dot(z_x, Q_times(z_x))
-            disc = jnp.maximum(b_coef * b_coef - 4.0 * a_coef * c_coef, 0.0)
-            tau_t = (-b_coef + jnp.sqrt(disc)) / (2.0 * a_coef)
-            tau_t = jnp.where(k > 0, tau_t, 1.0)
-            u_t = jnp.concatenate([p - tau_t * r_vec, tau_t[None]])
-            return u_t, its
+            return conic_ops.projection(u, v, solve_fn, rho, r_vec, a_coef,
+                                        Q_times, m, n, k)
 
         def barrier_and_dual(u, v, u_t, lam):
-            """`solve_barrier_subproblem` + `update_dual_vars`
-            (`source/abip.c:314-413`): DR with over-relaxation."""
-            rel_ut = alpha * u_t + (1.0 - alpha) * u
-            t = rel_ut - v
-            head = t[:m]
-            lam_tail = lam / rho_tail  # per-element lambda (x block + tau)
-            tail = cone_barrier_prox(t[m : m + n], lam_tail[:n], layout)
-            tau_in = t[l - 1]
-            lam_tau = lam_tail[n]
-            tau = 0.5 * (tau_in + jnp.sqrt(tau_in * tau_in + 4.0 * lam_tau))
-            u_new = jnp.concatenate([head, tail, tau[None]])
-            v_new = v + u_new - rel_ut
-            return u_new, v_new
+            return conic_ops.barrier_and_dual(u, v, u_t, lam, rho_tail,
+                                              layout, alpha, m, n)
 
         def inner_conv_check(u, v_origin):
-            """HSD-operator mismatch (`qcp_inner_conv_check`,
-            `qcp_config.c:518-557`)."""
-            y, x, tau = u[:m], u[m : m + n], u[l - 1]
-            Mu_y = A_op.matvec(x)
-            Mu_x = -A_op.rmatvec(y) + Q_times(x)
-            Qu_y = Mu_y - b * tau
-            Qu_x = Mu_x + c * tau
-            Mu = jnp.concatenate([Mu_y, Mu_x])
-            Qu_tau = (
-                -jnp.dot(u[: m + n], Mu) / jnp.where(jnp.abs(tau) < EPS_TOL, EPS_TOL, tau)
-                + jnp.dot(y, b)
-                - jnp.dot(x, c)
-            )
-            Qu = jnp.concatenate([Qu_y, Qu_x, Qu_tau[None]])
-            diff = Qu - v_origin
-            return jnp.linalg.norm(diff) / (
-                1.0 + jnp.linalg.norm(Qu) + jnp.linalg.norm(v_origin)
-            )
+            return conic_ops.inner_conv_check(u, v_origin, A_op.matvec,
+                                              A_op.rmatvec, Q_times, b, c,
+                                              m, n)
+
+        obj_scale = (stgs.scale if stgs.normalize else 1.0)
 
         def calc_residuals(u, v_origin, prev: ConicResiduals):
-            """`calc_qcp_residuals` (`qcp_config.c:562-691`): unscaled
-            inf-norm residuals + certificates."""
-            tau = jnp.abs(u[l - 1])
-            tau_safe = jnp.maximum(tau, EPS_TOL)
-            kap = jnp.abs(v_origin[l - 1]) / (
-                (stgs.scale * sc_c * sc_b) if stgs.normalize else 1.0
-            )
-            y = u[:m] / tau_safe
-            x = u[m : m + n] / tau_safe
-            s = v_origin[m : m + n] / tau_safe
-
-            Ax = A_op.matvec(x)
-            Ax_b = Ax - b
-            Ax_b_norm = jnp.max(jnp.abs(Ax_b))
-            DAx = D * Ax
-            DAx_b = D * Ax_b
-            res_pri = jnp.max(jnp.abs(DAx_b)) / (
-                sc_b + jnp.maximum(jnp.max(jnp.abs(DAx)), sc_b * nm_inf_b)
-            )
-
-            Qx = Q_times(x)
-            xQx_2 = jnp.dot(x, Qx) / (2.0 * sc_b * sc_c)
-            ATy = A_op.rmatvec(y)
-            dres_vec = Qx - ATy + c - s
-            Qx_ATy_c_s_norm = jnp.max(jnp.abs(dres_vec))
-            res_dual = jnp.max(jnp.abs(E * dres_vec)) / (
-                sc_c + jnp.maximum(sc_c * nm_inf_c, jnp.max(jnp.abs(E * Qx)))
-            )
-
-            cTx = jnp.dot(c, x) / (sc_b * sc_c)
-            bTy = jnp.dot(b, y) / (sc_b * sc_c)
-            rel_gap = jnp.abs(2.0 * xQx_2 + cTx - bTy) / (
-                1.0 + jnp.maximum(2.0 * xQx_2, jnp.maximum(jnp.abs(cTx), jnp.abs(bTy)))
-            )
-            pobj = xQx_2 + cTx
-            dobj = -xQx_2 + bTy
-
-            res_dif = jnp.maximum(
-                jnp.maximum(jnp.abs(res_pri - prev.res_pri),
-                            jnp.abs(res_dual - prev.res_dual)),
-                jnp.abs(rel_gap - prev.rel_gap),
-            )
-            error_ratio = jnp.maximum(
-                res_pri / stgs.eps_p,
-                jnp.maximum(res_dual / stgs.eps_d, rel_gap / stgs.eps_g),
-            )
-
-            ctx_u = jnp.dot(c, u[m : m + n])
-            nan = jnp.full((), jnp.nan, dtype)
-            unb_num = jnp.maximum(
-                jnp.linalg.norm(E * Qx * tau), jnp.linalg.norm(DAx * tau)
-            )
-            res_unbdd = jnp.where(
-                ctx_u < 0, unb_num / jnp.where(ctx_u < 0, -ctx_u, 1.0), nan
-            )
-            bty_u = jnp.dot(b, u[:m])
-            inf_num = jnp.linalg.norm(E * (ATy * tau + s * tau))
-            res_infeas = jnp.where(
-                bty_u > 0, inf_num / jnp.where(bty_u > 0, bty_u, 1.0), nan
-            )
-
-            return ConicResiduals(
-                res_pri=res_pri, res_dual=res_dual, rel_gap=rel_gap,
-                res_dif=res_dif, error_ratio=error_ratio,
-                res_infeas=res_infeas, res_unbdd=res_unbdd,
-                pobj=pobj, dobj=dobj, tau=tau, kap=kap,
-                Ax_b_norm=Ax_b_norm, Qx_ATy_c_s_norm=Qx_ATy_c_s_norm,
+            return conic_ops.conic_residuals(
+                u, v_origin, prev, A_op.matvec, A_op.rmatvec, Q_times, b, c,
+                D, E, sc_b, sc_c, obj_scale, nm_inf_b, nm_inf_c,
+                stgs.eps_p, stgs.eps_d, stgs.eps_g, m, n,
             )
 
         def has_converged(r: ConicResiduals, total_pos):
-            """`has_converged` (`source/abip.c:750-777`)."""
-            solved = (
-                (r.res_pri < stgs.eps_p)
-                & (r.res_dual < stgs.eps_d)
-                & (r.rel_gap < stgs.eps_g)
+            return conic_ops.conic_converged_code(
+                r, stgs.eps_p, stgs.eps_d, stgs.eps_g, stgs.eps_inf,
+                stgs.eps_unb, stgs.err_dif, total_pos,
             )
-            stag = r.res_dif < stgs.err_dif * max(stgs.eps_p, stgs.eps_d, stgs.eps_g)
-            unbdd = (r.res_unbdd < stgs.eps_unb) & total_pos
-            infeas = (r.res_infeas < stgs.eps_inf) & total_pos
-            return jnp.where(
-                solved, Status.SOLVED,
-                jnp.where(stag, Status.SOLVED_INACCURATE,
-                          jnp.where(unbdd, Status.UNBOUNDED,
-                                    jnp.where(infeas, Status.INFEASIBLE, 0))),
-            ).astype(jnp.int32)
 
         def inner_body(state: ConicInnerState, mu, beta, tol_inner, ipm_i, k_cap):
             u_t, its = projection(state.u, state.v, state.k)
@@ -449,59 +320,15 @@ class ConicWorkspace:
 
     # ------------------------------------------------------------------ #
     def _adjust_barrier(self, mu, res_np):
-        """`adjust_barrier` (`source/abip.c:994-1071`): sigma/gamma tables."""
+        """`adjust_barrier` (`source/abip.c:994-1071`) via the shared
+        bucket tables (`conic_ops.adjust_barrier_device`)."""
         stgs = self.stgs
         eps_min = min(stgs.eps_p, stgs.eps_d, stgs.eps_g)
-        ratio = mu / eps_min
-        sigma = 0.8
-        if ratio > 50:
-            gamma = 1.5
-        elif ratio > 10:
-            gamma = 1.3
-        elif ratio > 5:
-            gamma = 1.2
-        elif ratio > 1:
-            gamma = 1.1
-        elif ratio > 0.5:
-            gamma = 1.0
-        elif ratio > 0.05:
-            gamma = 0.9
-        elif ratio > 0.005:
-            gamma = 0.8
-        elif ratio > 0.0005:
-            gamma = 0.7
-        elif ratio > 0.00005:
-            gamma = 0.6
-        else:
-            gamma = 0.5
-
-        mr = res_np["error_ratio"]
-        if mr > 22:
-            gamma *= 4.4
-        elif mr > 18:
-            gamma *= 4.2
-        elif mr > 15:
-            gamma *= 4.0
-        elif mr > 12:
-            gamma *= 3.8
-        elif mr > 8:
-            gamma *= 3.6
-        elif mr > 6:
-            sigma, gamma = 0.81, gamma * 3.4
-        elif mr > 4:
-            sigma, gamma = 0.82, gamma * 3.4
-        elif mr > 3:
-            sigma, gamma = 0.83, gamma * 3.2
-        elif mr > 2:
-            sigma, gamma = 0.85, gamma * 2.8
-        elif mr > 1.5:
-            sigma, gamma = 0.85, gamma * 2.6
-        else:
-            sigma, gamma = 0.85, gamma * 2.4
-
-        sigma *= 0.2
-        mu = sigma * mu
-        return mu, gamma * mu ** stgs.psi
+        mu_new, tol = conic_ops.adjust_barrier_device(
+            jnp.asarray(mu), jnp.asarray(res_np["error_ratio"]),
+            eps_min, stgs.psi,
+        )
+        return float(mu_new), float(tol)
 
     def solve(self) -> ConicSolution:
         from .utils import IterationLog, PhaseTimers, solver_banner

@@ -92,3 +92,38 @@ def test_graft_entry_contract():
     out = jax.jit(fn)(*args)
     jax.block_until_ready(out)
     ge.dryrun_multichip(min(8, len(jax.devices())))
+
+
+def test_batched_qcp_soc_toys(rng):
+    from abip_tpu import ConeSpec
+    from abip_tpu.parallel.batched_qcp import solve_qcp_batch
+
+    B, d = 4, 3
+    As = np.zeros((B, d, d + 1))
+    bs = np.zeros((B, d))
+    cs = np.zeros((B, d + 1))
+    refs = []
+    for i in range(B):
+        a = rng.standard_normal(d)
+        As[i, :, 1:] = np.eye(d)
+        bs[i] = a
+        cs[i, 0] = 1.0
+        refs.append(np.linalg.norm(a))
+    res = solve_qcp_batch(jnp.asarray(As), jnp.asarray(bs), jnp.asarray(cs),
+                          cones=ConeSpec(soc=(d + 1,)), eps=1e-5)
+    assert (np.asarray(res.status) == 1).all()
+    np.testing.assert_allclose(np.asarray(res.pobj), refs, atol=1e-3)
+
+
+def test_lasso_sweep_batch(rng):
+    from abip_tpu.problems.lasso import solve_lasso_batch, solve_lasso
+
+    B, m, n = 3, 20, 8
+    Xs = rng.standard_normal((B, m, n))
+    ys = rng.standard_normal((B, m))
+    lams = np.array([0.5, 1.0, 2.0])
+    W, objs, res = solve_lasso_batch(Xs, ys, lams, eps=1e-5)
+    assert (np.asarray(res.status) == 1).all()
+    for i in range(B):
+        _, obj_ref, _ = solve_lasso(Xs[i], ys[i], float(lams[i]), eps=1e-5)
+        assert objs[i] == pytest.approx(obj_ref, abs=1e-2 * (1 + obj_ref))
