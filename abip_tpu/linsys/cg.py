@@ -23,6 +23,49 @@ CG_BEST_TOL = 1e-9
 CG_MIN_TOL = 1e-1
 
 
+def pcg(G, M, b, x0, tol, max_iters):
+    """Jacobi-preconditioned CG: solve G(x) = b to ||r|| < tol.
+
+    Pure function (reused by the solver classes and the shape-cached LP
+    kernels); mirrors `pcg` (`indirect.c:321-391`)."""
+    x = x0
+    r = b - G(x)
+    z = M * r
+    p = z
+    ipzr = jnp.dot(z, r)
+
+    def cond(carry):
+        x, r, p, ipzr, i = carry
+        return (jnp.linalg.norm(r) >= tol) & (i < max_iters)
+
+    def body(carry):
+        x, r, p, ipzr, i = carry
+        Gp = G(p)
+        alpha = ipzr / jnp.dot(p, Gp)
+        x = x + alpha * p
+        r = r - alpha * Gp
+        z = M * r
+        ipzr_new = jnp.dot(z, r)
+        p = z + (ipzr_new / ipzr) * p
+        return (x, r, p, ipzr_new, i + 1)
+
+    x, r, p, ipzr, iters = jax.lax.while_loop(
+        cond, body, (x, r, p, ipzr, jnp.zeros((), jnp.int32))
+    )
+    return x, iters
+
+
+def cg_tolerance(rhs_norm, iter_count, cg_rate, dtype):
+    """Decaying tolerance schedule (`indirect.c:406-409`)."""
+    it = jnp.asarray(iter_count, dtype)
+    sched = jnp.where(
+        it < 0,
+        CG_BEST_TOL,
+        CG_MIN_TOL / jnp.power(jnp.maximum(it, 0.0) + 1.0, cg_rate),
+    )
+    return jnp.maximum(rhs_norm * sched, 1e-7)
+
+
 class CGSolver:
     """Matrix-free CG on (rho_y I + A A^T) z_y = w_y + A w_x."""
 

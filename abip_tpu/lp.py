@@ -26,7 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .problem import LinearOperator
-from .linsys import make_solver
+from .linsys import make_solver  # noqa: F401  (public seam, used by conic path)
 from .scaling import equilibrate, ScalingData
 from .settings import Settings, Status
 from . import schedules
@@ -35,6 +35,66 @@ from .hsd import LPResiduals as Residuals
 
 EPS_TOL = hsd.EPS_TOL
 INDETERMINATE_TOL = 1e-9
+
+
+class LPOperands(NamedTuple):
+    """Problem data as a pytree ARGUMENT to the jitted kernels.
+
+    Passing data as arguments (instead of closure constants) means the
+    compiled kernels are cached per (kind, m, n, settings) -- one compile
+    serves every instance of that shape, realizing the reference's
+    init/solve split (`include/abip.h:116-123`) at the XLA level.
+    Unused fields are None (their absence is part of the treedef).
+    """
+
+    A: object          # dense (m, n) array, or None for sparse kinds
+    bcsr: object       # BCSRMatrix of A, or None
+    bcsr_T: object     # BCSRMatrix of A', or None
+    chol: object       # (m, m) Cholesky factor, or None (cg kinds)
+    M: object          # (m,) Jacobi preconditioner diag, or None
+    h: jnp.ndarray
+    g: jnp.ndarray
+    g_th: jnp.ndarray
+    b: jnp.ndarray
+    c: jnp.ndarray
+    pr_scale: jnp.ndarray
+    dr_scale: jnp.ndarray
+    obj_scale: jnp.ndarray
+    nm_b: jnp.ndarray
+    nm_c: jnp.ndarray
+
+
+def _ops_matvec(ops: LPOperands, x):
+    if ops.A is not None:
+        return ops.A @ x
+    from .ops.spmv_pallas import bcsr_matvec
+
+    return bcsr_matvec(ops.bcsr, x, use_pallas=False)
+
+
+def _ops_rmatvec(ops: LPOperands, y):
+    if ops.A is not None:
+        return ops.A.T @ y
+    from .ops.spmv_pallas import bcsr_matvec
+
+    return bcsr_matvec(ops.bcsr_T, y, use_pallas=False)
+
+
+def _ops_solve(ops: LPOperands, stgs: Settings, w_y, w_x, k, warm):
+    """KKT solve through the operand pytree (dense-direct or PCG)."""
+    rhs = w_y + _ops_matvec(ops, w_x)
+    if ops.chol is not None:
+        z_y = jax.scipy.linalg.cho_solve((ops.chol, True), rhs)
+        its = jnp.zeros((), jnp.int32)
+    else:
+        from .linsys.cg import cg_tolerance, pcg
+
+        tol = cg_tolerance(jnp.linalg.norm(rhs), k, stgs.cg_rate, rhs.dtype)
+        G = lambda y: stgs.rho_y * y + _ops_matvec(ops, _ops_rmatvec(ops, y))
+        x0 = warm if warm is not None else jnp.zeros_like(w_y)
+        z_y, its = pcg(G, ops.M, rhs, x0, tol, stgs.cg_max_iters)
+    z_x = _ops_rmatvec(ops, z_y) - w_x
+    return z_y, z_x, its
 
 
 class InnerState(NamedTuple):
@@ -56,6 +116,147 @@ class InnerState(NamedTuple):
     status: jnp.ndarray       # Status code, 0 while running
     res: Residuals
     cg_iters: jnp.ndarray     # accumulated linsys aux iterations
+
+
+# --------------------------------------------------------------------- #
+# shape-cached kernels: jitted once per (operand treedef, shapes, stgs)  #
+# --------------------------------------------------------------------- #
+def _dims(ops: LPOperands):
+    return ops.b.shape[0], ops.c.shape[0]
+
+
+@partial(jax.jit, static_argnames=("stgs",))
+def _project_k(ops: LPOperands, u, v, k, *, stgs: Settings):
+    m, n = _dims(ops)
+    solve_fn = lambda w_y, w_x, kk, warm: _ops_solve(ops, stgs, w_y, w_x, kk, warm)
+    return hsd.project_lin_sys(u, v, ops.h, ops.g, ops.g_th, stgs.rho_y,
+                               solve_fn, k, m, n)
+
+
+@partial(jax.jit, static_argnames=("stgs",))
+def _calc_residuals_k(ops: LPOperands, u, v, *, stgs: Settings):
+    m, n = _dims(ops)
+    return hsd.lp_residuals(
+        u, v, partial(_ops_matvec, ops), partial(_ops_rmatvec, ops),
+        ops.b, ops.c, ops.pr_scale, ops.dr_scale, ops.obj_scale,
+        ops.nm_b, ops.nm_c, m, n,
+    )
+
+
+@partial(jax.jit, static_argnames=("stgs",))
+def _bb_beta_k(ops: LPOperands, u, v, mu, *, stgs: Settings):
+    from .adaptive import bb_update_beta
+
+    m, n = _dims(ops)
+    solve_fn = lambda w_y, w_x, kk, warm: _ops_solve(ops, stgs, w_y, w_x, kk, warm)
+    return bb_update_beta(u, v, mu, ops.h, ops.g, ops.g_th, stgs.rho_y,
+                          stgs.alpha, solve_fn, m, n,
+                          stgs.adaptive_lookback, stgs.eps_cor, stgs.eps_pen)
+
+
+@partial(jax.jit, static_argnames=("stgs",))
+def _run_inner_k(ops: LPOperands, state: InnerState, mu, beta, gamma,
+                 inner_stopper, final_check, ipm_i, max_iters, *,
+                 stgs: Settings):
+    """The hot loop: `abip.c:2131-2215` as one lax.while_loop."""
+    m, n = _dims(ops)
+    solve_fn = lambda w_y, w_x, kk, warm: _ops_solve(ops, stgs, w_y, w_x, kk, warm)
+
+    def q_norm_resd(u, v):
+        return hsd.q_norm_resd(u, v, partial(_ops_matvec, ops),
+                               partial(_ops_rmatvec, ops), ops.b, ops.c, m, n)
+
+    def inner_body(state: InnerState):
+        u_prev = state.u
+        u_t, its = hsd.project_lin_sys(state.u, state.v, ops.h, ops.g,
+                                       ops.g_th, stgs.rho_y, solve_fn,
+                                       state.k, m, n)
+        lam = mu / beta
+        if stgs.half_update:
+            u, v = hsd.admm_update_half(state.u, state.v, u_t, lam, m)
+        else:
+            u, v = hsd.admm_update(state.u, state.v, u_prev, u_t, lam,
+                                   stgs.alpha, m)
+
+        # restart (`abip.c:587-630`): accumulate, then average every
+        # restart_fre iterations once past restart_thresh.
+        u_avg = state.u_avg + u
+        v_avg = state.v_avg + v
+        fre = stgs.restart_fre
+        do_restart = (state.k >= stgs.restart_thresh) & ((state.j + 1) % fre == 0)
+        u = jnp.where(do_restart, u_avg / fre, u)
+        v = jnp.where(do_restart, v_avg / fre, v)
+        u_avg = jnp.where(do_restart, jnp.zeros_like(u_avg), u_avg)
+        v_avg = jnp.where(do_restart, jnp.zeros_like(v_avg), v_avg)
+
+        # cumulative average candidate (`abip.c:635-659`)
+        u_sum = state.u_sum + u
+        v_sum = state.v_sum + v
+        dom = (state.j + 1).astype(u.dtype)
+        u_avgcon = u_sum / dom
+        v_avgcon = v_sum / dom
+
+        # inner criterion (`abip.c:1951-2051`): every 10th iteration also
+        # evaluate the averaged iterate and adopt it if better.
+        q_cur = q_norm_resd(u, v)
+
+        def with_avg(_):
+            q_avg = q_norm_resd(u_avgcon, v_avgcon)
+            better = q_avg < q_cur
+            return jnp.where(better, q_avg, q_cur), better
+
+        def without_avg(_):
+            return q_cur, jnp.zeros((), bool)
+
+        qres, avg_crit = jax.lax.cond(
+            (state.j + 1) % 10 == 0, with_avg, without_avg, operand=None
+        )
+
+        # convergence check (CONVERGED_INTERVAL=1) when final_check is on
+        u_sel = jnp.where(avg_crit, u_avgcon, u)
+        v_sel = jnp.where(avg_crit, v_avgcon, v)
+
+        def check(_):
+            r = hsd.lp_residuals(
+                u_sel, v_sel, partial(_ops_matvec, ops),
+                partial(_ops_rmatvec, ops), ops.b, ops.c, ops.pr_scale,
+                ops.dr_scale, ops.obj_scale, ops.nm_b, ops.nm_c, m, n,
+            )
+            st = hsd.lp_converged_code(r, stgs.eps, stgs.pfeasopt,
+                                       (ipm_i > 0) & (state.k > 0))
+            return r, st
+
+        def no_check(_):
+            return state.res, jnp.zeros((), jnp.int32)
+
+        res, status = jax.lax.cond(final_check, check, no_check, operand=None)
+
+        return InnerState(
+            u=u, v=v, u_prev=u_prev,
+            u_avg=u_avg, v_avg=v_avg,
+            u_sum=u_sum, v_sum=v_sum,
+            u_avgcon=u_avgcon, v_avgcon=v_avgcon,
+            j=state.j + 1, k=state.k + 1,
+            qres=qres,
+            avg_criterion=avg_crit,
+            status=status,
+            res=res,
+            cg_iters=state.cg_iters + its,
+        )
+
+    def cond(s: InnerState):
+        return (
+            (s.j < inner_stopper)
+            & (s.qres >= gamma * mu)
+            & (s.status == 0)
+            & (s.k < max_iters)
+        )
+
+    out = jax.lax.while_loop(cond, lambda s: inner_body(s), state)
+    if stgs.half_update:
+        # clamp negative duals on qres-triggered exit (`abip.c:2175-2185`)
+        out = out._replace(v=jnp.maximum(out.v, 1e-6))
+    return out
 
 
 @dataclass
@@ -147,30 +348,56 @@ class LPWorkspace:
         self.scal, self.sc_b, self.sc_c = scal, sc_b, sc_c
         self.b, self.c = b_s, c_s
 
+        # -- linear-system payload -------------------------------------------
+        # Direct (cached Cholesky of rho_y I + A A') when m is modest,
+        # PCG otherwise (`source/util.c:237-244` auto-select intent).
+        direct = settings.linsys == "dense" or (
+            settings.linsys == "auto" and m <= 4096
+        )
+        A_dense = bcsr = bcsr_T = chol = M = None
         if is_sparse:
-            # block-sparse operator (ops/spmv_pallas.py); for modest m the
-            # normal matrix is assembled host-side so the direct backend
-            # still applies (the sparse-A analogue of `direct.c:218-270`)
             self.A_op = LinearOperator.from_scipy_sparse(A_s, dtype=dtype)
-            normal = None
-            if m <= 4096 and settings.linsys in ("auto", "dense"):
+            bcsr, bcsr_T = self.A_op.bcsr, self.A_op.bcsr_T
+            if direct:
+                # normal matrix assembled host-side (the sparse-A analogue
+                # of the one-time factorization, `direct.c:218-270`)
                 N = (A_s @ A_s.T).toarray()
                 N[np.diag_indices(m)] += settings.rho_y
-                normal = jnp.asarray(N, dtype)
-            self.solver = make_solver(self.A_op, m, n, settings.rho_y,
-                                      settings, normal_matrix=normal)
+                chol = jax.lax.linalg.cholesky(jnp.asarray(N, dtype))
+            else:
+                M = 1.0 / (settings.rho_y + self.A_op.row_norms_sq)
         else:
             self.A_op = LinearOperator.from_dense(A_s, nnz=nnz)
-            self.solver = make_solver(self.A_op, m, n, settings.rho_y, settings)
+            A_dense = A_s
+            if direct:
+                N = settings.rho_y * jnp.eye(m, dtype=dtype) + A_s @ A_s.T
+                chol = jax.lax.linalg.cholesky(N)
+            else:
+                M = 1.0 / (settings.rho_y + jnp.sum(A_s * A_s, axis=1))
+        self.linsys_kind = "dense" if direct else "cg"
+
+        normalize = settings.normalize
+        scale = settings.scale
+        pr_scale = (scal.D / (sc_b * scale)) if normalize else jnp.ones((m,), dtype)
+        dr_scale = (scal.E / (sc_c * scale)) if normalize else jnp.ones((n,), dtype)
+        obj_scale = (scale * sc_c * sc_b) if normalize else jnp.ones((), dtype)
 
         # -- HSD rank-1 data: h = (-b; c), g = K^-1 h (x-part negated),
         #    g_th = h.g   (`abip.c:1917-1924`) -------------------------------
         # The reference solves K g = h then negates g[m:] (`abip.c:1922-1923`).
         h = jnp.concatenate([-b_s, c_s])
-        g_y, g_x, _ = self.solver.solve(h[:m], h[m:], iter_count=-1)
+        zero = jnp.zeros((), dtype)
+        ops = LPOperands(
+            A=A_dense, bcsr=bcsr, bcsr_T=bcsr_T, chol=chol, M=M,
+            h=h, g=h, g_th=zero, b=b_s, c=c_s,
+            pr_scale=pr_scale, dr_scale=dr_scale, obj_scale=obj_scale,
+            nm_b=self.nm_b, nm_c=self.nm_c,
+        )
+        g_y, g_x, _ = _ops_solve(ops, settings, h[:m], h[m:], -1, None)
         g = jnp.concatenate([g_y, -g_x])
         self.h, self.g = h, g
         self.g_th = jnp.dot(h, g)
+        self.ops = ops._replace(g=g, g_th=self.g_th)
 
         self._build_kernels()
         self.setup_time = time.perf_counter() - t0
@@ -179,149 +406,13 @@ class LPWorkspace:
     # jitted kernels                                                     #
     # ------------------------------------------------------------------ #
     def _build_kernels(self):
-        m, n, l = self.m, self.n, self.l
+        """Bind the shape-cached module-level kernels to this workspace."""
+        ops = self.ops
         stgs = self.stgs
-        A_op, solver = self.A_op, self.solver
-        h, g, g_th = self.h, self.g, self.g_th
-        b, c = self.b, self.c
-        D, E = self.scal.D, self.scal.E
-        sc_b, sc_c, scale = self.sc_b, self.sc_c, stgs.scale
-        nm_b, nm_c = self.nm_b, self.nm_c
-        alpha = stgs.alpha
-        rho_y = stgs.rho_y
-        normalize = stgs.normalize
-        dtype = self.dtype
-
-        pr_scale = (D / (sc_b * scale)) if normalize else jnp.ones((m,), dtype)
-        dr_scale = (E / (sc_c * scale)) if normalize else jnp.ones((n,), dtype)
-        obj_scale = (scale * sc_c * sc_b) if normalize else jnp.ones((), dtype)
-
-        def solve_fn(w_y, w_x, k, warm):
-            return solver.solve(w_y, w_x, iter_count=k, warm_start=warm)
-
-        def q_norm_resd(u, v):
-            return hsd.q_norm_resd(u, v, A_op.matvec, A_op.rmatvec, b, c, m, n)
-
-        def calc_residuals(u, v):
-            return hsd.lp_residuals(u, v, A_op.matvec, A_op.rmatvec, b, c,
-                                    pr_scale, dr_scale, obj_scale, nm_b, nm_c,
-                                    m, n)
-
-        def has_converged(r: Residuals, k, total_iters_pos):
-            return hsd.lp_converged_code(r, stgs.eps, stgs.pfeasopt,
-                                         total_iters_pos)
-
-        def inner_body(state: InnerState, mu, beta, gamma, final_check, ipm_i):
-            u_prev = state.u
-            u_t, its = hsd.project_lin_sys(state.u, state.v, h, g, g_th,
-                                           rho_y, solve_fn, state.k, m, n)
-            lam = mu / beta
-            if stgs.half_update:
-                u, v = hsd.admm_update_half(state.u, state.v, u_t, lam, m)
-            else:
-                u, v = hsd.admm_update(state.u, state.v, u_prev, u_t, lam,
-                                       alpha, m)
-
-            # restart (`abip.c:587-630`): accumulate, then average every
-            # restart_fre iterations once past restart_thresh.
-            u_avg = state.u_avg + u
-            v_avg = state.v_avg + v
-            fre = stgs.restart_fre
-            do_restart = (state.k >= stgs.restart_thresh) & ((state.j + 1) % fre == 0)
-            u = jnp.where(do_restart, u_avg / fre, u)
-            v = jnp.where(do_restart, v_avg / fre, v)
-            u_avg = jnp.where(do_restart, jnp.zeros_like(u_avg), u_avg)
-            v_avg = jnp.where(do_restart, jnp.zeros_like(v_avg), v_avg)
-
-            # cumulative average candidate (`abip.c:635-659`)
-            u_sum = state.u_sum + u
-            v_sum = state.v_sum + v
-            dom = (state.j + 1).astype(u.dtype)
-            u_avgcon = u_sum / dom
-            v_avgcon = v_sum / dom
-
-            # inner criterion (`abip.c:1951-2051`): every 10th iteration also
-            # evaluate the averaged iterate and adopt it if better.
-            q_cur = q_norm_resd(u, v)
-
-            def with_avg(_):
-                q_avg = q_norm_resd(u_avgcon, v_avgcon)
-                better = q_avg < q_cur
-                return jnp.where(better, q_avg, q_cur), better
-
-            def without_avg(_):
-                return q_cur, jnp.zeros((), bool)
-
-            qres, avg_crit = jax.lax.cond(
-                (state.j + 1) % 10 == 0, with_avg, without_avg, operand=None
-            )
-
-            # convergence check (CONVERGED_INTERVAL=1) when final_check is on
-            u_sel = jnp.where(avg_crit, u_avgcon, u)
-            v_sel = jnp.where(avg_crit, v_avgcon, v)
-
-            def check(_):
-                r = calc_residuals(u_sel, v_sel)
-                st = has_converged(r, state.k, (ipm_i > 0) & (state.k > 0))
-                return r, st
-
-            def no_check(_):
-                return state.res, jnp.zeros((), jnp.int32)
-
-            res, status = jax.lax.cond(final_check, check, no_check, operand=None)
-
-            return InnerState(
-                u=u, v=v, u_prev=u_prev,
-                u_avg=u_avg, v_avg=v_avg,
-                u_sum=u_sum, v_sum=v_sum,
-                u_avgcon=u_avgcon, v_avgcon=v_avgcon,
-                j=state.j + 1, k=state.k + 1,
-                qres=qres,
-                avg_criterion=avg_crit,
-                status=status,
-                res=res,
-                cg_iters=state.cg_iters + its,
-            )
-
-        def run_inner(state: InnerState, mu, beta, gamma, inner_stopper,
-                      final_check, ipm_i, max_iters):
-            """The hot loop: `abip.c:2131-2215` as one lax.while_loop."""
-
-            def cond(s: InnerState):
-                return (
-                    (s.j < inner_stopper)
-                    & (s.qres >= gamma * mu)
-                    & (s.status == 0)
-                    & (s.k < max_iters)
-                )
-
-            def body(s):
-                return inner_body(s, mu, beta, gamma, final_check, ipm_i)
-
-            out = jax.lax.while_loop(cond, body, state)
-            if stgs.half_update:
-                # clamp negative duals on qres-triggered exit (`abip.c:2175-2185`)
-                out = out._replace(v=jnp.maximum(out.v, 1e-6))
-            return out
-
-        self._run_inner = jax.jit(run_inner)
-        self._calc_residuals = jax.jit(calc_residuals)
-        self._q_norm = jax.jit(q_norm_resd)
-
-        from .adaptive import bb_update_beta
-
-        self._bb_beta = jax.jit(
-            lambda u, v, mu: bb_update_beta(
-                u, v, mu, h, g, g_th, rho_y, alpha, solve_fn, m, n,
-                stgs.adaptive_lookback, stgs.eps_cor, stgs.eps_pen,
-            )
-        )
-        # exposed for adaptive/tests
-        self.project_lin_sys = jax.jit(
-            lambda u, v, k: hsd.project_lin_sys(
-                u, v, h, g, g_th, rho_y, solve_fn, k, m, n
-            )
-        )
+        self._run_inner = partial(_run_inner_k, ops, stgs=stgs)
+        self._calc_residuals = partial(_calc_residuals_k, ops, stgs=stgs)
+        self._bb_beta = partial(_bb_beta_k, ops, stgs=stgs)
+        self.project_lin_sys = partial(_project_k, ops, stgs=stgs)
 
     # ------------------------------------------------------------------ #
     # host-side driver                                                   #
@@ -403,7 +494,7 @@ class LPWorkspace:
         self._timers = timers
         if stgs.verbose:
             print(solver_banner("LP", m, n, self.A_op.nnz,
-                                type(self.solver).__name__))
+                                self.linsys_kind))
 
         # `update_work` (`abip.c:1843-1927`): sigma/gamma by sparsity
         sp_hi = max(self.sp, stgs.sparsity_ratio)
