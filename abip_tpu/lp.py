@@ -534,8 +534,27 @@ class LPWorkspace:
         res_np = None
         max_admm = stgs.max_admm_iters
 
+        # SIGINT listener (`ctrlc.c:62-92`): ctrl-C sets a flag, the loop
+        # exits at the next stage boundary and the current best iterate is
+        # returned with status ABIP_SIGINT.
+        import signal
+
+        interrupted = False
+
+        def _on_sigint(signum, frame):
+            nonlocal interrupted
+            interrupted = True
+
+        try:
+            old_handler = signal.signal(signal.SIGINT, _on_sigint)
+        except ValueError:          # not the main thread
+            old_handler = None
+
         for i in range(i0, stgs.max_ipm_iters):
             ipm_iter = i
+            if interrupted:
+                status = Status.SIGINT
+                break
             # inner_stopper by sparsity (`abip.c:2104-2115`)
             if sp_lo > 0.5:
                 inner_stopper = max(1, int(round(mu ** -0.35)))
@@ -636,6 +655,11 @@ class LPWorkspace:
                                                jnp.asarray(mu, self.dtype)))
                     state = self._reinit_scale(state, np.sqrt(1.0 / sigma))
 
+        if old_handler is not None:
+            signal.signal(signal.SIGINT, old_handler)
+        if interrupted and status == Status.UNFINISHED:
+            status = Status.SIGINT
+
         solve_time = time.perf_counter() - t0
         sol = self._extract_solution(
             state, res_np, status, ipm_iter, admm_total, solve_time
@@ -718,6 +742,9 @@ class LPWorkspace:
                 status = Status.UNBOUNDED_INACCURATE
                 x = x / (-ctx)
                 y[:], s[:] = np.nan, np.nan
+        elif status == Status.SIGINT:
+            # best-effort solution at interrupt time
+            x, y, s = x / max(tau, EPS_TOL), y / max(tau, EPS_TOL), s / max(tau, EPS_TOL)
         elif status == Status.SOLVED:
             x, y, s = x / max(tau, EPS_TOL), y / max(tau, EPS_TOL), s / max(tau, EPS_TOL)
         elif status == Status.INFEASIBLE:
@@ -736,7 +763,8 @@ class LPWorkspace:
             y = y / (D * sc_c)
             s = s * E / (sc_c * stgs.scale)
 
-        solved_like = status in (Status.SOLVED, Status.SOLVED_INACCURATE)
+        solved_like = status in (Status.SOLVED, Status.SOLVED_INACCURATE,
+                                 Status.SIGINT)
         pobj = ctx / tau if (solved_like and tau > EPS_TOL) else (
             -np.inf if status in (Status.UNBOUNDED, Status.UNBOUNDED_INACCURATE) else np.inf
         )

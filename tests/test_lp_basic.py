@@ -90,3 +90,17 @@ def test_sparse_lp_matches_dense(rng):
         assert s.pobj == pytest.approx(ref, abs=1e-3 * (1 + abs(ref)))
     # same equilibration -> identical trajectories
     assert s_direct.admm_iters == s_dense.admm_iters
+
+
+def test_sigint_returns_best_effort(rng):
+    import os
+    import signal
+    import threading
+
+    A, b, c = random_lp(rng, 40, 300)
+    threading.Timer(4.0, lambda: os.kill(os.getpid(), signal.SIGINT)).start()
+    sol = abip_tpu.solve_lp(A, b, c, eps=1e-13, max_ipm_iters=500)
+    assert sol.status == abip_tpu.Status.SIGINT
+    assert sol.status_name == "Interrupted"
+    assert np.isfinite(sol.x).all()
+    assert np.isfinite(sol.pobj)

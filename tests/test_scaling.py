@@ -1,0 +1,72 @@
+"""Equilibration property tests (SURVEY.md section 7 'hard parts':
+"Equilibration + un-scaling correctness ... property-test roundtrips early").
+"""
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+import jax.numpy as jnp
+
+from abip_tpu.cones import ConeSpec, ConeLayout
+from abip_tpu.scaling import (ScalingData, equilibrate, equilibrate_conic,
+                              equilibrate_sparse)
+from abip_tpu.settings import Settings
+
+
+def test_equilibrate_reconstructs(rng):
+    """A_scaled = diag(1/D) A diag(1/E) * scale exactly."""
+    A = rng.standard_normal((20, 35)) * np.exp(rng.standard_normal((20, 35)))
+    stgs = Settings(scale=2.0)
+    A_s, scal = equilibrate(jnp.asarray(A), stgs)
+    D = np.asarray(scal.D)
+    E = np.asarray(scal.E)
+    recon = (A / D[:, None] / E[None, :]) * 2.0
+    np.testing.assert_allclose(np.asarray(A_s), recon, rtol=1e-12)
+
+
+def test_equilibrate_improves_conditioning(rng):
+    # badly row/col-scaled matrix: ruiz should pull inf-norms toward 1
+    A = rng.standard_normal((15, 25))
+    A *= np.exp(3 * rng.standard_normal(15))[:, None]
+    A *= np.exp(3 * rng.standard_normal(25))[None, :]
+    A_s, _ = equilibrate(jnp.asarray(A), Settings())
+    row_inf = np.abs(np.asarray(A_s)).max(axis=1)
+    col_inf = np.abs(np.asarray(A_s)).max(axis=0)
+    assert row_inf.max() / row_inf.min() < 10
+    assert col_inf.max() / col_inf.min() < 10
+    before = np.abs(A).max() / np.abs(A).min()
+    after = np.abs(np.asarray(A_s)).max() / np.abs(np.asarray(A_s))[np.asarray(A_s) != 0].min()
+    assert after < before
+
+
+def test_sparse_equilibrate_matches_dense(rng):
+    A = rng.standard_normal((12, 30)) * (rng.random((12, 30)) < 0.3)
+    A[np.arange(12), rng.integers(0, 30, 12)] += 1.0
+    stgs = Settings()
+    Ad, scal_d = equilibrate(jnp.asarray(A), stgs)
+    Asp, scal_s = equilibrate_sparse(sp.csr_matrix(A), stgs)
+    np.testing.assert_allclose(np.asarray(scal_d.D), np.asarray(scal_s.D),
+                               rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(scal_d.E), np.asarray(scal_s.E),
+                               rtol=1e-10)
+    np.testing.assert_allclose(Asp.toarray(), np.asarray(Ad), rtol=1e-10)
+
+
+def test_conic_equilibrate_preserves_cone_blocks(rng):
+    # SOC block columns must share one scaling factor (mean tying)
+    spec = ConeSpec(soc=(4, 3), nonneg=5)
+    layout = ConeLayout(spec)
+    n = spec.dim
+    A = rng.standard_normal((8, n)) * np.exp(2 * rng.standard_normal((8, n)))
+    b = rng.standard_normal(8)
+    c = rng.standard_normal(n)
+    stgs = Settings(origin_rescale=True)
+    A_s, Q_s, b_s, c_s, scal = equilibrate_conic(
+        jnp.asarray(A), None, jnp.asarray(b), jnp.asarray(c), layout, stgs)
+    E = np.asarray(scal.E)
+    # within each SOC block, E is constant
+    assert np.allclose(E[0:4], E[0]), E[0:4]
+    assert np.allclose(E[4:7], E[4]), E[4:7]
+    # reconstruction: A_s = D^-1 A E^-1
+    recon = A / np.asarray(scal.D)[:, None] / E[None, :]
+    np.testing.assert_allclose(np.asarray(A_s), recon, rtol=1e-10)
