@@ -76,12 +76,13 @@ class _Anchor(NamedTuple):
                                    "rho_y", "normalize", "scale", "ruiz_iter",
                                    "hybrid_thresh", "dynamic_x", "dynamic_eta",
                                    "shrink_second", "gamma0", "sigma0",
-                                   "precision", "ir_steps"))
+                                   "precision", "ir_steps", "solver"))
 def device_solve_lp(A, b, c, *, eps=1e-6, max_ipm=200, max_admm=200_000,
                     alpha=1.8, rho_y=1e-3, normalize=True, scale=1.0,
                     ruiz_iter=10, hybrid_thresh=1000.0, dynamic_x=0.8,
                     dynamic_eta=1.1, shrink_second=0.5, gamma0=2.0,
-                    sigma0=0.3, precision="f64", ir_steps=1) -> DeviceSolveResult:
+                    sigma0=0.3, precision="f64", ir_steps=1,
+                    solver="cholesky") -> DeviceSolveResult:
     """Solve one standard-form LP entirely on device.  vmap-able."""
     if precision not in ("f64", "mixed"):
         raise ValueError(f"precision must be 'f64' or 'mixed'; got {precision!r}")
@@ -122,6 +123,18 @@ def device_solve_lp(A, b, c, *, eps=1e-6, max_ipm=200, max_admm=200_000,
     chol64 = jax.lax.linalg.cholesky(N64)
     A32 = A_s.astype(f32)
     chol32 = chol64.astype(f32)
+    if solver == "inverse":
+        # explicit inverse: applying N^-1 becomes ONE matmul (MXU-friendly,
+        # fuses under vmap) instead of two sequential triangular solves;
+        # accuracy restored by the same IR steps against N64
+        Ninv32 = jax.scipy.linalg.cho_solve(
+            (chol64, True), jnp.eye(m, dtype=dtype)).astype(f32)
+
+        def solve32(r32):
+            return Ninv32 @ r32
+    else:
+        def solve32(r32):
+            return jax.scipy.linalg.cho_solve((chol32, True), r32)
 
     def solve64(rhs):
         return jax.scipy.linalg.cho_solve((chol64, True), rhs)
@@ -179,13 +192,11 @@ def device_solve_lp(A, b, c, *, eps=1e-6, max_ipm=200, max_admm=200_000,
             q, r_tau = rank1_correct(u, v)
             wx = -q[m:]
             rhs = q[:m] + anc.Aw0 + (A32 @ (wx - anc.w0).astype(f32)).astype(f64)
-            dz = jax.scipy.linalg.cho_solve(
-                (chol32, True), (rhs - anc.q0).astype(f32)).astype(f64)
+            dz = solve32((rhs - anc.q0).astype(f32)).astype(f64)
             z_y = anc.z0 + dz
             for _ in range(ir_steps):
                 resid = rhs - N64 @ z_y
-                z_y = z_y + jax.scipy.linalg.cho_solve(
-                    (chol32, True), resid.astype(f32)).astype(f64)
+                z_y = z_y + solve32(resid.astype(f32)).astype(f64)
             z_x = anc.ATz0 + (A32.T @ (z_y - anc.z0).astype(f32)).astype(f64) - wx
             z = jnp.concatenate([z_y, z_x])
             tau_t = r_tau + jnp.dot(z, h)

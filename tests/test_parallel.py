@@ -127,3 +127,17 @@ def test_lasso_sweep_batch(rng):
     for i in range(B):
         _, obj_ref, _ = solve_lasso(Xs[i], ys[i], float(lams[i]), eps=1e-5)
         assert objs[i] == pytest.approx(obj_ref, abs=1e-2 * (1 + obj_ref))
+
+
+def test_mixed_inverse_solver_matches_cholesky(rng):
+    from abip_tpu.parallel.batched import device_solve_lp
+    from tests.conftest import random_lp
+
+    A, b, c = random_lp(rng, 10, 30)
+    r1 = device_solve_lp(jnp.asarray(A), jnp.asarray(b), jnp.asarray(c),
+                         eps=1e-6, precision="mixed", solver="cholesky")
+    r2 = device_solve_lp(jnp.asarray(A), jnp.asarray(b), jnp.asarray(c),
+                         eps=1e-6, precision="mixed", solver="inverse")
+    assert int(r1.status) == int(r2.status) == 1
+    assert int(r1.admm_iters) == int(r2.admm_iters)
+    assert abs(float(r1.pobj) - float(r2.pobj)) < 1e-8
