@@ -25,6 +25,7 @@ static double nrand(void) { /* Box-Muller */
     return sqrt(-2.0 * log(u1)) * cos(6.283185307179586 * u2);
 }
 
+#ifndef PARITY_MAIN
 int main(int argc, char **argv) {
     abip_int m = 50, n_rand = 1950; double density = 0.3;
     abip_int n = n_rand + m;
@@ -90,5 +91,71 @@ int main(int argc, char **argv) {
            info.admm_iter/dt, info.res_pri, info.res_dual, info.rel_gap);
     return 0;
 }
+#endif /* !PARITY_MAIN */
 
 const char *ABIP(version)(void) { return "2.0.0"; }
+
+/* ---- file-driven mode (added for parity comparison) ----------------
+   Binary format (little-endian):
+     int64 m, n, nnz
+     int64 Ap[n+1], int64 Ai[nnz], double Ax[nnz]   (CSC)
+     double b[m], double c[n]
+   Build with -DPARITY_MAIN to use this entry instead of main(). */
+#ifdef PARITY_MAIN
+static void *xread(FILE *f, void *p, size_t sz, size_t cnt) {
+    if (fread(p, sz, cnt, f) != cnt) { fprintf(stderr, "short read\n"); exit(1); }
+    return p;
+}
+
+int main(int argc, char **argv) {
+    if (argc < 2) { fprintf(stderr, "usage: %s instance.bin [eps]\n", argv[0]); return 1; }
+    FILE *f = fopen(argv[1], "rb");
+    if (!f) { fprintf(stderr, "cannot open %s\n", argv[1]); return 1; }
+    long long dims[3];
+    xread(f, dims, sizeof(long long), 3);
+    abip_int m = (abip_int)dims[0], n = (abip_int)dims[1];
+    long long nnz = dims[2];
+
+    ABIPMatrix *A = (ABIPMatrix*)calloc(1, sizeof(ABIPMatrix));
+    A->m = m; A->n = n;
+    A->p = (abip_int*)malloc((n+1)*sizeof(abip_int));
+    A->i = (abip_int*)malloc(nnz*sizeof(abip_int));
+    A->x = (abip_float*)malloc(nnz*sizeof(abip_float));
+    {
+        long long *tmp = (long long*)malloc((n+1)*sizeof(long long));
+        xread(f, tmp, sizeof(long long), n+1);
+        for (abip_int j = 0; j <= n; ++j) A->p[j] = (abip_int)tmp[j];
+        free(tmp);
+        tmp = (long long*)malloc(nnz*sizeof(long long));
+        xread(f, tmp, sizeof(long long), nnz);
+        for (long long k = 0; k < nnz; ++k) A->i[k] = (abip_int)tmp[k];
+        free(tmp);
+    }
+    xread(f, A->x, sizeof(double), nnz);
+    abip_float *b = (abip_float*)malloc(m*sizeof(abip_float));
+    abip_float *c = (abip_float*)malloc(n*sizeof(abip_float));
+    xread(f, b, sizeof(double), m);
+    xread(f, c, sizeof(double), n);
+    fclose(f);
+
+    ABIPData *d = (ABIPData*)calloc(1, sizeof(ABIPData));
+    d->m = m; d->n = n; d->A = A; d->b = b; d->c = c;
+    d->sp = (double)nnz / ((double)m*n);
+    d->stgs = (ABIPSettings*)calloc(1, sizeof(ABIPSettings));
+    ABIP(set_default_settings)(d);
+    d->stgs->eps = argc > 2 ? atof(argv[2]) : 1e-6;
+    d->stgs->verbose = 0;
+    d->stgs->max_time = 1e9;
+
+    ABIPSolution sol = {0};
+    ABIPInfo info;
+    double t0 = now_sec();
+    ABIP(main)(d, &sol, &info);
+    double dt = now_sec() - t0;
+    printf("{\"status\": \"%s\", \"ipm\": %d, \"admm\": %d, \"time_sec\": %.4f, "
+           "\"pobj\": %.10e, \"dobj\": %.10e, \"pres\": %.3e, \"dres\": %.3e, \"gap\": %.3e}\n",
+           info.status, (int)info.ipm_iter, (int)info.admm_iter, dt,
+           info.pobj, info.dobj, info.res_pri, info.res_dual, info.rel_gap);
+    return 0;
+}
+#endif /* PARITY_MAIN */
