@@ -13,11 +13,13 @@ TPU these become first-class:
     ICI (SURVEY.md section 3.4's "would-be distributed boundary").
 """
 from .batched import device_solve_lp, solve_lp_batch
+from .batched_qcp import solve_qcp_batch
 from .sharded import sharded_normal_matvec, sharded_pcg
 
 __all__ = [
     "device_solve_lp",
     "solve_lp_batch",
+    "solve_qcp_batch",
     "sharded_normal_matvec",
     "sharded_pcg",
 ]

@@ -104,3 +104,13 @@ def test_sigint_returns_best_effort(rng):
     assert sol.status_name == "Interrupted"
     assert np.isfinite(sol.x).all()
     assert np.isfinite(sol.pobj)
+
+
+def test_hilbert_ill_conditioned():
+    from benchmarks.generate import hilbert_lp
+
+    A, b, c = hilbert_lp(n=60, shift=0.5, seed=1)
+    ref = scipy_opt(A, b, c)
+    sol = abip_tpu.solve_lp(A, b, c, eps=1e-6)
+    assert sol.status_name.startswith("Solved")
+    assert sol.pobj == pytest.approx(ref, abs=1e-3 * (1 + abs(ref)))
