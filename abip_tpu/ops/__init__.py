@@ -13,5 +13,6 @@ Every kernel has an `interpret=True` path so tests run on CPU.
 """
 from .spmv_pallas import BCSRMatrix, bcsr_matvec
 from .prox_pallas import fused_barrier_step
+from .admm_pallas import fused_admm_sprint
 
-__all__ = ["BCSRMatrix", "bcsr_matvec", "fused_barrier_step"]
+__all__ = ["BCSRMatrix", "bcsr_matvec", "fused_barrier_step", "fused_admm_sprint"]

@@ -62,3 +62,49 @@ def test_fused_barrier_step_agrees_with_hsd(rng):
                                   use_pallas=False)
     np.testing.assert_allclose(np.asarray(u_new[m:]), np.asarray(u_k), rtol=1e-12)
     np.testing.assert_allclose(np.asarray(v_new[m:]), np.asarray(v_k), rtol=1e-12)
+
+
+def test_fused_admm_sprint_matches_hsd(rng):
+    """The in-kernel sprint must reproduce T steps of hsd math (in f32)."""
+    import jax
+
+    from abip_tpu import hsd
+    from abip_tpu.ops.admm_pallas import fused_admm_sprint
+
+    m, n = 8, 24
+    l = m + n + 1
+    A = jnp.asarray(rng.standard_normal((m, n)), jnp.float32)
+    rho_y = 1e-3
+    N = rho_y * jnp.eye(m, dtype=jnp.float32) + A @ A.T
+    Ninv = jnp.linalg.inv(N.astype(jnp.float64)).astype(jnp.float32)
+    b = jnp.asarray(rng.standard_normal(m), jnp.float32)
+    c = jnp.asarray(rng.standard_normal(n), jnp.float32)
+    h = jnp.concatenate([-b, c, jnp.zeros(1, jnp.float32)])
+    gv = jnp.linalg.solve(N.astype(jnp.float64),
+                          (h[:m] + A @ h[m:l - 1]).astype(jnp.float64))
+    g_x = A.T.astype(jnp.float64) @ gv - h[m:l - 1].astype(jnp.float64)
+    g = jnp.concatenate([gv, -g_x, jnp.zeros(1)]).astype(jnp.float32)
+    g_th = jnp.dot(h[:l - 1], g[:l - 1])
+
+    u0 = jnp.concatenate([jnp.zeros(m), jnp.ones(n + 1)]).astype(jnp.float32)
+    lam, alpha, T = 0.1, 1.8, 7
+
+    # reference trajectory via hsd (f32 operands; exact N^-1 solve)
+    def solve_fn(w_y, w_x, k, warm):
+        z_y = Ninv @ (w_y + A @ w_x)
+        z_x = A.T @ z_y - w_x
+        return z_y, z_x, jnp.zeros((), jnp.int32)
+
+    u_ref, v_ref = u0, u0
+    for _ in range(T):
+        u_t, _ = hsd.project_lin_sys(u_ref, v_ref, h[:l - 1], g[:l - 1],
+                                     g_th, rho_y, solve_fn, 0, m, n)
+        u_ref, v_ref = hsd.admm_update(u_ref, v_ref, u_ref, u_t, lam, alpha, m)
+
+    for kwargs in (dict(use_pallas=False), dict(interpret=True)):
+        u_k, v_k = fused_admm_sprint(A, Ninv, h, g, rho_y, g_th, lam, alpha,
+                                     u0, u0, T=T, **kwargs)
+        np.testing.assert_allclose(np.asarray(u_k), np.asarray(u_ref),
+                                   rtol=2e-5, atol=2e-5)
+        np.testing.assert_allclose(np.asarray(v_k), np.asarray(v_ref),
+                                   rtol=2e-5, atol=2e-5)
