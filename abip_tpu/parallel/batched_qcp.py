@@ -13,14 +13,13 @@ instance data (A, b, c, optional diagonal Q) is batched.
 from __future__ import annotations
 
 from functools import partial
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
 
 from .. import conic_ops
 from ..cones import ConeLayout, ConeSpec
-from ..settings import Settings
 
 
 class ConicDeviceResult(NamedTuple):

@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .cones import ConeSpec, ConeLayout, cone_barrier_prox
+from .cones import ConeSpec, ConeLayout
 from .linsys.schur import DenseSchurSolver, CGSchurSolver
 from .problem import LinearOperator
 from .scaling import equilibrate_conic, ConicScalingData

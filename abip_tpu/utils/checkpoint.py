@@ -10,9 +10,7 @@ rebuilt at workspace construction, the iterate picks up where it left off).
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
 
-import jax.numpy as jnp
 import numpy as np
 
 

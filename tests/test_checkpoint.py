@@ -1,5 +1,4 @@
 """Checkpoint/resume roundtrip: interrupted solve continues to the optimum."""
-import numpy as np
 import pytest
 from scipy.optimize import linprog
 

@@ -66,8 +66,6 @@ def test_fused_barrier_step_agrees_with_hsd(rng):
 
 def test_fused_admm_sprint_matches_hsd(rng):
     """The in-kernel sprint must reproduce T steps of hsd math (in f32)."""
-    import jax
-
     from abip_tpu import hsd
     from abip_tpu.ops.admm_pallas import fused_admm_sprint
 

@@ -2,14 +2,12 @@
 "Equilibration + un-scaling correctness ... property-test roundtrips early").
 """
 import numpy as np
-import pytest
 import scipy.sparse as sp
 
 import jax.numpy as jnp
 
 from abip_tpu.cones import ConeSpec, ConeLayout
-from abip_tpu.scaling import (ScalingData, equilibrate, equilibrate_conic,
-                              equilibrate_sparse)
+from abip_tpu.scaling import equilibrate, equilibrate_conic, equilibrate_sparse
 from abip_tpu.settings import Settings
 
 
