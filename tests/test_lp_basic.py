@@ -114,3 +114,16 @@ def test_hilbert_ill_conditioned():
     sol = abip_tpu.solve_lp(A, b, c, eps=1e-6)
     assert sol.status_name.startswith("Solved")
     assert sol.pobj == pytest.approx(ref, abs=1e-3 * (1 + abs(ref)))
+
+
+@pytest.mark.parametrize("kw", [
+    dict(half_update=True, adaptive=False),
+    dict(origin_rescale=True, qp_rescale=True),
+    dict(pfeasopt=True),
+])
+def test_settings_variants_solve(rng, kw):
+    A, b, c = random_lp(rng, 12, 36)
+    ref = scipy_opt(A, b, c)
+    sol = abip_tpu.solve_lp(A, b, c, eps=1e-5, **kw)
+    assert sol.status_name.startswith("Solved")
+    assert sol.pobj == pytest.approx(ref, abs=1e-2 * (1 + abs(ref)))
