@@ -116,11 +116,6 @@ class Settings:
     warm_start: bool = False
     dtype: str = "float64"
 
-    # The jitted inner ADMM loop returns control to the host every
-    # `sync_period` iterations so the host can log progress / enforce the
-    # time limit without a device->host sync in the hot loop.
-    sync_period: int = 10_000
-
     def resolved(self) -> "Settings":
         """Fill conic tolerances that default to `eps`."""
         kw = {}

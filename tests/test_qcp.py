@@ -139,3 +139,13 @@ def test_mixed_cones(rng):
     assert w.min() > -1e-4
     t = sol.x[0]
     assert t == pytest.approx(np.linalg.norm(F @ w), abs=1e-3)
+
+
+def test_unified_dispatch(rng):
+    A, b, c = random_lp(rng, 10, 30)
+    s_lp = abip_tpu.solve(A, b, c, eps=1e-5)
+    assert type(s_lp).__name__ == "LPSolution"
+    s_conic = abip_tpu.solve(A, b, c, Q=np.eye(30), eps=1e-5)
+    assert type(s_conic).__name__ == "ConicSolution"
+    assert s_lp.status_name.startswith("Solved")
+    assert s_conic.status_name.startswith("Solved")
