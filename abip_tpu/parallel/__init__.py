@@ -12,13 +12,14 @@ TPU these become first-class:
     `shard_map`; SpMV partials and CG/residual reductions ride `psum` over
     ICI (SURVEY.md section 3.4's "would-be distributed boundary").
 """
-from .batched import device_solve_lp, solve_lp_batch
+from .batched import device_solve_lp, solve_lp_batch, solve_lp_suite
 from .batched_qcp import solve_qcp_batch
 from .sharded import sharded_normal_matvec, sharded_pcg
 
 __all__ = [
     "device_solve_lp",
     "solve_lp_batch",
+    "solve_lp_suite",
     "solve_qcp_batch",
     "sharded_normal_matvec",
     "sharded_pcg",

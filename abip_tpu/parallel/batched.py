@@ -355,6 +355,61 @@ def device_solve_lp(A, b, c, *, eps=1e-6, max_ipm=200, max_admm=200_000,
     )
 
 
+def pad_instances(problems, dtype=jnp.float64):
+    """Pad a list of (A, b, c) with mixed shapes to common (M, N) stacks.
+
+    Padding preserves solutions: extra rows are 0 = 0 (harmless under the
+    rho_y-regularized normal equations) and extra columns get zero A
+    columns with cost +1, so their optimal value is 0.  This is the padded
+    suite-batching of SURVEY.md section 5.7 ("batching ~100 Netlib
+    instances via vmap/stacked padding").
+
+    Returns (As, bs, cs, dims) with dims the original (m, n) per instance.
+    """
+    import numpy as np
+
+    M = max(A.shape[0] for A, _, _ in problems)
+    N = max(A.shape[1] for A, _, _ in problems)
+    B = len(problems)
+    As = np.zeros((B, M, N))
+    bs = np.zeros((B, M))
+    cs = np.ones((B, N))      # padded columns cost +1 -> forced to zero
+    dims = []
+    for i, (A, b, c) in enumerate(problems):
+        m, n = A.shape
+        A = np.asarray(A.toarray() if hasattr(A, "toarray") else A, float)
+        As[i, :m, :n] = A
+        bs[i, :m] = b
+        cs[i, :n] = c
+        dims.append((m, n))
+    return jnp.asarray(As, dtype), jnp.asarray(bs, dtype), jnp.asarray(cs, dtype), dims
+
+
+def solve_lp_suite(problems, mesh=None, **kw):
+    """Solve a heterogeneous list of (A, b, c) LPs as ONE vmapped program.
+
+    Returns a list of per-instance dicts with the unpadded solutions.
+    """
+    import numpy as np
+
+    As, bs, cs, dims = pad_instances(problems)
+    res = solve_lp_batch(As, bs, cs, mesh=mesh, **kw)
+    out = []
+    for i, (m, n) in enumerate(dims):
+        out.append({
+            "x": np.asarray(res.x[i][:n]),
+            "y": np.asarray(res.y[i][:m]),
+            "s": np.asarray(res.s[i][:n]),
+            "status": int(res.status[i]),
+            "pobj": float(res.pobj[i]),
+            "dobj": float(res.dobj[i]),
+            "admm_iters": int(res.admm_iters[i]),
+            "res_pri": float(res.res_pri[i]),
+            "rel_gap": float(res.rel_gap[i]),
+        })
+    return out
+
+
 def solve_lp_batch(As, bs, cs, mesh=None, **kw) -> DeviceSolveResult:
     """Solve a stacked batch of same-shape LPs, one XLA program.
 

@@ -141,3 +141,21 @@ def test_mixed_inverse_solver_matches_cholesky(rng):
     assert int(r1.status) == int(r2.status) == 1
     assert int(r1.admm_iters) == int(r2.admm_iters)
     assert abs(float(r1.pobj) - float(r2.pobj)) < 1e-8
+
+
+def test_heterogeneous_padded_suite(rng):
+    from abip_tpu.parallel.batched import solve_lp_suite
+
+    shapes = [(8, 25), (12, 40), (10, 33)]
+    probs, refs = [], []
+    for m, n in shapes:
+        A, b, c = random_lp(rng, m, n)
+        probs.append((A, b, c))
+        refs.append(linprog(c, A_eq=A, b_eq=b, bounds=(0, None),
+                            method="highs").fun)
+    out = solve_lp_suite(probs, eps=1e-6)
+    for r, ref, (m, n) in zip(out, refs, shapes):
+        assert r["status"] == 1
+        assert r["pobj"] == pytest.approx(ref, abs=1e-4 * (1 + abs(ref)))
+        assert r["x"].shape == (n,)
+        assert r["y"].shape == (m,)
