@@ -61,6 +61,43 @@ def run_mps(paths, eps, outdir, **overrides):
     return out
 
 
+def run_mps_batched(paths, eps, outdir, precision="f64"):
+    """Presolve every MPS file, pad to common shape, solve as ONE program."""
+    import jax
+
+    from abip_tpu.io.mps import read_mps
+    from abip_tpu.io.presolve import presolve_to_standard
+    from abip_tpu.parallel.batched import solve_lp_suite
+    from abip_tpu.settings import Status
+
+    probs, stds, names = [], [], []
+    for path in paths:
+        name = os.path.splitext(os.path.basename(path))[0]
+        std = presolve_to_standard(read_mps(path))
+        probs.append((std.A.toarray(), std.b, std.c))
+        stds.append(std)
+        names.append(name)
+    t0 = time.perf_counter()
+    out_raw = solve_lp_suite(probs, eps=eps, precision=precision)
+    wall = time.perf_counter() - t0
+    out = []
+    for name, std, r in zip(names, stds, out_raw):
+        rec = {
+            "name": name,
+            "status": Status.name(r["status"]),
+            "admm_iter": r["admm_iters"],
+            "pres": r["res_pri"], "gap": r["rel_gap"],
+            "pobj": std.user_objective(r["pobj"]),
+            "dobj": std.user_objective(r["dobj"]),
+            "time": wall / len(names),
+            "batch_wall": wall,
+        }
+        out.append(rec)
+        _write(outdir, name, rec)
+        print(json.dumps(rec))
+    return out
+
+
 def run_generated(spec, eps, outdir, batched=False, precision="f64",
                   **overrides):
     import jax.numpy as jnp
@@ -151,7 +188,11 @@ def main(argv=None):
         )
         if not paths:
             raise SystemExit(f"no .mps files under {args.mps}")
-        run_mps(paths, args.eps, args.outdir)
+        if args.batched:
+            run_mps_batched(paths, args.eps, args.outdir,
+                            precision=args.precision)
+        else:
+            run_mps(paths, args.eps, args.outdir)
     elif args.generated:
         run_generated(args.generated, args.eps, args.outdir,
                       batched=args.batched, precision=args.precision)
