@@ -36,14 +36,39 @@ class ConicDeviceResult(NamedTuple):
     dobj: jnp.ndarray
 
 
+f32 = jnp.float32
+f64 = jnp.float64
+
+
+class _AnchorQ(NamedTuple):
+    """Per-stage anchor for mixed-precision conic operator application
+    (the conic analogue of `batched._Anchor`; see `batched.py` docstring
+    for the anchored-delta scheme)."""
+
+    x0: jnp.ndarray     # matvec operand anchor (x block of u)
+    y0: jnp.ndarray     # rmatvec operand anchor
+    Ax0: jnp.ndarray
+    ATy0: jnp.ndarray
+    wy0: jnp.ndarray    # projection rhs anchors
+    wx0: jnp.ndarray
+    rhs0: jnp.ndarray
+    zx0: jnp.ndarray    # Schur solution anchor
+    Azx0: jnp.ndarray
+    Szx0: jnp.ndarray   # S64 @ zx0 (for anchored iterative refinement)
+
+
 def _device_solve_qcp(A, b, c, Q_diag, layout: ConeLayout, *, eps, max_ipm,
                       max_admm, alpha, rho_y, rho_x, rho_tau, psi,
-                      inner_check_period):
+                      inner_check_period, precision="f64", ir_steps=1):
     """One conic instance entirely on device (no equilibration: callers
-    pre-scale, as the reference app configs do).  Dense Schur backend."""
+    pre-scale, as the reference app configs do).  Dense Schur backend.
+
+    precision="mixed": per-stage anchored f32 matvecs/solves with f64
+    state, as in `batched.device_solve_lp`."""
     dtype = A.dtype
     m, n = A.shape
     l = m + n + 1
+    mixed = precision == "mixed"
 
     rho = jnp.concatenate([
         jnp.full((m,), rho_y, dtype),
@@ -60,6 +85,10 @@ def _device_solve_qcp(A, b, c, Q_diag, layout: ConeLayout, *, eps, max_ipm,
     if Q_diag is not None:
         S = S + jnp.diag(Q_diag)
     chol = jax.lax.linalg.cholesky(S)
+    A32 = A.astype(f32)
+    S32 = S.astype(f32)
+    chol32 = chol.astype(f32)
+    ry_inv32 = ry_inv.astype(f32)
 
     def solve_fn(w_y, w_x, k, warm):
         rhs = w_x + A.T @ (ry_inv * w_y)
@@ -67,19 +96,59 @@ def _device_solve_qcp(A, b, c, Q_diag, layout: ConeLayout, *, eps, max_ipm,
         z_y = ry_inv * (w_y - A @ z_x)
         return z_y, z_x, jnp.zeros((), jnp.int32)
 
+    def make_anchor(u, v) -> _AnchorQ:
+        """One f64-quality pass per barrier stage."""
+        x0 = u[m : m + n]
+        y0 = u[:m]
+        w = rho[: m + n] * (u[: m + n] + v[: m + n])
+        wy0, wx0 = w[:m], w[m:]
+        rhs0 = wx0 + A.T @ (ry_inv * wy0)
+        zx0 = jax.scipy.linalg.cho_solve((chol, True), rhs0)
+        return _AnchorQ(x0=x0, y0=y0, Ax0=A @ x0, ATy0=A.T @ y0,
+                        wy0=wy0, wx0=wx0, rhs0=rhs0, zx0=zx0,
+                        Azx0=A @ zx0, Szx0=S @ zx0)
+
+    def make_ops(anc: _AnchorQ):
+        if not mixed:
+            return (lambda x: A @ x), (lambda y: A.T @ y), solve_fn
+
+        def amv(x):
+            return anc.Ax0 + (A32 @ (x - anc.x0).astype(f32)).astype(f64)
+
+        def armv(y):
+            return anc.ATy0 + (A32.T @ (y - anc.y0).astype(f32)).astype(f64)
+
+        def anchored_solve(w_y, w_x, k, warm):
+            dwy32 = (w_y - anc.wy0).astype(f32)
+            drhs = (w_x - anc.wx0) + (
+                A32.T @ (ry_inv32 * dwy32)).astype(f64)
+            dzx = jax.scipy.linalg.cho_solve(
+                (chol32, True), drhs.astype(f32)).astype(f64)
+            z_x = anc.zx0 + dzx
+            rhs = anc.rhs0 + drhs
+            for _ in range(ir_steps):
+                # anchored IR: S z = Szx0 + S32 @ (z - zx0), all f32 matmuls
+                Sz = anc.Szx0 + (S32 @ (z_x - anc.zx0).astype(f32)).astype(f64)
+                resid = rhs - Sz
+                z_x = z_x + jax.scipy.linalg.cho_solve(
+                    (chol32, True), resid.astype(f32)).astype(f64)
+            Az = anc.Azx0 + (A32 @ (z_x - anc.zx0).astype(f32)).astype(f64)
+            z_y = ry_inv * (w_y - Az)
+            return z_y, z_x, jnp.zeros((), jnp.int32)
+
+        return amv, armv, anchored_solve
+
     r_y, r_x, _ = solve_fn(-b, c, -1, None)
     r_vec = jnp.concatenate([r_y, r_x])
     a_coef = rho_tau + jnp.dot(rho[: m + n] * r_vec, r_vec)
 
-    matvec = lambda x: A @ x
-    rmatvec = lambda y: A.T @ y
     ones = jnp.ones((), dtype)
     nm_inf_b = jnp.max(jnp.abs(b)) if m else jnp.zeros((), dtype)
     nm_inf_c = jnp.max(jnp.abs(c))
 
-    def residuals(u, v_origin, prev):
+    def residuals(u, v_origin, prev, mv, rmv):
         return conic_ops.conic_residuals(
-            u, v_origin, prev, matvec, rmatvec, Q_times, b, c,
+            u, v_origin, prev, mv, rmv, Q_times, b, c,
             jnp.ones((m,), dtype), jnp.ones((n,), dtype), ones, ones, 1.0,
             nm_inf_b, nm_inf_c, eps, eps, eps, m, n,
         )
@@ -104,21 +173,21 @@ def _device_solve_qcp(A, b, c, Q_diag, layout: ConeLayout, *, eps, max_ipm,
         tol_inner: jnp.ndarray
         i: jnp.ndarray
 
-    def inner_body(s: IC, mu, ipm_i):
-        u_t, _ = conic_ops.projection(s.u, s.v, solve_fn, rho, r_vec,
+    def inner_body(s: IC, mu, ipm_i, mv, rmv, stage_solve):
+        u_t, _ = conic_ops.projection(s.u, s.v, stage_solve, rho, r_vec,
                                       a_coef, Q_times, m, n, s.k)
         u, v = conic_ops.barrier_and_dual(s.u, s.v, u_t, mu, rho_tail,
                                           layout, alpha, m, n)
         v_origin = rho * v
         k = s.k + 1
-        err_inner = conic_ops.inner_conv_check(u, v_origin, matvec, rmatvec,
+        err_inner = conic_ops.inner_conv_check(u, v_origin, mv, rmv,
                                                Q_times, b, c, m, n)
         do_check = ((s.j + 1) % inner_check_period == 0) | (
             s.res.error_ratio <= 8.0
         )
 
         def check(_):
-            r = residuals(u, v_origin, s.res)
+            r = residuals(u, v_origin, s.res, mv, rmv)
             return r, converged(r, (ipm_i > 0) & (k > 0))
 
         r, st = jax.lax.cond(do_check, check,
@@ -133,6 +202,8 @@ def _device_solve_qcp(A, b, c, Q_diag, layout: ConeLayout, *, eps, max_ipm,
             err_inner=jnp.full((), jnp.inf, dtype),
             status=jnp.zeros((), jnp.int32),
         )
+        anc = make_anchor(s.u, s.v)
+        mv, rmv, stage_solve = make_ops(anc)
 
         def icond(s: IC):
             return (
@@ -142,8 +213,10 @@ def _device_solve_qcp(A, b, c, Q_diag, layout: ConeLayout, *, eps, max_ipm,
                 & (s.k < max_admm * max_ipm)
             )
 
-        s = jax.lax.while_loop(icond, lambda ss: inner_body(ss, o.mu, o.i), s)
-        r = residuals(s.u, s.v_origin, s.res)
+        s = jax.lax.while_loop(
+            icond, lambda ss: inner_body(ss, o.mu, o.i, mv, rmv, stage_solve), s
+        )
+        r = residuals(s.u, s.v_origin, s.res, mv, rmv)
         st = jnp.where(s.status != 0, s.status,
                        converged(r, (o.i > 0) & (s.k > 0)))
         s = s._replace(res=r, status=st)
@@ -185,11 +258,13 @@ def _device_solve_qcp(A, b, c, Q_diag, layout: ConeLayout, *, eps, max_ipm,
 
 @partial(jax.jit, static_argnames=("cones", "eps", "max_ipm", "max_admm",
                                    "alpha", "rho_y", "rho_x", "rho_tau",
-                                   "psi", "inner_check_period"))
+                                   "psi", "inner_check_period", "precision",
+                                   "ir_steps"))
 def solve_qcp_batch(As, bs, cs, Q_diags=None, *, cones: ConeSpec,
                     eps=1e-4, max_ipm=200, max_admm=100_000, alpha=1.8,
                     rho_y=1e-6, rho_x=1.0, rho_tau=1.0, psi=1.0,
-                    inner_check_period=500) -> ConicDeviceResult:
+                    inner_check_period=500, precision="f64",
+                    ir_steps=1) -> ConicDeviceResult:
     """Solve a stacked batch of same-shape conic programs on device.
 
     As: (B, m, n); bs: (B, m); cs: (B, n); Q_diags: optional (B, n)
@@ -202,6 +277,7 @@ def solve_qcp_batch(As, bs, cs, Q_diags=None, *, cones: ConeSpec,
             A, b, c, qd, layout, eps=eps, max_ipm=max_ipm,
             max_admm=max_admm, alpha=alpha, rho_y=rho_y, rho_x=rho_x,
             rho_tau=rho_tau, psi=psi, inner_check_period=inner_check_period,
+            precision=precision, ir_steps=ir_steps,
         )
 
     if Q_diags is None:

@@ -159,3 +159,28 @@ def test_heterogeneous_padded_suite(rng):
         assert r["pobj"] == pytest.approx(ref, abs=1e-4 * (1 + abs(ref)))
         assert r["x"].shape == (n,)
         assert r["y"].shape == (m,)
+
+
+def test_batched_qcp_mixed_matches_f64(rng):
+    from abip_tpu import ConeSpec
+    from abip_tpu.parallel.batched_qcp import solve_qcp_batch
+
+    B, d = 3, 4
+    As = np.zeros((B, d, d + 1))
+    bs = np.zeros((B, d))
+    cs = np.zeros((B, d + 1))
+    for i in range(B):
+        As[i, :, 1:] = np.eye(d)
+        bs[i] = rng.standard_normal(d)
+        cs[i, 0] = 1.0
+    r1 = solve_qcp_batch(jnp.asarray(As), jnp.asarray(bs), jnp.asarray(cs),
+                         cones=ConeSpec(soc=(d + 1,)), eps=1e-5,
+                         precision="f64")
+    r2 = solve_qcp_batch(jnp.asarray(As), jnp.asarray(bs), jnp.asarray(cs),
+                         cones=ConeSpec(soc=(d + 1,)), eps=1e-5,
+                         precision="mixed")
+    np.testing.assert_array_equal(np.asarray(r1.status), np.asarray(r2.status))
+    np.testing.assert_array_equal(np.asarray(r1.admm_iters),
+                                  np.asarray(r2.admm_iters))
+    np.testing.assert_allclose(np.asarray(r1.pobj), np.asarray(r2.pobj),
+                               atol=1e-7)
