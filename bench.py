@@ -14,6 +14,7 @@ Env knobs: ABIP_BENCH_CPU=1 (CPU backend), ABIP_BENCH_B (batch size),
 ABIP_BENCH_SINGLE=1 (legacy single-instance f64 metric).
 """
 import json
+import sys
 import os
 import time
 
@@ -53,6 +54,40 @@ def _batch(seed0, B):
 
 
 def main():
+    # Watchdog wrapper: the TPU tunnel in this environment can wedge and
+    # block jax calls indefinitely.  The outer process re-runs itself with
+    # ABIP_BENCH_INNER=1 under a timeout and falls back to the CPU backend
+    # if the device run hangs or fails, so a benchmark line is always
+    # produced.
+    if not os.environ.get("ABIP_BENCH_INNER"):
+        import subprocess
+
+        for extra_env, timeout_s in (({}, 1200), ({"ABIP_BENCH_CPU": "1"}, 900)):
+            env = dict(os.environ, ABIP_BENCH_INNER="1", **extra_env)
+            try:
+                proc = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__)],
+                    env=env, capture_output=True, text=True,
+                    timeout=timeout_s,
+                )
+                lines = [ln for ln in proc.stdout.splitlines()
+                         if ln.startswith("{")]
+                if proc.returncode == 0 and lines:
+                    print(lines[-1])
+                    return
+            except subprocess.TimeoutExpired:
+                pass
+        print(json.dumps({
+            "metric": "admm_iters_per_sec", "value": 0.0, "unit": "iter/s",
+            "vs_baseline": None,
+            "detail": {"error": "both TPU and CPU benchmark runs failed/hung"},
+        }))
+        return
+
+    _bench_inner()
+
+
+def _bench_inner():
     import jax
 
     if os.environ.get("ABIP_BENCH_CPU"):
