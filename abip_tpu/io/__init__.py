@@ -5,5 +5,7 @@ Replaces the reference's MATLAB front end (`mpsread` +
 """
 from .mps import read_mps, GeneralLP
 from .presolve import presolve_to_standard, StandardFormLP
+from .sedumi import from_sedumi, load_sedumi_mat, solve_sedumi
 
-__all__ = ["read_mps", "GeneralLP", "presolve_to_standard", "StandardFormLP"]
+__all__ = ["read_mps", "GeneralLP", "presolve_to_standard", "StandardFormLP",
+           "from_sedumi", "load_sedumi_mat", "solve_sedumi"]

@@ -1,0 +1,99 @@
+"""SeDuMi-format problem loader.
+
+The reference's conic benchmarks feed SeDuMi-style (A, b, c, K) structs
+(`scripts/bench-qcp/get_abip_data_from_mosek.m`,
+`test_cblib.m:60-76`): K with fields f (free), l (nonneg), q (SOC dims),
+r (rotated SOC dims); variables ordered [free, nonneg, soc..., rsoc...].
+
+Our cone ordering is [soc..., rsoc..., free, zero, nonneg]
+(`cones.ConeLayout`), so loading permutes columns accordingly and returns
+the permutation for mapping solutions back.
+"""
+from __future__ import annotations
+
+import numpy as np
+import scipy.sparse as sp
+
+from ..cones import ConeSpec
+
+
+def _ints(v):
+    a = np.atleast_1d(np.asarray(v)).ravel()
+    return [int(x) for x in a if int(x) > 0]
+
+
+def from_sedumi(A, b, c, K):
+    """Convert SeDuMi (A, b, c, K) to (A, b, c, ConeSpec, perm).
+
+    K: dict-like with optional fields f, l, q, r.  Returns column-permuted
+    data in our cone order plus `perm` such that x_sedumi = x_ours[inv];
+    concretely  x_ours = x_sedumi[perm].
+    """
+    A = sp.csc_matrix(A)
+    b = np.asarray(b, float).ravel()
+    c = np.asarray(c, float).ravel()
+    n = A.shape[1]
+
+    f = int(np.asarray(K.get("f", 0)).ravel()[0]) if _has(K, "f") else 0
+    lcone = int(np.asarray(K.get("l", 0)).ravel()[0]) if _has(K, "l") else 0
+    q = _ints(K.get("q", [])) if _has(K, "q") else []
+    r = _ints(K.get("r", [])) if _has(K, "r") else []
+
+    total = f + lcone + sum(q) + sum(r)
+    if total != n:
+        raise ValueError(
+            f"K dims ({total}) do not match number of columns ({n})"
+        )
+
+    # sedumi order: [free, nonneg, soc..., rsoc...]
+    idx_free = np.arange(0, f)
+    idx_l = np.arange(f, f + lcone)
+    idx_q = np.arange(f + lcone, f + lcone + sum(q))
+    idx_r = np.arange(f + lcone + sum(q), n)
+    # ours: [soc..., rsoc..., free, zero, nonneg]
+    perm = np.concatenate([idx_q, idx_r, idx_free, idx_l]).astype(int)
+
+    cones = ConeSpec(soc=tuple(q), rsoc=tuple(r), free=f, nonneg=lcone)
+    return A[:, perm].toarray(), b, c[perm], cones, perm
+
+
+def _has(K, field):
+    try:
+        v = K[field]
+    except (KeyError, IndexError, TypeError, ValueError):
+        return False
+    return v is not None and np.asarray(v).size > 0
+
+
+def load_sedumi_mat(path):
+    """Load a SeDuMi .mat file (A/At, b, c, K) via scipy.io.
+
+    Returns (A, b, c, ConeSpec, perm) in our cone ordering.
+    """
+    from scipy.io import loadmat
+
+    d = loadmat(path, simplify_cells=True)
+    if "A" in d:
+        A = d["A"]
+    elif "At" in d:
+        A = sp.csc_matrix(d["At"]).T
+    else:
+        raise ValueError("no A or At in the .mat file")
+    K = d.get("K", {})
+    if not isinstance(K, dict):
+        # structured numpy record from older loadmat
+        K = {name: K[name] for name in K.dtype.names}
+    return from_sedumi(A, d["b"], d["c"], K)
+
+
+def solve_sedumi(path, settings=None, **overrides):
+    """Load a SeDuMi .mat problem and solve it; x returned in sedumi order."""
+    from ..qcp import solve_qcp
+
+    A, b, c, cones, perm = load_sedumi_mat(path)
+    sol = solve_qcp(A, b, c, cones, settings=settings, **overrides)
+    inv = np.empty_like(perm)
+    inv[perm] = np.arange(len(perm))
+    sol.x = sol.x[inv]
+    sol.s = sol.s[inv]
+    return sol
