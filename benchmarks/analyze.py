@@ -50,11 +50,52 @@ def summarize(recs, timeout_penalty=3600.0):
     }
 
 
+def compare(dirs, timeout_penalty=3600.0):
+    """Side-by-side comparison of runs (the reference `analyze.py:20-47`
+    method-registry table): each dir is one method; instances matched by
+    name; reports per-method SGM-10 and pairwise time ratios."""
+    methods = {d.rstrip("/").split("/")[-1] or d: {r["name"]: r for r in load([d])}
+               for d in dirs}
+    names = sorted(set().union(*[set(m) for m in methods.values()]))
+    hdr = f"{'name':<18s}" + "".join(f"{k:>14.14s}" for k in methods)
+    print(hdr)
+    print("-" * len(hdr))
+    for nm in names:
+        row = f"{nm:<18.18s}"
+        for recs in methods.values():
+            r = recs.get(nm)
+            if r is None:
+                row += f"{'--':>14s}"
+            elif not str(r.get("status", "")).startswith("Solved"):
+                row += f"{'fail':>14s}"
+            else:
+                row += f"{r['time']:>13.3f}s"
+        print(row)
+    print("-" * len(hdr))
+    sgms = {}
+    for k, recs in methods.items():
+        times = [r["time"] if str(r.get("status", "")).startswith("Solved")
+                 else timeout_penalty for r in recs.values()]
+        sgms[k] = sgm(times)
+    print("SGM-10: " + "  ".join(f"{k}={v:.3f}s" for k, v in sgms.items()))
+    ks = list(sgms)
+    for i in range(1, len(ks)):
+        base, other = sgms[ks[0]], sgms[ks[i]]
+        if other > 0:
+            print(f"# {ks[0]} vs {ks[i]}: {other / max(base, 1e-12):.2f}x")
+    return sgms
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("dirs", nargs="+")
     ap.add_argument("--timeout-penalty", type=float, default=3600.0)
+    ap.add_argument("--compare", action="store_true",
+                    help="treat each dir as one method; print side-by-side")
     args = ap.parse_args(argv)
+
+    if args.compare:
+        return compare(args.dirs, args.timeout_penalty)
 
     recs = load(args.dirs)
     if not recs:
