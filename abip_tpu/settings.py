@@ -66,7 +66,7 @@ class Settings:
     max_admm_iters: int = 1_000_000
     max_time: float = 3600.0        # seconds
     pfeasopt: bool = False          # accept primal-feasible-only (LP)
-    err_dif: float = 1e-7           # conic: stagnation exit threshold
+    err_dif: float = 0.0            # conic: stagnation exit (reference default 0 = off)
 
     # -- ADMM core -----------------------------------------------------------
     alpha: float = 1.8              # over-relaxation

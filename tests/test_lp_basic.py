@@ -127,3 +127,13 @@ def test_settings_variants_solve(rng, kw):
     sol = abip_tpu.solve_lp(A, b, c, eps=1e-5, **kw)
     assert sol.status_name.startswith("Solved")
     assert sol.pobj == pytest.approx(ref, abs=1e-2 * (1 + abs(ref)))
+
+
+def test_tight_tolerance_1e8(rng):
+    # the reference benchmarks at eps in {1e-4, 1e-6, 1e-8}
+    A, b, c = random_lp(rng, 15, 45)
+    ref = scipy_opt(A, b, c)
+    sol = abip_tpu.solve_lp(A, b, c, eps=1e-8)
+    assert sol.status_name == "Solved"
+    assert sol.res_pri < 1e-8 and sol.rel_gap < 1e-8
+    assert sol.pobj == pytest.approx(ref, abs=1e-6 * (1 + abs(ref)))
