@@ -414,6 +414,38 @@ class LPWorkspace:
         self._bb_beta = partial(_bb_beta_k, ops, stgs=stgs)
         self.project_lin_sys = partial(_project_k, ops, stgs=stgs)
 
+    def shard(self, mesh, axis: str = "rows") -> "LPWorkspace":
+        """Distribute this workspace's operands over a device mesh.
+
+        Row-indexed operands (A, the Cholesky factor, b, the primal scale)
+        are placed block-row sharded; XLA's SPMD partitioner then runs the
+        UNCHANGED jitted kernels distributed, inserting the collectives
+        (the auto-sharded counterpart of the explicit shard_map CG in
+        `parallel/sharded.py`).  Requires m to divide the mesh size.
+        """
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        ndev = mesh.devices.size
+        if self.m % ndev != 0:
+            raise ValueError(
+                f"m={self.m} must be divisible by the mesh size {ndev}"
+            )
+        row = NamedSharding(mesh, P(axis))
+        rowmat = NamedSharding(mesh, P(axis, None))
+        ops = self.ops
+        repl = {}
+        if ops.A is not None:
+            repl["A"] = jax.device_put(ops.A, rowmat)
+        if ops.chol is not None:
+            repl["chol"] = jax.device_put(ops.chol, rowmat)
+        if ops.M is not None:
+            repl["M"] = jax.device_put(ops.M, row)
+        repl["b"] = jax.device_put(ops.b, row)
+        repl["pr_scale"] = jax.device_put(ops.pr_scale, row)
+        self.ops = ops._replace(**repl)
+        self._build_kernels()
+        return self
+
     # ------------------------------------------------------------------ #
     # host-side driver                                                   #
     # ------------------------------------------------------------------ #

@@ -184,3 +184,24 @@ def test_batched_qcp_mixed_matches_f64(rng):
                                   np.asarray(r2.admm_iters))
     np.testing.assert_allclose(np.asarray(r1.pobj), np.asarray(r2.pobj),
                                atol=1e-7)
+
+
+def test_workspace_shard_over_mesh(rng):
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multiple devices")
+    from abip_tpu.lp import LPWorkspace
+    import abip_tpu
+
+    ndev = len(jax.devices())
+    m, n = 8 * ndev, 200
+    A, b, c = random_lp(rng, m, n)
+    ref = linprog(c, A_eq=A, b_eq=b, bounds=(0, None), method="highs").fun
+    mesh = Mesh(np.array(jax.devices()), ("rows",))
+    w = LPWorkspace(A, b, c, abip_tpu.Settings(eps=1e-5, adaptive=False))
+    w.shard(mesh)
+    sol = w.solve()
+    assert sol.status_name.startswith("Solved")
+    assert sol.pobj == pytest.approx(ref, abs=1e-3 * (1 + abs(ref)))
+    with pytest.raises(ValueError, match="divisible"):
+        LPWorkspace(A[: 8 * ndev - 1], b[: 8 * ndev - 1], c,
+                    abip_tpu.Settings(eps=1e-4)).shard(mesh)
