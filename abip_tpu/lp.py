@@ -50,6 +50,8 @@ class LPOperands(NamedTuple):
     A: object          # dense (m, n) array, or None for sparse kinds
     bcsr: object       # BCSRMatrix of A, or None
     bcsr_T: object     # BCSRMatrix of A', or None
+    ell: object        # ELLMatrix of A, or None (scattered sparsity)
+    ell_T: object      # ELLMatrix of A', or None
     chol: object       # (m, m) Cholesky factor, or None (cg kinds)
     M: object          # (m,) Jacobi preconditioner diag, or None
     h: jnp.ndarray
@@ -67,6 +69,10 @@ class LPOperands(NamedTuple):
 def _ops_matvec(ops: LPOperands, x):
     if ops.A is not None:
         return ops.A @ x
+    if ops.ell is not None:
+        from .ops.ell import ell_matvec
+
+        return ell_matvec(ops.ell, x)
     from .ops.spmv_pallas import bcsr_matvec
 
     return bcsr_matvec(ops.bcsr, x, use_pallas=False)
@@ -75,6 +81,10 @@ def _ops_matvec(ops: LPOperands, x):
 def _ops_rmatvec(ops: LPOperands, y):
     if ops.A is not None:
         return ops.A.T @ y
+    if ops.ell_T is not None:
+        from .ops.ell import ell_matvec
+
+        return ell_matvec(ops.ell_T, y)
     from .ops.spmv_pallas import bcsr_matvec
 
     return bcsr_matvec(ops.bcsr_T, y, use_pallas=False)
@@ -354,10 +364,13 @@ class LPWorkspace:
         direct = settings.linsys == "dense" or (
             settings.linsys == "auto" and m <= 4096
         )
-        A_dense = bcsr = bcsr_T = chol = M = None
+        A_dense = bcsr = bcsr_T = ell = ell_T = chol = M = None
         if is_sparse:
             self.A_op = LinearOperator.from_scipy_sparse(A_s, dtype=dtype)
-            bcsr, bcsr_T = self.A_op.bcsr, self.A_op.bcsr_T
+            if hasattr(self.A_op, "ell"):
+                ell, ell_T = self.A_op.ell, self.A_op.ell_T
+            else:
+                bcsr, bcsr_T = self.A_op.bcsr, self.A_op.bcsr_T
             if direct:
                 # normal matrix assembled host-side (the sparse-A analogue
                 # of the one-time factorization, `direct.c:218-270`)
@@ -388,7 +401,8 @@ class LPWorkspace:
         h = jnp.concatenate([-b_s, c_s])
         zero = jnp.zeros((), dtype)
         ops = LPOperands(
-            A=A_dense, bcsr=bcsr, bcsr_T=bcsr_T, chol=chol, M=M,
+            A=A_dense, bcsr=bcsr, bcsr_T=bcsr_T, ell=ell, ell_T=ell_T,
+            chol=chol, M=M,
             h=h, g=h, g_th=zero, b=b_s, c=c_s,
             pr_scale=pr_scale, dr_scale=dr_scale, obj_scale=obj_scale,
             nm_b=self.nm_b, nm_c=self.nm_c,

@@ -71,24 +71,60 @@ class LinearOperator:
         )
 
     @classmethod
-    def from_scipy_sparse(cls, A, dtype=None, use_pallas: bool = False) -> "LinearOperator":
-        """Block-sparse operator backed by the BCSR kernels (`ops/`).
+    def from_scipy_sparse(cls, A, dtype=None, use_pallas: bool = False,
+                          layout: str = "auto") -> "LinearOperator":
+        """Sparse operator backed by the `ops/` kernels.
 
         Both A and A^T are packed once at setup (the reference stores an
-        explicit transpose too, `linsys/indirect.c:290-300`).  With
-        `use_pallas=False` the matvecs use the XLA gather-einsum fallback,
-        which runs everywhere; flip to the Pallas kernel on TPU.
+        explicit transpose too, `linsys/indirect.c:290-300`).  `layout`
+        picks between (8,128)-tiled BCSR (block-structured sparsity, MXU)
+        and padded-row ELL (scattered sparsity, gather+reduce); "auto"
+        chooses ELL when BCSR tiles would be mostly padding.
         """
         import numpy as np
         import scipy.sparse as sp
 
         import jax.numpy as jnp_
 
+        from .ops.ell import ELLMatrix, ell_matvec
         from .ops.spmv_pallas import BCSRMatrix, bcsr_matvec
 
         dtype = dtype or jnp_.float64
         A = sp.csr_matrix(A)
         m, n = A.shape
+
+        if layout == "auto":
+            # estimated BCSR tile fill: nnz over the padded tile volume
+            br = -(-m // 8)
+            counts = np.diff(sp.csr_matrix(A).indptr)
+            # upper bound on blocks/row-group: distinct 128-col tiles touched
+            probe = min(br, 64)
+            touched = 0
+            for g in range(probe):
+                rows = slice(g * 8, min((g + 1) * 8, m))
+                idx = A[rows].indices // 128
+                touched += len(np.unique(idx)) if len(idx) else 0
+            est_tiles = touched / max(1, probe) * br
+            fill = A.nnz / max(1.0, est_tiles * 8 * 128)
+            layout = "bcsr" if fill > 0.05 else "ell"
+
+        if layout == "ell":
+            E = ELLMatrix.from_scipy(A, dtype=dtype)
+            ET = ELLMatrix.from_scipy(A.T.tocsr(), dtype=dtype)
+            op = cls(
+                m, n,
+                matvec=lambda x: ell_matvec(E, x),
+                rmatvec=lambda y: ell_matvec(ET, y),
+                nnz=int(A.nnz),
+            )
+            op.ell = E
+            op.ell_T = ET
+            sq = A.copy()
+            sq.data = sq.data**2
+            op.row_norms_sq = jnp_.asarray(np.asarray(sq.sum(axis=1)).ravel())
+            op.col_norms_sq = jnp_.asarray(np.asarray(sq.sum(axis=0)).ravel())
+            return op
+
         B = BCSRMatrix.from_scipy(A, dtype=dtype)
         BT = BCSRMatrix.from_scipy(A.T.tocsr(), dtype=dtype)
 

@@ -137,3 +137,30 @@ def test_tight_tolerance_1e8(rng):
     assert sol.status_name == "Solved"
     assert sol.res_pri < 1e-8 and sol.rel_gap < 1e-8
     assert sol.pobj == pytest.approx(ref, abs=1e-6 * (1 + abs(ref)))
+
+
+def test_pagerank_scattered_sparse(rng):
+    """ELL layout path: scattered-sparsity LP solved via CG, checked
+    against power iteration."""
+    import scipy.sparse as sp
+
+    n, deg = 2000, 6
+    rows = np.repeat(np.arange(n), deg)
+    cols = rng.integers(0, n, n * deg)
+    P = sp.csr_matrix((np.ones(n * deg), (rows, cols)), shape=(n, n))
+    P = sp.diags(1.0 / np.maximum(np.asarray(P.sum(axis=1)).ravel(), 1)) @ P
+    A = (sp.eye(n) - 0.85 * P.T).tocsr()
+    b = 0.15 / n * np.ones(n)
+    c = np.ones(n)
+
+    from abip_tpu.problem import LinearOperator
+
+    op = LinearOperator.from_scipy_sparse(A)
+    assert hasattr(op, "ell"), "auto layout should pick ELL for scattered A"
+
+    sol = abip_tpu.solve_lp(A, b, c, eps=1e-6, linsys="cg", adaptive=False)
+    assert sol.status_name.startswith("Solved")
+    v = np.ones(n) / n
+    for _ in range(200):
+        v = 0.85 * (P.T @ v) + 0.15 / n
+    assert np.abs(sol.x - v).max() < 1e-8

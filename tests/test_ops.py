@@ -106,3 +106,16 @@ def test_fused_admm_sprint_matches_hsd(rng):
                                    rtol=2e-5, atol=2e-5)
         np.testing.assert_allclose(np.asarray(v_k), np.asarray(v_ref),
                                    rtol=2e-5, atol=2e-5)
+
+
+def test_ell_matvec_matches_dense(rng):
+    import scipy.sparse as sp
+
+    from abip_tpu.ops.ell import ELLMatrix, ell_matvec
+
+    A = sp.random(50, 120, density=0.05, random_state=np.random.RandomState(0),
+                  format="csr")
+    E = ELLMatrix.from_scipy(A)
+    x = rng.standard_normal(120)
+    np.testing.assert_allclose(np.asarray(ell_matvec(E, jnp.asarray(x))),
+                               A @ x, rtol=1e-12, atol=1e-12)
