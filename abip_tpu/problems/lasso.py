@@ -66,58 +66,96 @@ def lasso_to_conic(X, y, lam: float) -> ConicProblem:
     return ConicProblem(A=A, b=b, c=c, cones=cones, recover=recover)
 
 
-def lasso_operator(X, y, lam: float) -> ConicProblem:
+def lasso_operator(X, y, lam: float, scaled: bool = True) -> ConicProblem:
     """Matrix-free variant: the reformulated constraint matrix is never
     materialized; X is applied twice per matvec, exactly like
     `lasso_A_times` (`source/lasso_config.c:99-126`).
 
     Layout: A z = [t1;  r + X w+ - X w-],  z = (t1, t2, r, w+, w-).
+
+    ANALYTIC equilibration is applied (`scaled=True`): the reformulated
+    matrix's row/column norms are known in closed form from X, so the
+    D/E/b/c scalings of the dense pipeline are reproduced without
+    materializing anything -- the role of the hand-tuned constants in the
+    reference config (`lasso_config.c:36-51`).  The solve runs in scaled
+    units (tolerances apply there, as in the reference app configs);
+    `recover` maps back.
     """
     import jax.numpy as jnp
 
     from ..problem import LinearOperator
 
-    Xj = jnp.asarray(np.asarray(X, float))
+    Xnp = np.asarray(X, float)
     y = np.asarray(y, float)
-    m, n = Xj.shape
+    m, n = Xnp.shape
     q = 2 + m + 2 * n
     p = 1 + m
 
+    # analytic row/col norms of A = [[1,0,0,0,0],[0,0,I,X,-X]]
+    row_sq = np.concatenate([[1.0], 1.0 + 2.0 * np.sum(Xnp * Xnp, axis=1)])
+    colX_sq = np.sum(Xnp * Xnp, axis=0)
+    col_sq = np.concatenate([[1.0, 1.0], np.ones(m), colX_sq, colX_sq])
+
+    if scaled:
+        D = np.sqrt(np.sqrt(row_sq))            # origin-style sqrt norms
+        E = np.sqrt(np.sqrt(np.maximum(col_sq, 1e-8)))
+        # tie E over the RSOC block (t1, t2, r) like the conic pipeline
+        E[: 2 + m] = E[: 2 + m].mean()
+    else:
+        D = np.ones(p)
+        E = np.ones(q)
+
+    Dj = jnp.asarray(D)
+    Ej = jnp.asarray(E)
+    Xj = jnp.asarray(Xnp)
+
     def matvec(z):
+        z = z / Ej                      # undo column scaling
         t1 = z[0]
         r = z[2 : 2 + m]
         w = z[2 + m : 2 + m + n] - z[2 + m + n :]
-        return jnp.concatenate([t1[None], r + Xj @ w])
+        out = jnp.concatenate([t1[None], r + Xj @ w])
+        return out / Dj
 
     def rmatvec(u):
+        u = u / Dj
         u0, ur = u[0], u[1:]
         xt = Xj.T @ ur
-        return jnp.concatenate(
+        out = jnp.concatenate(
             [u0[None], jnp.zeros((1,), u.dtype), ur, xt, -xt]
         )
+        return out / Ej
 
-    op = LinearOperator(p, q, matvec, rmatvec, nnz=2 * int(np.prod(Xj.shape)) + m + 1)
+    op = LinearOperator(p, q, matvec, rmatvec,
+                        nnz=2 * int(np.prod(Xnp.shape)) + m + 1)
     # Jacobi diag for the Schur CG (`init_lasso_precon` analogue,
-    # `lasso_config.c:571-587`): column norms of the reformulated matrix.
-    colX = np.asarray(jnp.sum(Xj * Xj, axis=0))
-    op.col_norms_sq = np.concatenate(
-        [[1.0, 0.0], np.ones(m), colX, colX]
+    # `lasso_config.c:571-587`): EXACT column norms of the scaled matrix,
+    # computable analytically from the block structure
+    Xd_sq = np.sum((Xnp / D[1:, None]) ** 2, axis=0)   # cols of X scaled by rows
+    exact_col_sq = np.concatenate(
+        [[1.0 / D[0] ** 2, 0.0], 1.0 / D[1:] ** 2, Xd_sq, Xd_sq]
     )
+    op.col_norms_sq = exact_col_sq / (E * E)
 
     b = np.concatenate([[1.0], y])
     c = np.zeros(q)
     c[1] = 1.0
     c[2 + m :] = lam
+    # b/c normalization (`scaling_qcp_data:462-485` analogue)
+    sc = float(np.sqrt(np.sqrt(b @ b + c @ c)))
+    sc = 1.0 if sc < 1e-3 else min(sc, 1e3)
+    sc_b = sc_c = 1.0 / sc
+    b_s = b / D * sc_b
+    c_s = c / E * sc_c
     cones = ConeSpec(rsoc=(2 + m,), nonneg=2 * n)
 
     def recover(sol):
-        z = sol.x
-        Xd = np.asarray(Xj)
+        z = np.asarray(sol.x) / (E * sc_b)   # un-scale (`un_scaling_qcp_sol`)
         w = z[2 + m : 2 + m + n] - z[2 + m + n :]
-        obj = 0.5 * np.sum((Xd @ w - y) ** 2) + lam * np.sum(np.abs(w))
+        obj = 0.5 * np.sum((Xnp @ w - y) ** 2) + lam * np.sum(np.abs(w))
         return w, obj
 
-    return ConicProblem(A=op, b=b, c=c, cones=cones, recover=recover)
+    return ConicProblem(A=op, b=b_s, c=c_s, cones=cones, recover=recover)
 
 
 def solve_lasso_batch(Xs, ys, lams, eps=1e-4, **kw):
