@@ -87,49 +87,78 @@ def svm_to_conic_socp(X, y, C: float) -> ConicProblem:
     return ConicProblem(A=A, b=b, c=c, cones=cones, recover=recover)
 
 
-def svm_operator_qp(X, y, C: float) -> ConicProblem:
+def svm_operator_qp(X, y, C: float, scaled: bool = True) -> ConicProblem:
     """Matrix-free QP form: the label-folded data matrix applied on the
     fly, like the reference's `svm_A_times`/`svm_AT_times`
     (`source/svm_config.c:175-229`).  Q is the diagonal (1_n, 0, 0, 0).
+
+    `scaled=True` applies analytic equilibration (closed-form row/column
+    norms of [yX, y, I, -I]) -- the role of the reference's hand-tuned
+    shape heuristics (`svm_config.c:64-111`).  Q transforms as E^-2.
     """
     import jax.numpy as jnp
 
     from ..problem import LinearOperator
 
     X, y, m, n = _check(X, y)
-    Xj = jnp.asarray(X)
-    yj = jnp.asarray(y)
     q = n + 1 + 2 * m
 
+    # analytic norms: rows ||X_i||^2+3; cols [||X_:j||^2, m, 1_m, 1_m]
+    row_sq = np.sum(X * X, axis=1) + 3.0
+    col_sq = np.concatenate([np.sum(X * X, axis=0), [float(m)],
+                             np.ones(2 * m)])
+    if scaled:
+        D = np.sqrt(np.sqrt(row_sq))
+        E = np.sqrt(np.sqrt(np.maximum(col_sq, 1e-8)))
+    else:
+        D = np.ones(m)
+        E = np.ones(q)
+
+    Xj = jnp.asarray(X)
+    yj = jnp.asarray(y)
+    Dj = jnp.asarray(D)
+    Ej = jnp.asarray(E)
+
     def matvec(z):
+        z = z / Ej
         w, b0 = z[:n], z[n]
         xi, t = z[n + 1 : n + 1 + m], z[n + 1 + m :]
-        return yj * (Xj @ w) + yj * b0 + xi - t
+        return (yj * (Xj @ w) + yj * b0 + xi - t) / Dj
 
     def rmatvec(u):
+        u = u / Dj
         yu = yj * u
         return jnp.concatenate(
             [Xj.T @ yu, jnp.dot(yj, u)[None], u, -u]
-        )
+        ) / Ej
 
     op = LinearOperator(m, q, matvec, rmatvec, nnz=m * n + 3 * m)
-    colX = np.asarray(jnp.sum(Xj * Xj, axis=0))
-    op.col_norms_sq = np.concatenate([colX, [float(m)], np.ones(2 * m)])
+    # exact Jacobi diag of the scaled Schur operator's A-part
+    Xd_sq = np.sum((X / D[:, None]) ** 2, axis=0)
+    exact_col = np.concatenate(
+        [Xd_sq, [float(np.sum(1.0 / D**2))], 1.0 / D**2, 1.0 / D**2]
+    )
+    op.col_norms_sq = exact_col / (E * E)
 
     b = np.ones(m)
     c = np.zeros(q)
     c[n + 1 : n + 1 + m] = C
-    Q_diag = np.concatenate([np.ones(n), np.zeros(1 + 2 * m)])
+    sc = float(np.sqrt(np.sqrt(b @ b + c @ c)))
+    sc = 1.0 if sc < 1e-3 else min(sc, 1e3)
+    sc_b = sc_c = 1.0 / sc
+    b_s = b / D * sc_b
+    c_s = c / E * sc_c
+    Q_diag = np.concatenate([np.ones(n), np.zeros(1 + 2 * m)]) / (E * E)
     cones = ConeSpec(free=n + 1, nonneg=2 * m)
 
     def recover(sol):
-        z = sol.x
+        z = np.asarray(sol.x) / (E * sc_b)
         w, b0 = z[:n], z[n]
         margins = 1 - y * (X @ w + b0)
         obj = 0.5 * w @ w + C * np.sum(np.maximum(margins, 0))
         return w, b0, obj
 
-    return ConicProblem(A=op, b=b, c=c, cones=cones, recover=recover,
+    return ConicProblem(A=op, b=b_s, c=c_s, cones=cones, recover=recover,
                         Q=Q_diag)
 
 
