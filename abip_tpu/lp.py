@@ -428,6 +428,57 @@ class LPWorkspace:
         self._bb_beta = partial(_bb_beta_k, ops, stgs=stgs)
         self.project_lin_sys = partial(_project_k, ops, stgs=stgs)
 
+    def update_problem(self, b, c) -> "LPWorkspace":
+        """Re-target this workspace at new b, c with the SAME A.
+
+        The reference splits `ABIP(init)`/`ABIP(solve)` precisely so one
+        factorization serves repeated solves with new data
+        (`include/abip.h:116-123`).  Here the cached Cholesky factor AND
+        the compiled kernels are both reused: only the b/c-derived operand
+        fields change (one extra KKT solve for the new rank-1 g).
+        """
+        stgs = self.stgs
+        dtype = self.dtype
+        m, n = self.m, self.n
+        b = jnp.asarray(b, dtype)
+        c = jnp.asarray(c, dtype)
+        if b.shape != (m,) or c.shape != (n,):
+            raise ValueError(f"b/c must have shapes ({m},)/({n},)")
+        self.nm_b = jnp.linalg.norm(b)
+        self.nm_c = jnp.linalg.norm(c)
+        scal = self.scal
+        if stgs.normalize:
+            c_s = c / scal.E
+            sc_c = scal.mean_norm_row / jnp.maximum(jnp.linalg.norm(c_s), 1e-3)
+            b_s = b / scal.D
+            sc_b = scal.mean_norm_col / jnp.maximum(jnp.linalg.norm(b_s), 1e-3)
+            c_s = c_s * sc_c * stgs.scale
+            b_s = b_s * sc_b * stgs.scale
+        else:
+            b_s, c_s = b, c
+            sc_b = jnp.ones((), dtype)
+            sc_c = jnp.ones((), dtype)
+        self.sc_b, self.sc_c = sc_b, sc_c
+        self.b, self.c = b_s, c_s
+
+        normalize = stgs.normalize
+        scale = stgs.scale
+        pr_scale = (scal.D / (sc_b * scale)) if normalize else jnp.ones((m,), dtype)
+        dr_scale = (scal.E / (sc_c * scale)) if normalize else jnp.ones((n,), dtype)
+        obj_scale = (scale * sc_c * sc_b) if normalize else jnp.ones((), dtype)
+
+        h = jnp.concatenate([-b_s, c_s])
+        ops = self.ops._replace(b=b_s, c=c_s, pr_scale=pr_scale,
+                                dr_scale=dr_scale, obj_scale=obj_scale,
+                                nm_b=self.nm_b, nm_c=self.nm_c, h=h)
+        g_y, g_x, _ = _ops_solve(ops, stgs, h[:m], h[m:], -1, None)
+        g = jnp.concatenate([g_y, -g_x])
+        self.h, self.g = h, g
+        self.g_th = jnp.dot(h, g)
+        self.ops = ops._replace(g=g, g_th=self.g_th)
+        self._build_kernels()
+        return self
+
     def shard(self, mesh, axis: str = "rows") -> "LPWorkspace":
         """Distribute this workspace's operands over a device mesh.
 

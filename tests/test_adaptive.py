@@ -49,3 +49,20 @@ def test_warm_start_bad_shapes(rng):
     w = LPWorkspace(A, b, c, abip_tpu.Settings(eps=1e-4))
     with pytest.raises(ValueError, match="warm start"):
         w.solve(warm=(np.ones(5), np.ones(10), np.ones(30)))
+
+
+def test_update_problem_reuses_factorization(rng):
+    """The init/solve split: new b, c with the same A (reference
+    `include/abip.h:116-123` seam) -- correct and without recompiles."""
+    A, b1, c1 = random_lp(rng, 12, 36)
+    w = LPWorkspace(A, b1, c1, abip_tpu.Settings(eps=1e-6, adaptive=False))
+    s1 = w.solve()
+    assert s1.status_name.startswith("Solved")
+    _, b2, c2 = random_lp(rng, 12, 36)
+    w.update_problem(b2, c2)
+    s2 = w.solve()
+    ref2 = linprog(c2, A_eq=A, b_eq=b2, bounds=(0, None), method="highs").fun
+    assert s2.status_name.startswith("Solved")
+    assert s2.pobj == pytest.approx(ref2, abs=1e-4 * (1 + abs(ref2)))
+    with pytest.raises(ValueError, match="shapes"):
+        w.update_problem(b2[:-1], c2)
