@@ -54,6 +54,8 @@ def test_warm_start_bad_shapes(rng):
 def test_update_problem_reuses_factorization(rng):
     """The init/solve split: new b, c with the same A (reference
     `include/abip.h:116-123` seam) -- correct and without recompiles."""
+    from abip_tpu.lp import LPWorkspace
+
     A, b1, c1 = random_lp(rng, 12, 36)
     w = LPWorkspace(A, b1, c1, abip_tpu.Settings(eps=1e-6, adaptive=False))
     s1 = w.solve()
