@@ -60,7 +60,9 @@ def test_update_problem_reuses_factorization(rng):
     w = LPWorkspace(A, b1, c1, abip_tpu.Settings(eps=1e-6, adaptive=False))
     s1 = w.solve()
     assert s1.status_name.startswith("Solved")
-    _, b2, c2 = random_lp(rng, 12, 36)
+    # new b, c must be constructed for the SAME A to stay solvable
+    b2 = A @ (rng.random(36) + 0.5)
+    c2 = A.T @ rng.standard_normal(12) + rng.random(36) + 0.5
     w.update_problem(b2, c2)
     s2 = w.solve()
     ref2 = linprog(c2, A_eq=A, b_eq=b2, bounds=(0, None), method="highs").fun
