@@ -99,3 +99,22 @@ def test_cold_start_strictly_interior():
     layout = ConeLayout(spec)
     x0 = layout.interior_point(jnp.float64)
     assert float(cone_membership_violation(x0, layout)) <= 0
+
+
+@pytest.mark.parametrize("lam", [1e-9, 1e-6, 1e3, 1e6])
+def test_prox_extreme_lambda_fuzz(lam):
+    """Domain safety at extreme barrier weights: outputs stay finite and
+    strictly interior for every cone class."""
+    rng = np.random.default_rng(99)
+    spec = ConeSpec(soc=(2, 5), rsoc=(3, 6), free=3, zero=2, nonneg=6)
+    from abip_tpu.cones import cone_membership_violation
+
+    layout = ConeLayout(spec)
+    for scale in (1e-6, 1.0, 1e6):
+        t = rng.standard_normal(spec.dim) * scale
+        x = np.asarray(cone_barrier_prox(jnp.asarray(t),
+                                         jnp.full((spec.dim,), lam), layout))
+        assert np.isfinite(x).all(), (lam, scale)
+        # strictly interior (up to roundoff) where the barrier applies
+        viol = float(cone_membership_violation(jnp.asarray(x), layout))
+        assert viol <= 1e-6 * max(1.0, np.abs(x).max()), (lam, scale, viol)
