@@ -62,7 +62,14 @@ def main():
     if not os.environ.get("ABIP_BENCH_INNER"):
         import subprocess
 
-        for extra_env, timeout_s in (({}, 1200), ({"ABIP_BENCH_CPU": "1"}, 900)):
+        # CPU fallback config: XLA-CPU serializes vmapped lanes, so the
+        # throughput-optimal configuration there is a single f64 instance
+        # (~0.98x the reference C solver); batching pays only on TPU.
+        for extra_env, timeout_s in (
+            ({}, 1200),
+            ({"ABIP_BENCH_CPU": "1", "ABIP_BENCH_B": "1",
+              "ABIP_BENCH_PRECISION": "f64"}, 900),
+        ):
             env = dict(os.environ, ABIP_BENCH_INNER="1", **extra_env)
             try:
                 proc = subprocess.run(
@@ -126,13 +133,14 @@ def _bench_inner():
         return
 
     B = int(os.environ.get("ABIP_BENCH_B", "16"))
+    precision = os.environ.get("ABIP_BENCH_PRECISION", "mixed")
     warm = _batch(10_000, B)
-    res = solve_lp_batch(*warm, precision="mixed", **kw)
+    res = solve_lp_batch(*warm, precision=precision, **kw)
     jax.block_until_ready(res)
 
     timed = _batch(0, B)
     t0 = time.perf_counter()
-    res = solve_lp_batch(*timed, precision="mixed", **kw)
+    res = solve_lp_batch(*timed, precision=precision, **kw)
     jax.block_until_ready(res)
     dt = time.perf_counter() - t0
 
@@ -145,7 +153,7 @@ def _bench_inner():
         "unit": "iter/s",
         "vs_baseline": round(agg / base, 3) if base else None,
         "detail": {
-            "mode": f"batched B={B} mixed-precision (aggregate)",
+            "mode": f"batched B={B} {precision} (aggregate)",
             "problem": "smoke_lp m=50 n=2000 density=0.3",
             "eps": 1e-6,
             "solved": int((st == 1).sum()),
