@@ -35,6 +35,21 @@ def export_instance(path, A, b, c):
         f.write(np.asarray(c, "<f8").tobytes())
 
 
+def _mps_instances(mps_dir):
+    """Presolved standard forms of every .mps file in a directory -- the
+    round-2 Netlib comparison path."""
+    import glob
+    import os
+
+    from abip_tpu.io.mps import read_mps
+    from abip_tpu.io.presolve import presolve_to_standard
+
+    for path in sorted(glob.glob(os.path.join(mps_dir, "*.mps"))):
+        std = presolve_to_standard(read_mps(path))
+        name = os.path.splitext(os.path.basename(path))[0]
+        yield name, std.A.toarray(), std.b, std.c
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--ref-bin", required=True)
@@ -42,6 +57,7 @@ def main(argv=None):
     ap.add_argument("--count", type=int, default=5)
     ap.add_argument("--m", type=int, default=50)
     ap.add_argument("--n", type=int, default=2000)
+    ap.add_argument("--mps", help="directory of .mps files instead of generated")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args(argv)
 
@@ -53,10 +69,15 @@ def main(argv=None):
     import abip_tpu
     from benchmarks.generate import smoke_lp
 
+    if args.mps:
+        gen = _mps_instances(args.mps)
+    else:
+        gen = ((str(seed), *smoke_lp(m=args.m, n_rand=args.n - args.m,
+                                     density=0.3, seed=seed))
+               for seed in range(args.count))
+
     rows = []
-    for seed in range(args.count):
-        A, b, c = smoke_lp(m=args.m, n_rand=args.n - args.m, density=0.3,
-                           seed=seed)
+    for seed, A, b, c in gen:
         with tempfile.NamedTemporaryFile(suffix=".bin", delete=False) as f:
             export_instance(f.name, A, b, c)
             path = f.name
