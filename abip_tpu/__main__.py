@@ -1,0 +1,51 @@
+"""Command-line entry: solve MPS or SeDuMi .mat problems.
+
+    python -m abip_tpu problem.mps [--eps 1e-6] [--verbose] [--cpu]
+    python -m abip_tpu problem.mat --sedumi [--eps 1e-4]
+"""
+import argparse
+import json
+import sys
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="abip_tpu", description=__doc__)
+    ap.add_argument("path", help=".mps(.gz) file or SeDuMi .mat file")
+    ap.add_argument("--sedumi", action="store_true",
+                    help="treat input as a SeDuMi .mat conic problem")
+    ap.add_argument("--eps", type=float, default=1e-6)
+    ap.add_argument("--verbose", action="store_true")
+    ap.add_argument("--cpu", action="store_true", help="force CPU backend")
+    ap.add_argument("--json", action="store_true", help="print one JSON line")
+    args = ap.parse_args(argv)
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    if args.sedumi:
+        from .io.sedumi import solve_sedumi
+
+        sol = solve_sedumi(args.path, eps=args.eps, verbose=args.verbose)
+    else:
+        from .io.presolve import solve_mps
+
+        sol, _ = solve_mps(args.path, eps=args.eps, verbose=args.verbose)
+
+    if args.json:
+        print(json.dumps({
+            "status": sol.status_name, "pobj": sol.pobj, "dobj": sol.dobj,
+            "res_pri": sol.res_pri, "res_dual": sol.res_dual,
+            "rel_gap": sol.rel_gap, "ipm_iters": sol.ipm_iters,
+            "admm_iters": sol.admm_iters, "solve_time": sol.solve_time,
+        }))
+    else:
+        print(f"{sol.status_name}: objective {sol.pobj:.8f} "
+              f"({sol.ipm_iters} IPM / {sol.admm_iters} ADMM, "
+              f"{sol.solve_time:.2f}s)")
+    return 0 if sol.status_name.startswith("Solved") else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
