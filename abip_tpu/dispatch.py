@@ -7,7 +7,6 @@ quadratic term or non-orthant cones routes to the conic driver; a plain
 """
 from __future__ import annotations
 
-from typing import Optional
 
 
 def solve(A, b, c, cones=None, Q=None, settings=None, **overrides):
