@@ -155,18 +155,57 @@ def read_mps(path: str, prefer_native: str = "auto") -> GeneralLP:
                     if rname in row_idx:
                         ranges[rname] = val
             elif section == "BOUNDS":
+                # "BTYPE [SETNAME] COL [VAL]" -- the bound-set name is
+                # optional, so a 3-token line is ambiguous between
+                # "BTYPE SET COL" and "BTYPE COL VAL".  Disambiguate by
+                # column-name membership (COLUMNS precedes BOUNDS) and by
+                # whether the bound type requires a value.
                 btype = toks[0].upper()
-                # "BTYPE SETNAME COL [VAL]"
-                cname = toks[2] if len(toks) >= 3 else toks[1]
-                val = float(toks[3]) if len(toks) >= 4 else None
+                needs_val = btype in ("LO", "UP", "FX", "LI", "UI")
+                if len(toks) >= 4:
+                    cname, vtok = toks[2], toks[3]
+                elif len(toks) == 3:
+                    if needs_val:
+                        if toks[1] in col_idx:
+                            cname, vtok = toks[1], toks[2]  # no set name
+                        elif toks[2] in col_idx:
+                            raise ValueError(
+                                f"bound type {btype} requires a value for "
+                                f"column {toks[2]!r}"
+                            )
+                        else:
+                            raise ValueError(
+                                f"unknown column in BOUNDS line: {toks[1]!r}"
+                                f"/{toks[2]!r}"
+                            )
+                    else:
+                        cname = toks[2] if toks[2] in col_idx else toks[1]
+                        vtok = None
+                elif len(toks) == 2 and not needs_val:
+                    cname, vtok = toks[1], None
+                else:
+                    raise ValueError(
+                        f"malformed BOUNDS line (type {btype}, "
+                        f"{len(toks)} tokens)"
+                    )
+                if cname not in col_idx:
+                    raise ValueError(
+                        f"unknown column in BOUNDS line: {cname!r}"
+                    )
+                if needs_val and vtok is None:
+                    raise ValueError(
+                        f"bound type {btype} requires a value for column "
+                        f"{cname!r}"
+                    )
+                val = float(vtok) if vtok is not None else None
                 bounds.append((btype, cname, val))
 
         except (IndexError, KeyError) as e:
             raise parse_error(i, raw, e) from e
         except ValueError as e:
-            if 'could not convert' in str(e):
-                raise parse_error(i, raw, e) from e
-            raise
+            if "MPS parse error" in str(e):
+                raise
+            raise parse_error(i, raw, e) from e
     if obj_row is None:
         raise ValueError("MPS file has no objective (N) row")
 
@@ -211,9 +250,7 @@ def read_mps(path: str, prefer_native: str = "auto") -> GeneralLP:
     lb = np.zeros(n)
     ub = np.full(n, np.inf)
     for btype, cname, val in bounds:
-        if cname not in col_idx:
-            continue
-        j = col_idx[cname]
+        j = col_idx[cname]  # membership validated at parse time
         if btype == "LO":
             lb[j] = val
         elif btype == "UP":

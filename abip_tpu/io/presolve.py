@@ -3,8 +3,9 @@
 Re-derivation of the reference presolve (`scripts/bench-lp/preprocess.m:22-77`):
 
   * shift variables by their lower bounds (x' = x - lb >= 0); free /
-    unbounded-below variables get the reference's big-M shift (-1e8,
-    NaN -> -1e6)
+    unbounded-below variables are split x = x+ - x- (the reference instead
+    big-M-shifts them by -1e8, `preprocess.m:34-36`, which destroys
+    absolute accuracy); NaN or +inf lower bounds are rejected as malformed
   * inequality rows gain slack columns
   * finite upper bounds become extra rows  x'_j + t_j = ub_j - lb_j
   * A_std = [[Aeq, 0, 0], [Aineq, I, 0], [D, 0, I]]  (`preprocess.m:49-52`)
@@ -22,8 +23,7 @@ import scipy.sparse as sp
 
 from .mps import GeneralLP
 
-BIG_LB = 1e8   # `preprocess.m:34-36`
-NAN_LB = 1e6
+BIG_LB = 1e8   # `preprocess.m:34-36` (documented, not used: we free-split)
 
 
 @dataclasses.dataclass
@@ -75,8 +75,11 @@ def presolve_to_standard(p: GeneralLP) -> StandardFormLP:
     # the reference uses a -1e8 big-M shift for lb = -inf, which destroys
     # absolute accuracy at relative tolerances; we split those into
     # x = x+ - x- instead (extra negated columns appended after n).
+    if np.isnan(p.lb).any() or np.isnan(p.ub).any():
+        raise ValueError("NaN variable bound in LP data")
+    if (np.isinf(p.lb) & (p.lb > 0)).any():
+        raise ValueError("lower bound +inf: problem is trivially infeasible")
     lb = np.where(np.isfinite(p.lb), p.lb, 0.0)
-    lb = np.where(np.isnan(lb), -NAN_LB, lb)
     free_mask = np.isinf(p.lb) & (p.lb < 0)
     free_idx = np.nonzero(free_mask)[0]
     n_free = len(free_idx)

@@ -264,8 +264,13 @@ def _run_inner_k(ops: LPOperands, state: InnerState, mu, beta, gamma,
 
     out = jax.lax.while_loop(cond, lambda s: inner_body(s), state)
     if stgs.half_update:
-        # clamp negative duals on qres-triggered exit (`abip.c:2175-2185`)
-        out = out._replace(v=jnp.maximum(out.v, 1e-6))
+        # On a qres-triggered break only, lift strictly negative duals to
+        # 1e-6 (`abip.c:2175-2185`); small positives and the y-block are
+        # left untouched.
+        qres_exit = (out.qres < gamma * mu) & (out.status == 0)
+        out = out._replace(
+            v=jnp.where(qres_exit & (out.v < 0), 1e-6, out.v)
+        )
     return out
 
 

@@ -122,8 +122,14 @@ def update_mu_loqo(mu, u, v, m, shrink):
 
 
 def update_mu_aggressive(mu, stgs: Settings, dynamic_sigma):
-    """Aggressive rule (`abip.c:982-992`): mu *= min(x*mu, mu^eta)."""
-    return mu * min(stgs.dynamic_x * mu, math.pow(mu, stgs.dynamic_eta))
+    """Aggressive rule (`abip.c:982-992`): mu *= min(x*mu, mu^eta).
+
+    The reference reads the exponent from the *current* ``dynamic_sigma``
+    (`abip.c:989`: ``eta = stgs->dynamic_sigma``), not from the parsed-but-
+    unused ``dynamic_eta`` setting -- match that, since hybrid dispatch
+    mutates dynamic_sigma mid-solve.
+    """
+    return mu * min(stgs.dynamic_x * mu, math.pow(mu, dynamic_sigma))
 
 
 def update_mu(mu, sigma, gamma, res, stgs: Settings, sp,

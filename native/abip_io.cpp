@@ -149,19 +149,47 @@ struct Parser {
           target[t[k]] = val;
       }
     } else if (section == "BOUNDS") {
-      if (t.size() < 3) return fail("BOUNDS line too short");
+      // "BTYPE [SETNAME] COL [VAL]" -- the set name is optional, so a
+      // 3-token line is ambiguous between "BTYPE SET COL" and
+      // "BTYPE COL VAL".  Disambiguate by column-name membership
+      // (COLUMNS precedes BOUNDS), mirroring the Python reader.
+      if (t.size() < 2) return fail("BOUNDS line too short");
       const std::string btype = upper(t[0]);
-      const std::string &cname = t[2];
-      auto it = col_idx.find(cname);
-      if (it == col_idx.end()) return true;  // bound on unknown column
-      const int64_t j = it->second;
-      double val = 0.0;
       const bool needs_val =
           (btype == "LO" || btype == "UP" || btype == "FX");
+      std::string cname;
+      const std::string *vtok = nullptr;
+      if (t.size() >= 4) {
+        cname = t[2];
+        vtok = &t[3];
+      } else if (t.size() == 3) {
+        if (needs_val) {
+          if (col_idx.count(t[1])) {
+            cname = t[1];  // no set name: "BTYPE COL VAL"
+            vtok = &t[2];
+          } else if (col_idx.count(t[2])) {
+            return fail("bound type " + btype + " needs value for column '" +
+                        t[2] + "'");
+          } else {
+            return fail("unknown column in BOUNDS line: '" + t[1] + "'/'" +
+                        t[2] + "'");
+          }
+        } else {
+          cname = col_idx.count(t[2]) ? t[2] : t[1];
+        }
+      } else {  // 2 tokens
+        if (needs_val)
+          return fail("bound type " + btype + " needs value");
+        cname = t[1];
+      }
+      auto it = col_idx.find(cname);
+      if (it == col_idx.end())
+        return fail("unknown column in BOUNDS line: '" + cname + "'");
+      const int64_t j = it->second;
+      double val = 0.0;
       if (needs_val) {
-        if (t.size() < 4) return fail("bound type " + btype + " needs value");
-        if (!parse_double(t[3], &val))
-          return fail("bad numeric value '" + t[3] + "'");
+        if (!parse_double(*vtok, &val))
+          return fail("bad numeric value '" + *vtok + "'");
       }
       if (btype == "LO") p.lb[j] = val;
       else if (btype == "UP") {

@@ -127,3 +127,33 @@ def test_integer_marker_rejected(tmp_path):
     f.write_text(mps)
     with pytest.raises(ValueError, match="continuous"):
         read_mps(str(f))
+
+
+def test_bounds_without_set_name(tmp_path):
+    """3-token BOUNDS lines 'BTYPE COL VAL' (no set name) must apply the
+    bound, not silently drop it (ADVICE round 1)."""
+    mps = SAMPLE_MPS.replace(
+        " UP BND  X1  8.0\n LO BND  X2  -2.0\n FR BND  X3\n",
+        " UP X1  8.0\n LO X2  -2.0\n FR X3\n",
+    )
+    f = tmp_path / "noset.mps"
+    f.write_text(mps)
+    p = read_mps(str(f))
+    np.testing.assert_allclose(p.lb, [0.0, -2.0, -np.inf])
+    np.testing.assert_allclose(p.ub, [8.0, np.inf, np.inf])
+
+
+def test_bounds_missing_value_raises(tmp_path):
+    mps = SAMPLE_MPS.replace(" UP BND  X1  8.0", " UP BND  X1")
+    f = tmp_path / "noval.mps"
+    f.write_text(mps)
+    with pytest.raises(ValueError, match="requires a value"):
+        read_mps(str(f))
+
+
+def test_bounds_unknown_column_raises(tmp_path):
+    mps = SAMPLE_MPS.replace(" UP BND  X1  8.0", " UP BND  NOPE  8.0")
+    f = tmp_path / "unkcol.mps"
+    f.write_text(mps)
+    with pytest.raises(ValueError, match="unknown column"):
+        read_mps(str(f))

@@ -97,9 +97,14 @@ def test_sigint_returns_best_effort(rng):
     import signal
     import threading
 
+    # eps far below f64-attainable so the solve cannot finish before the
+    # signal fires; a short identical-settings warmup first so the timed
+    # run starts iterating immediately instead of JIT-compiling when the
+    # signal lands (ADVICE round 1).
     A, b, c = random_lp(rng, 40, 300)
-    threading.Timer(4.0, lambda: os.kill(os.getpid(), signal.SIGINT)).start()
-    sol = abip_tpu.solve_lp(A, b, c, eps=1e-13, max_ipm_iters=500)
+    abip_tpu.solve_lp(A, b, c, eps=1e-18, max_ipm_iters=2)
+    threading.Timer(1.5, lambda: os.kill(os.getpid(), signal.SIGINT)).start()
+    sol = abip_tpu.solve_lp(A, b, c, eps=1e-18, max_ipm_iters=100000)
     assert sol.status == abip_tpu.Status.SIGINT
     assert sol.status_name == "Interrupted"
     assert np.isfinite(sol.x).all()

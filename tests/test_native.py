@@ -53,3 +53,29 @@ def test_native_error_paths(tmp_path):
 def test_prefer_native_always(sample_path):
     p = read_mps(sample_path, prefer_native="always")
     np.testing.assert_allclose(p.c, [1.0, 2.0, -1.0])
+
+
+@needs_native
+def test_native_bounds_without_set_name(tmp_path):
+    """3-token 'BTYPE COL VAL' BOUNDS lines parse in the C++ reader too."""
+    mps = SAMPLE_MPS.replace(
+        " UP BND  X1  8.0\n LO BND  X2  -2.0\n FR BND  X3\n",
+        " UP X1  8.0\n LO X2  -2.0\n FR X3\n",
+    )
+    f = tmp_path / "noset.mps"
+    f.write_text(mps)
+    p = read_mps_native(str(f))
+    np.testing.assert_allclose(p.lb, [0.0, -2.0, -np.inf])
+    np.testing.assert_allclose(p.ub, [8.0, np.inf, np.inf])
+
+
+@needs_native
+def test_native_bounds_errors(tmp_path):
+    f = tmp_path / "noval.mps"
+    f.write_text(SAMPLE_MPS.replace(" UP BND  X1  8.0", " UP BND  X1"))
+    with pytest.raises(ValueError, match="needs value"):
+        read_mps_native(str(f))
+    g = tmp_path / "unkcol.mps"
+    g.write_text(SAMPLE_MPS.replace(" UP BND  X1  8.0", " UP BND  NOPE  8.0"))
+    with pytest.raises(ValueError, match="unknown column"):
+        read_mps_native(str(g))
