@@ -61,6 +61,60 @@ def run_mps(paths, eps, outdir, **overrides):
     return out
 
 
+def run_highs(paths, outdir):
+    """Competitor driver: scipy linprog (HiGHS) on the same MPS files,
+    emitting the same record schema -- the role `pdlp_solve.py` /
+    `copt_solve_lp.py` play in the reference bench layer
+    (`scripts/bench-lp/analyze.py:20-47` method registry)."""
+    from scipy.optimize import linprog
+
+    from abip_tpu.io.mps import read_mps
+
+    out = []
+    for path in paths:
+        name = os.path.splitext(os.path.basename(path))[0]
+        t0 = time.perf_counter()
+        try:
+            p = read_mps(path)
+            A = p.A.tocsr()
+            eq = p.row_lo == p.row_hi
+            le = ~eq & np.isfinite(p.row_hi)
+            ge = ~eq & np.isfinite(p.row_lo)
+            import scipy.sparse as _sp
+
+            A_ub = _sp.vstack([A[le], -A[ge]]) if (le.any() or ge.any()) \
+                else None
+            b_ub = np.concatenate([p.row_hi[le], -p.row_lo[ge]]) \
+                if A_ub is not None else None
+            sgn = -1.0 if p.maximize else 1.0
+            res = linprog(
+                sgn * p.c,
+                A_eq=A[eq] if eq.any() else None,
+                b_eq=p.row_hi[eq] if eq.any() else None,
+                A_ub=A_ub, b_ub=b_ub,
+                bounds=np.column_stack([p.lb, p.ub]), method="highs",
+            )
+            wall = time.perf_counter() - t0
+            rec = {
+                "name": name,
+                "status": "Solved" if res.status == 0 else res.message,
+                "ipm_iter": 0,
+                "admm_iter": int(getattr(res, "nit", 0) or 0),
+                "pres": 0.0, "dres": 0.0, "gap": 0.0,
+                "pobj": sgn * res.fun + p.objcon if res.status == 0
+                else float("nan"),
+                "dobj": float("nan"),
+                "time": wall,
+            }
+        except Exception as e:  # noqa: BLE001
+            rec = {"name": name, "status": f"Error: {e}",
+                   "time": time.perf_counter() - t0}
+        out.append(rec)
+        _write(outdir, name, rec)
+        print(json.dumps(rec))
+    return out
+
+
 def run_mps_batched(paths, eps, outdir, precision="f64"):
     """Presolve every MPS file, pad to common shape, solve as ONE program."""
     import jax
@@ -171,6 +225,9 @@ def main(argv=None):
     ap.add_argument("--batched", action="store_true",
                     help="solve generated instances as one vmapped program")
     ap.add_argument("--precision", default="f64", choices=["f64", "mixed"])
+    ap.add_argument("--method", default="abip", choices=["abip", "highs"],
+                    help="solver to run on --mps files (highs = scipy "
+                         "linprog competitor column for analyze --compare)")
     ap.add_argument("--eps", type=float, default=1e-6)
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
     ap.add_argument("-o", "--outdir", default=None)
@@ -188,7 +245,9 @@ def main(argv=None):
         )
         if not paths:
             raise SystemExit(f"no .mps files under {args.mps}")
-        if args.batched:
+        if args.method == "highs":
+            run_highs(paths, args.outdir)
+        elif args.batched:
             run_mps_batched(paths, args.eps, args.outdir,
                             precision=args.precision)
         else:
