@@ -139,6 +139,47 @@ class ConeLayout:
         x[(self.kind == _FREE) | (self.kind == _ZERO)] = 0.0
         return jnp.asarray(x, dtype)
 
+    def interiorize(self, x: np.ndarray, floor: float,
+                    dual: bool = False) -> np.ndarray:
+        """Project a caller-provided point safely into the cone interior
+        (host-side, warm-start path).
+
+        The reference has no conic warm start (its `ABIP(init)`/`ABIP(solve)`
+        split, `source/abip.c:1271-1311`, reuses the factorization but
+        always cold-starts); this is the conic analogue of the LP driver's
+        floored warm start.  `dual=True` maps through K*: the dual of the
+        free cone is {0} and of the zero cone is free (self-dual otherwise).
+        """
+        x = np.array(x, dtype=np.float64, copy=True)
+        kind = self.kind
+        nn = kind == _NONNEG
+        x[nn] = np.maximum(x[nn], floor)
+        if dual:
+            x[kind == _FREE] = 0.0
+        else:
+            x[kind == _ZERO] = 0.0
+        if self.has_blocks:
+            seg = self.seg
+            h1 = (self.head == 1)
+            h2 = (self.head == 2)
+            body = ((kind == _SOC) | (kind == _RSOC)) & ~h1 & ~h2
+            nb = self.num_blocks
+            bsq = np.zeros(nb)
+            np.add.at(bsq, seg[body], x[body] ** 2)
+            # SOC: head >= ||body|| + floor
+            soc_h = h1 & (kind == _SOC)
+            x[soc_h] = np.maximum(x[soc_h],
+                                  np.sqrt(bsq[seg[soc_h]]) + floor)
+            # RSOC: t1 >= floor, then t2 >= ||body||^2/(2 t1) + floor
+            r1 = h1 & (kind == _RSOC)
+            r2 = h2 & (kind == _RSOC)
+            x[r1] = np.maximum(x[r1], floor)
+            t1 = np.zeros(nb)
+            t1[seg[r1]] = x[r1]
+            need = bsq[seg[r2]] / np.maximum(2.0 * t1[seg[r2]], _TINY) + floor
+            x[r2] = np.maximum(x[r2], need)
+        return x
+
     def segment_mean_tie(self, e: jnp.ndarray) -> jnp.ndarray:
         """Replace entries within each soc/rsoc block by the block mean --
         the cone-block tying of the QCP equilibration

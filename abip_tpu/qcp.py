@@ -298,10 +298,15 @@ class ConicWorkspace:
                 cg_iters=state.cg_iters + its,
             )
 
-        def run_inner(state: ConicInnerState, mu, beta, tol_inner, ipm_i, k_cap):
+        def run_inner(state: ConicInnerState, mu, beta, tol_inner, ipm_i,
+                      k_cap, j_cap):
+            # j_cap is traced: the host runs one stage as several bounded
+            # sprints so SIGINT and max_time are checked between sprints
+            # (the reference checks time inline each iteration,
+            # `source/abip.c:1152,1182`)
             def cond(s: ConicInnerState):
                 return (
-                    (s.j < stgs.max_admm_iters)
+                    (s.j < j_cap)
                     & (s.err_inner >= tol_inner)
                     & (s.status == 0)
                     & (s.k < k_cap)
@@ -330,8 +335,81 @@ class ConicWorkspace:
         )
         return float(mu_new), float(tol)
 
-    def solve(self) -> ConicSolution:
+    def update_problem(self, b, c) -> "ConicWorkspace":
+        """Re-target this workspace at new b, c with the SAME A, Q, cones.
+
+        Conic analogue of `LPWorkspace.update_problem` -- the reference
+        splits `ABIP(init)`/`ABIP(solve)` so one factorization serves
+        repeated solves (`source/abip.c:1271-1311`).  The cached Schur
+        factor/preconditioner and the compiled kernels are reused; only
+        the b/c-derived quantities (scaled b, c, r_vec, a_coef, inf-norms)
+        are recomputed -- one extra linsys solve.
+        """
+        stgs = self.stgs
+        dtype = self.dtype
+        m, n = self.m, self.n
+        b = jnp.asarray(b, dtype)
+        c = jnp.asarray(c, dtype)
+        if b.shape != (m,) or c.shape != (n,):
+            raise ValueError(f"b/c must have shapes ({m},)/({n},)")
+        self.nm_inf_b = jnp.max(jnp.abs(b)) if m else jnp.zeros((), dtype)
+        self.nm_inf_c = jnp.max(jnp.abs(c))
+        if stgs.normalize:
+            # sc from the new un-equilibrated b, c (`qcp_config.c:462-463`)
+            from .scaling import MAX_SCALE, MIN_SCALE
+
+            sc = jnp.sqrt(jnp.sqrt(jnp.sum(c * c) + jnp.sum(b * b)))
+            sc = jnp.where(sc < MIN_SCALE, 1.0, jnp.minimum(sc, MAX_SCALE))
+            sc_b = 1.0 / sc
+            sc_c = 1.0 / sc
+            b = b / self.scal.D * (sc_b * stgs.scale)
+            c = c / self.scal.E * (sc_c * stgs.scale)
+            self.scal = self.scal._replace(sc_b=sc_b, sc_c=sc_c)
+        self.b, self.c = b, c
+        r_y, r_x, _ = self.solver.solve(-b, c, iter_count=-1)
+        self.r_vec = jnp.concatenate([r_y, r_x])
+        self.a_coef = stgs.rho_tau + jnp.dot(
+            self.rho[: m + n] * self.r_vec, self.r_vec
+        )
+        self._build_kernels()
+        return self
+
+    def _warm_start(self, warm, mu, beta):
+        """Seed u, v from caller-provided (x, y, s) in original units,
+        cone-interiorized (see `ConeLayout.interiorize`)."""
+        x, y, s = (np.asarray(a, float) for a in warm)
+        m, n = self.m, self.n
+        if x.shape != (n,) or y.shape != (m,) or s.shape != (n,):
+            raise ValueError("warm start must be (x (n,), y (m,), s (n,))")
+        D = np.asarray(self.scal.D)
+        E = np.asarray(self.scal.E)
+        sc_b = float(self.scal.sc_b)
+        sc_c = float(self.scal.sc_c)
+        # invert the un-scaling of `_extract_solution`
+        x_s = x * (E * sc_b)
+        y_s = y * (D * sc_c)
+        s_s = s * (sc_c * self.stgs.scale) / E
+        floor = float(np.sqrt(mu / beta) * 1e-3)
+        u = jnp.asarray(
+            np.concatenate([y_s, self.layout.interiorize(x_s, floor),
+                            [1.0]]), self.dtype)
+        v = jnp.asarray(
+            np.concatenate([np.zeros(m),
+                            self.layout.interiorize(s_s, floor, dual=True),
+                            [floor]]), self.dtype)
+        return u, v
+
+    def solve(self, warm=None, resume=None, checkpoint_path=None,
+              checkpoint_every=0) -> ConicSolution:
+        """Run the solver.
+
+        warm: optional (x, y, s) in original units to seed the iterate.
+        resume: optional `ConicCheckpoint` to continue a prior solve.
+        checkpoint_path/checkpoint_every: save state every k outer
+        iterations (plus once at exit) to `checkpoint_path`.
+        """
         from .utils import IterationLog, PhaseTimers, solver_banner
+        from .utils.checkpoint import ConicCheckpoint
 
         stgs = self.stgs
         m, n, l = self.m, self.n, self.l
@@ -343,13 +421,22 @@ class ConicWorkspace:
             print(solver_banner("conic", m, n, nnz,
                                 type(self.solver).__name__))
 
-        # cone-aware cold start (`update_work`, `source/abip.c:912-992`)
-        x0 = self.layout.interior_point(self.dtype)
-        u = jnp.concatenate([jnp.zeros((m,), self.dtype), x0,
-                             jnp.ones((1,), self.dtype)])
-        v = u
         mu, beta = 1.0, 1.0
         tol_inner = 4.0 * mu ** stgs.psi
+        i0 = 0
+        if resume is not None:
+            u = jnp.asarray(resume.u, self.dtype)
+            v = jnp.asarray(resume.v, self.dtype)
+            mu, tol_inner = resume.mu, resume.tol_inner
+            i0 = resume.ipm_iters
+        elif warm is not None:
+            u, v = self._warm_start(warm, mu, beta)
+        else:
+            # cone-aware cold start (`update_work`, `source/abip.c:912-992`)
+            x0 = self.layout.interior_point(self.dtype)
+            u = jnp.concatenate([jnp.zeros((m,), self.dtype), x0,
+                                 jnp.ones((1,), self.dtype)])
+            v = u
 
         state = ConicInnerState(
             u=u, v=v, v_origin=self.rho * v,
@@ -359,28 +446,70 @@ class ConicWorkspace:
             res=ConicResiduals.init(self.dtype),
             cg_iters=jnp.zeros((), jnp.int32),
         )
+        if resume is not None:
+            state = state._replace(
+                k=jnp.asarray(resume.admm_iters, jnp.int32))
         k_cap = stgs.max_admm_iters * stgs.max_ipm_iters
         status = Status.UNFINISHED
-        ipm_iter = 0
+        ipm_iter = i0
         res_np = None
+        # sprint length: SIGINT/max_time response granularity
+        chunk = max(1, stgs.inner_check_period) * 10
 
-        for i in range(stgs.max_ipm_iters):
+        # SIGINT listener (`ctrlc.c:62-92` pattern, shared with the LP
+        # driver): ctrl-C sets a flag, checked between sprints.
+        import signal
+
+        interrupted = False
+
+        def _on_sigint(signum, frame):
+            nonlocal interrupted
+            interrupted = True
+
+        try:
+            old_handler = signal.signal(signal.SIGINT, _on_sigint)
+        except ValueError:          # not the main thread
+            old_handler = None
+
+        timed_out = False
+        for i in range(i0, stgs.max_ipm_iters):
             ipm_iter = i
+            if interrupted:
+                status = Status.SIGINT
+                break
             state = state._replace(
                 j=jnp.zeros((), jnp.int32),
                 err_inner=jnp.full((), jnp.inf, self.dtype),
                 status=jnp.zeros((), jnp.int32),
             )
-            with timers.phase("inner_admm"):
-                state = self._run_inner(
-                    state,
-                    jnp.asarray(mu, self.dtype),
-                    jnp.asarray(beta, self.dtype),
-                    jnp.asarray(tol_inner, self.dtype),
-                    jnp.asarray(i, jnp.int32),
-                    jnp.asarray(k_cap, jnp.int32),
-                )
-                jax.block_until_ready(state.u)
+            # one barrier stage = several bounded sprints, so SIGINT and
+            # max_time stay responsive inside long stages
+            while True:
+                j_cap = min(stgs.max_admm_iters, int(state.j) + chunk)
+                with timers.phase("inner_admm"):
+                    state = self._run_inner(
+                        state,
+                        jnp.asarray(mu, self.dtype),
+                        jnp.asarray(beta, self.dtype),
+                        jnp.asarray(tol_inner, self.dtype),
+                        jnp.asarray(i, jnp.int32),
+                        jnp.asarray(k_cap, jnp.int32),
+                        jnp.asarray(j_cap, jnp.int32),
+                    )
+                    jax.block_until_ready(state.u)
+                timed_out = time.perf_counter() - t0 > stgs.max_time
+                if (
+                    interrupted
+                    or timed_out
+                    or float(state.err_inner) < tol_inner
+                    or int(state.status) != 0
+                    or int(state.j) >= stgs.max_admm_iters
+                    or int(state.k) >= k_cap
+                ):
+                    break
+            if interrupted:
+                status = Status.SIGINT
+                break
             inner_status = int(state.status)
             if inner_status != 0:
                 status = inner_status
@@ -399,11 +528,29 @@ class ConicWorkspace:
             if (
                 status != 0
                 or int(state.k) + 1 >= k_cap
-                or time.perf_counter() - t0 > stgs.max_time
+                or timed_out
             ):
                 break
 
             mu, tol_inner = self._adjust_barrier(mu, res_np)
+            if checkpoint_path and checkpoint_every and \
+                    (i + 1) % checkpoint_every == 0:
+                ConicCheckpoint(
+                    u=np.asarray(state.u), v=np.asarray(state.v),
+                    mu=mu, tol_inner=tol_inner,
+                    admm_iters=int(state.k), ipm_iters=i + 1,
+                ).save(checkpoint_path)
+
+        if old_handler is not None:
+            signal.signal(signal.SIGINT, old_handler)
+        if interrupted and status == Status.UNFINISHED:
+            status = Status.SIGINT
+        if checkpoint_path:
+            ConicCheckpoint(
+                u=np.asarray(state.u), v=np.asarray(state.v),
+                mu=mu, tol_inner=tol_inner,
+                admm_iters=int(state.k), ipm_iters=ipm_iter + 1,
+            ).save(checkpoint_path)
 
         sol = self._extract_solution(state, res_np, status, ipm_iter, t0)
         log.footer(sol.status_name, {

@@ -43,3 +43,35 @@ class SolverCheckpoint:
                    sigma=float(sigma), gamma=float(gamma),
                    admm_iters=int(admm), ipm_iters=int(ipm),
                    final_check=bool(fc))
+
+
+@dataclasses.dataclass
+class ConicCheckpoint:
+    """Conic-driver checkpoint: iterate + barrier stage scalars.
+
+    The conic analogue of `SolverCheckpoint` (the reference's QCP side has
+    no checkpointing either; its init/solve split `source/abip.c:1271-1311`
+    is the nearest seam)."""
+
+    u: np.ndarray
+    v: np.ndarray
+    mu: float
+    tol_inner: float
+    admm_iters: int
+    ipm_iters: int
+
+    def save(self, path: str):
+        np.savez(
+            path, u=self.u, v=self.v,
+            scalars=np.array([self.mu, self.tol_inner]),
+            counters=np.array([self.admm_iters, self.ipm_iters]),
+        )
+
+    @classmethod
+    def load(cls, path: str) -> "ConicCheckpoint":
+        z = np.load(path if str(path).endswith(".npz") else path + ".npz")
+        mu, tol_inner = z["scalars"]
+        admm, ipm = z["counters"]
+        return cls(u=z["u"], v=z["v"], mu=float(mu),
+                   tol_inner=float(tol_inner),
+                   admm_iters=int(admm), ipm_iters=int(ipm))
