@@ -41,17 +41,24 @@ class ConicResiduals(NamedTuple):
                               z, z, big, big)
 
 
-def projection(u, v, solve_fn, rho, r_vec, a_coef, Q_times, m, n, k):
+def projection(u, v, solve_fn, rho, r_vec, a_coef, Q_times, m, n, k,
+               err_ratio=None):
     """DR projection with quadratic-formula tau (`source/abip.c:186-254`).
 
-    solve_fn(w_y, w_x, k, warm) solves the block system
-    [[R_y, A],[-A', Q+R_x]] z = w.
+    solve_fn(w_y, w_x, k, warm[, err_ratio]) solves the block system
+    [[R_y, A],[-A', Q+R_x]] z = w.  `err_ratio` (when given) feeds the
+    per-problem PCG tolerance ladders (`lasso_config.c:592-619`,
+    `svm_config.c:669-696`).
     """
     l = m + n + 1
     rho_head = rho[: m + n]
     w_vec = rho_head * (u[: m + n] + v[: m + n])
     eta = rho[l - 1] * (u[l - 1] + v[l - 1])
-    z_y, z_x, its = solve_fn(w_vec[:m], w_vec[m:], k, u[m : m + n])
+    if err_ratio is None:
+        z_y, z_x, its = solve_fn(w_vec[:m], w_vec[m:], k, u[m : m + n])
+    else:
+        z_y, z_x, its = solve_fn(w_vec[:m], w_vec[m:], k, u[m : m + n],
+                                 err_ratio)
     p = jnp.concatenate([z_y, z_x])
     b_coef = jnp.dot(r_vec, w_vec) - 2.0 * jnp.dot(r_vec, rho_head * p) - eta
     c_coef = -jnp.dot(z_x, Q_times(z_x))

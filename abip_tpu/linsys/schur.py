@@ -47,16 +47,54 @@ class DenseSchurSolver:
         return z_y, z_x, jnp.zeros((), jnp.int32)
 
 
+def pcg_tol_ladder(thresholds, coeffs):
+    """Build an error-ratio-laddered PCG tolerance rule.
+
+    Mirrors the per-app tables of the reference: coefficient is chosen by
+    bucketing `error_ratio` over ascending `thresholds` (len(coeffs) must
+    be len(thresholds)+1), then tol = max(1e-9, coef*norm_p/(k+1)^2).
+    """
+    import numpy as np
+
+    th = jnp.asarray(np.asarray(thresholds, float))
+    cf = jnp.asarray(np.asarray(coeffs, float))
+    if cf.shape[0] != th.shape[0] + 1:
+        raise ValueError("need len(coeffs) == len(thresholds) + 1")
+
+    def ladder(k, error_ratio, norm_p):
+        coef = cf[jnp.searchsorted(th, error_ratio, side="left")]
+        return jnp.maximum(1e-9, coef * norm_p / (k + 1.0) ** 2)
+
+    return ladder
+
+
+# `get_lasso_pcg_tol` (`lasso_config.c:592-619`)
+LASSO_PCG_LADDER = pcg_tol_ladder(
+    [10, 30, 100, 300, 1e3, 3e3, 1e4, 3e4, 1e5],
+    [5e-4, 6e-4, 8e-4, 1.5e-3, 2e-3, 3e-3, 5e-3, 6e-3, 8e-3, 1.2e-2],
+)
+
+# `get_svm_pcg_tol` (`svm_config.c:669-696`)
+SVM_PCG_LADDER = pcg_tol_ladder(
+    [10, 30, 100, 300, 1e3, 3e3, 1e4, 3e4, 1e5],
+    [4e-3, 7e-3, 1e-2, 1.3e-2, 1.6e-2, 2e-2, 2.5e-2, 3e-2, 3e-2, 3e-2],
+)
+
+
 class CGSchurSolver:
     """Matrix-free PCG on the Schur system (mirrors `qcp_pcg`)."""
 
-    def __init__(self, A_op, Q_op, rho_y_vec, rho_x_vec, diag_S, max_iters=1000):
+    def __init__(self, A_op, Q_op, rho_y_vec, rho_x_vec, diag_S,
+                 max_iters=1000, tol_ladder=None):
         self.A_op = A_op      # LinearOperator (m, n)
         self.Q_op = Q_op      # callable x -> Qx, or None
         self.ry_inv = 1.0 / rho_y_vec
         self.rho_x = rho_x_vec
         self.M = 1.0 / diag_S  # Jacobi preconditioner (`init_qcp_precon`)
         self.max_iters = max_iters
+        # per-problem tolerance rule (k, error_ratio, norm_p) -> tol;
+        # default is the flat generic ladder of `get_qcp_pcg_tol`
+        self.tol_ladder = tol_ladder
 
     def _S(self, x):
         y = self.A_op.matvec(x)
@@ -68,12 +106,15 @@ class CGSchurSolver:
     def solve(self, w_y, w_x, iter_count=0, warm_start=None, tol_hint=None):
         norm_p = jnp.linalg.norm(w_x)
         it = jnp.asarray(iter_count, w_x.dtype)
-        # `get_qcp_pcg_tol` (`qcp_config.c:786-793`)
-        tol = jnp.where(
-            it < 0,
-            1e-9 * norm_p,
-            jnp.maximum(1e-9, 1e-5 * norm_p / (jnp.maximum(it, 0.0) + 1.0) ** 2),
-        )
+        if self.tol_ladder is not None and tol_hint is not None:
+            # per-app error-ratio ladder (`lasso_config.c:592-619`)
+            lad = self.tol_ladder(jnp.maximum(it, 0.0),
+                                  jnp.asarray(tol_hint, w_x.dtype), norm_p)
+        else:
+            # `get_qcp_pcg_tol` (`qcp_config.c:786-793`)
+            lad = jnp.maximum(
+                1e-9, 1e-5 * norm_p / (jnp.maximum(it, 0.0) + 1.0) ** 2)
+        tol = jnp.where(it < 0, 1e-9 * norm_p, lad)
         rhs = w_x + self.A_op.rmatvec(self.ry_inv * w_y)
         x0 = warm_start if warm_start is not None else jnp.zeros_like(w_x)
 

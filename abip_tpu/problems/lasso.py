@@ -32,6 +32,9 @@ class ConicProblem:
     cones: ConeSpec
     recover: callable
     Q: np.ndarray | None = None
+    # per-problem PCG tolerance ladder (k, error_ratio, norm_p) -> tol,
+    # the role of `get_lasso_pcg_tol`/`get_svm_pcg_tol`
+    tol_ladder: callable | None = None
 
 
 def lasso_to_conic(X, y, lam: float) -> ConicProblem:
@@ -155,7 +158,10 @@ def lasso_operator(X, y, lam: float, scaled: bool = True) -> ConicProblem:
         obj = 0.5 * np.sum((Xnp @ w - y) ** 2) + lam * np.sum(np.abs(w))
         return w, obj
 
-    return ConicProblem(A=op, b=b_s, c=c_s, cones=cones, recover=recover)
+    from ..linsys.schur import LASSO_PCG_LADDER
+
+    return ConicProblem(A=op, b=b_s, c=c_s, cones=cones, recover=recover,
+                        tol_ladder=LASSO_PCG_LADDER)
 
 
 def solve_lasso_batch(Xs, ys, lams, eps=1e-4, **kw):
@@ -205,6 +211,7 @@ def solve_lasso(X, y, lam: float, settings=None, matrix_free: bool = False,
     else:
         prob = lasso_to_conic(X, y, lam)
     sol = solve_qcp(prob.A, prob.b, prob.c, prob.cones,
-                    settings=settings, **overrides)
+                    settings=settings, tol_ladder=prob.tol_ladder,
+                    **overrides)
     w, obj = prob.recover(sol)
     return w, obj, sol

@@ -162,20 +162,121 @@ def svm_operator_qp(X, y, C: float, scaled: bool = True) -> ConicProblem:
                         Q=Q_diag)
 
 
+def svm_operator_socp(X, y, C: float, scaled: bool = True) -> ConicProblem:
+    """Matrix-free SOCP form: the reformulated constraint matrix
+
+        A = [[0, 1, 0,  0, 0,  0],          z = (r, s, w, b0, xi, t)
+             [0, 0, yX, y, I, -I]]
+
+    is never materialized; X is applied on the fly over scaled blocks,
+    the re-derivation of the reference's largest app config
+    (`source/svm_config.c:175-196` `svm_A_times`, `:202-229`
+    `svm_AT_times`, `:577-637` custom KKT, `:642-664` preconditioner).
+
+    `scaled=True` applies analytic equilibration (closed-form row/column
+    norms, RSOC-block-tied E) -- the role of the lambda/shape-dependent
+    hand-tuned constants (`svm_config.c:64-111`).  The exact Jacobi
+    diagonal of the scaled Schur operator is supplied in closed form
+    (`init_svm_precon` analogue) and the SVM PCG tolerance ladder
+    (`get_svm_pcg_tol`, `svm_config.c:669-696`) is attached.
+    """
+    import jax.numpy as jnp
+
+    from ..linsys.schur import SVM_PCG_LADDER
+    from ..problem import LinearOperator
+
+    X, y, m, n = _check(X, y)
+    p = 1 + m
+    q = 2 + n + 1 + 2 * m
+
+    # analytic row/col norms of A
+    row_sq = np.concatenate([[1.0], np.sum(X * X, axis=1) + 3.0])
+    col_sq = np.concatenate([
+        [0.0, 1.0], np.sum(X * X, axis=0), [float(m)], np.ones(2 * m)
+    ])
+    if scaled:
+        D = np.sqrt(np.sqrt(row_sq))
+        E = np.sqrt(np.sqrt(np.maximum(col_sq, 1e-8)))
+        # tie E over the RSOC block (r, s, w) like the conic pipeline
+        E[: 2 + n] = E[: 2 + n].mean()
+    else:
+        D = np.ones(p)
+        E = np.ones(q)
+
+    Xj = jnp.asarray(X)
+    yj = jnp.asarray(y)
+    Dj = jnp.asarray(D)
+    Ej = jnp.asarray(E)
+
+    def matvec(z):
+        z = z / Ej
+        s_var = z[1]
+        w = z[2 : 2 + n]
+        b0 = z[2 + n]
+        xi = z[3 + n : 3 + n + m]
+        t = z[3 + n + m :]
+        rows = yj * (Xj @ w) + yj * b0 + xi - t
+        return jnp.concatenate([s_var[None], rows]) / Dj
+
+    def rmatvec(u):
+        u = u / Dj
+        u0, ur = u[0], u[1:]
+        yu = yj * ur
+        return jnp.concatenate([
+            jnp.zeros((1,), u.dtype), u0[None], Xj.T @ yu,
+            jnp.dot(yj, ur)[None], ur, -ur,
+        ]) / Ej
+
+    op = LinearOperator(p, q, matvec, rmatvec, nnz=m * n + 3 * m + 1)
+    # exact Jacobi diag of the scaled operator (`init_svm_precon`,
+    # `svm_config.c:642-664`: per-column sums over row-scaled entries)
+    Dr = D[1:]
+    Xd_sq = np.sum((X / Dr[:, None]) ** 2, axis=0)
+    exact_col = np.concatenate([
+        [0.0, 1.0 / D[0] ** 2], Xd_sq, [float(np.sum(1.0 / Dr**2))],
+        1.0 / Dr**2, 1.0 / Dr**2,
+    ])
+    op.col_norms_sq = exact_col / (E * E)
+
+    b = np.concatenate([[1.0], np.ones(m)])
+    c = np.zeros(q)
+    c[0] = 1.0
+    c[3 + n : 3 + n + m] = C
+    sc = float(np.sqrt(np.sqrt(b @ b + c @ c)))
+    sc = 1.0 if sc < 1e-3 else min(sc, 1e3)
+    sc_b = sc_c = 1.0 / sc
+    b_s = b / D * sc_b
+    c_s = c / E * sc_c
+    cones = ConeSpec(rsoc=(2 + n,), free=1, nonneg=2 * m)
+
+    def recover(sol):
+        z = np.asarray(sol.x) / (E * sc_b)
+        w, b0 = z[2 : 2 + n], z[2 + n]
+        margins = 1 - y * (X @ w + b0)
+        obj = 0.5 * w @ w + C * np.sum(np.maximum(margins, 0))
+        return w, b0, obj
+
+    return ConicProblem(A=op, b=b_s, c=c_s, cones=cones, recover=recover,
+                        tol_ladder=SVM_PCG_LADDER)
+
+
 def solve_svm(X, y, C: float, form: str = "qp", settings=None,
               matrix_free: bool = False, **overrides):
     """One-call SVM solve; returns (w, b0, objective, conic solution).
 
     `form` selects the QP or SOCP embedding (the reference exposes both via
-    `prob_type`, `mex/abip_ml_mex.c:90-146`).  `matrix_free=True` (QP form
-    only) applies the label-folded data on the fly with CG solves.
+    `prob_type`, `mex/abip_ml_mex.c:90-146`).  `matrix_free=True` applies
+    the label-folded data on the fly with CG solves (both forms).
     """
     from ..qcp import conic_defaults, solve_qcp
 
     if matrix_free:
-        if form != "qp":
-            raise ValueError("matrix_free SVM supports form='qp' only")
-        prob = svm_operator_qp(X, y, C)
+        if form == "qp":
+            prob = svm_operator_qp(X, y, C)
+        elif form == "socp":
+            prob = svm_operator_socp(X, y, C)
+        else:
+            raise ValueError(f"form must be 'qp' or 'socp'; got {form!r}")
         settings = settings or conic_defaults(normalize=False, linsys="cg")
     elif form == "qp":
         prob = svm_to_conic_qp(X, y, C)
@@ -184,6 +285,7 @@ def solve_svm(X, y, C: float, form: str = "qp", settings=None,
     else:
         raise ValueError(f"form must be 'qp' or 'socp'; got {form!r}")
     sol = solve_qcp(prob.A, prob.b, prob.c, prob.cones, Q=prob.Q,
-                    settings=settings, **overrides)
+                    settings=settings, tol_ladder=prob.tol_ladder,
+                    **overrides)
     w, b0, obj = prob.recover(sol)
     return w, b0, obj, sol

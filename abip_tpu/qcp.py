@@ -84,7 +84,7 @@ class ConicWorkspace:
     """Setup-once conic workspace (`ABIP(init)`, `source/abip.c:1271-1311`)."""
 
     def __init__(self, A, b, c, cones: ConeSpec, Q=None,
-                 settings: Optional[Settings] = None):
+                 settings: Optional[Settings] = None, tol_ladder=None):
         settings = (settings or conic_defaults()).resolved()
         settings.validate()
         t0 = time.perf_counter()
@@ -196,7 +196,8 @@ class ConicWorkspace:
             else:
                 Q_op = None
             self.solver = CGSchurSolver(self.A_op, Q_op, ry, rx, diag_S,
-                                        max_iters=settings.cg_max_iters)
+                                        max_iters=settings.cg_max_iters,
+                                        tol_ladder=tol_ladder)
         else:
             Q_dense = Q if Q is not None else (
                 jnp.diag(self.Q_diag) if self.Q_diag is not None else None)
@@ -239,12 +240,13 @@ class ConicWorkspace:
                 return Q_diag * x
             return jnp.zeros_like(x)
 
-        def solve_fn(w_y, w_x, k, warm):
-            return solver.solve(w_y, w_x, iter_count=k, warm_start=warm)
+        def solve_fn(w_y, w_x, k, warm, err):
+            return solver.solve(w_y, w_x, iter_count=k, warm_start=warm,
+                                tol_hint=err)
 
-        def projection(u, v, k):
+        def projection(u, v, k, err):
             return conic_ops.projection(u, v, solve_fn, rho, r_vec, a_coef,
-                                        Q_times, m, n, k)
+                                        Q_times, m, n, k, err_ratio=err)
 
         def barrier_and_dual(u, v, u_t, lam):
             return conic_ops.barrier_and_dual(u, v, u_t, lam, rho_tail,
@@ -271,7 +273,8 @@ class ConicWorkspace:
             )
 
         def inner_body(state: ConicInnerState, mu, beta, tol_inner, ipm_i, k_cap):
-            u_t, its = projection(state.u, state.v, state.k)
+            u_t, its = projection(state.u, state.v, state.k,
+                                  state.res.error_ratio)
             lam = mu / beta
             u, v = barrier_and_dual(state.u, state.v, u_t, lam)
             v_origin = rho * v
@@ -617,10 +620,12 @@ class ConicWorkspace:
 
 
 def solve_qcp(A, b, c, cones: ConeSpec, Q=None,
-              settings: Optional[Settings] = None, **overrides) -> ConicSolution:
+              settings: Optional[Settings] = None, tol_ladder=None,
+              **overrides) -> ConicSolution:
     """One-call conic solve (`abip()`, `source/abip.c:1335-1371`)."""
     settings = settings or conic_defaults()
     if overrides:
         settings = dataclasses.replace(settings, **overrides)
-    w = ConicWorkspace(A, b, c, cones, Q=Q, settings=settings)
+    w = ConicWorkspace(A, b, c, cones, Q=Q, settings=settings,
+                       tol_ladder=tol_ladder)
     return w.solve()

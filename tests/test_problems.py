@@ -103,8 +103,46 @@ def test_svm_matrix_free_matches_dense(rng):
     w2, b2, o2, s2 = solve_svm(X, y, 1.0, matrix_free=True, eps=1e-5)
     assert s2.status_name.startswith("Solved")
     assert o2 == pytest.approx(o1, abs=1e-2 * (1 + o1))
-    with pytest.raises(ValueError, match="form='qp'"):
-        solve_svm(X, y, 1.0, form="socp", matrix_free=True)
+
+
+def test_svm_matrix_free_socp_matches_dense(rng):
+    """`svm_operator_socp` (matrix-free SOCP, `svm_config.c:175-229`
+    re-derivation) must agree with the dense SOCP embedding."""
+    m, n = 30, 4
+    X = rng.standard_normal((m, n))
+    y = np.sign(X @ rng.standard_normal(n) + 0.2 * rng.standard_normal(m))
+    y[y == 0] = 1.0
+    w1, b1, o1, s1 = solve_svm(X, y, 1.0, form="socp", eps=1e-5)
+    w2, b2, o2, s2 = solve_svm(X, y, 1.0, form="socp", matrix_free=True,
+                               eps=1e-5)
+    assert s2.status_name.startswith("Solved")
+    assert o2 == pytest.approx(o1, abs=1e-2 * (1 + o1))
+    np.testing.assert_allclose(w2, w1, atol=2e-2)
+
+
+def test_svm_socp_operator_matches_dense_matrix(rng):
+    """The scaled matrix-free operator must equal the explicitly scaled
+    dense matrix (matvec/rmatvec adjoint consistency)."""
+    import jax.numpy as jnp
+
+    from abip_tpu.problems.svm import svm_operator_socp, svm_to_conic_socp
+
+    m, n = 12, 3
+    X = rng.standard_normal((m, n))
+    y = np.sign(rng.standard_normal(m))
+    y[y == 0] = 1.0
+    prob = svm_operator_socp(X, y, 2.0, scaled=False)
+    dense = svm_to_conic_socp(X, y, 2.0)
+    q = dense.A.shape[1]
+    Aop = np.stack([np.asarray(prob.A.matvec(jnp.eye(q)[:, j]))
+                    for j in range(q)], axis=1)
+    np.testing.assert_allclose(Aop, dense.A, atol=1e-12)
+    # adjoint: <Az, u> == <z, A'u>
+    z = rng.standard_normal(q)
+    u = rng.standard_normal(m + 1)
+    lhs = float(np.dot(np.asarray(prob.A.matvec(jnp.asarray(z))), u))
+    rhs = float(np.dot(z, np.asarray(prob.A.rmatvec(jnp.asarray(u)))))
+    assert lhs == pytest.approx(rhs, abs=1e-10)
 
 
 def test_diagonal_q_matches_dense_q(rng):
