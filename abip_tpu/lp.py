@@ -75,7 +75,7 @@ def _ops_matvec(ops: LPOperands, x):
         return ell_matvec(ops.ell, x)
     from .ops.spmv_pallas import bcsr_matvec
 
-    return bcsr_matvec(ops.bcsr, x, use_pallas=False)
+    return bcsr_matvec(ops.bcsr, x)    # Pallas on TPU backend
 
 
 def _ops_rmatvec(ops: LPOperands, y):
@@ -87,7 +87,7 @@ def _ops_rmatvec(ops: LPOperands, y):
         return ell_matvec(ops.ell_T, y)
     from .ops.spmv_pallas import bcsr_matvec
 
-    return bcsr_matvec(ops.bcsr_T, y, use_pallas=False)
+    return bcsr_matvec(ops.bcsr_T, y)  # Pallas on TPU backend
 
 
 def _ops_solve(ops: LPOperands, stgs: Settings, w_y, w_x, k, warm):

@@ -80,12 +80,19 @@ def _sprint_kernel(scal_ref, A_ref, Ninv_ref, h_ref, g_ref, u_ref, v_ref,
 
 @partial(jax.jit, static_argnames=("T", "interpret", "use_pallas"))
 def fused_admm_sprint(A32, Ninv32, h32, g32, rho_y, g_th, lam, alpha,
-                      u32, v32, T=32, interpret=False, use_pallas=True):
+                      u32, v32, T=32, interpret=False, use_pallas=None):
     """Run T f32 ADMM iterations in one launch; returns (u, v).
 
     A32 (m, n), Ninv32 (m, m) = (rho_y I + A A')^-1, h32/g32 (l,) the HSD
     rank-1 data (`abip.c:1917-1924`), lam = mu/beta.
+
+    use_pallas=None resolves by backend (kernel on TPU, identical-math
+    XLA fallback elsewhere).
     """
+    if use_pallas is None:
+        from .spmv_pallas import pallas_default
+
+        use_pallas = pallas_default()
     m = A32.shape[0]
     scalars = jnp.stack([
         jnp.asarray(rho_y, jnp.float32),

@@ -123,9 +123,24 @@ def _bcsr_kernel(cols_ref, data_ref, x_ref, out_ref):
     out_ref[0, :] = jax.lax.fori_loop(0, maxk, body, acc0)
 
 
+def pallas_default() -> bool:
+    """Use the Pallas kernels when compiling for a real TPU backend.
+
+    On CPU (tests, fallback bench) the XLA gather/einsum path is both the
+    only compilable option and faster; on TPU the custom kernel avoids
+    materializing the (nbr, maxk, BC) gathered operand in HBM.
+    """
+    return jax.default_backend() == "tpu"
+
+
 @partial(jax.jit, static_argnames=("interpret", "use_pallas"))
-def bcsr_matvec(A: BCSRMatrix, x, interpret=False, use_pallas=True):
-    """y = A @ x for a BCSRMatrix; returns the logical (m,) slice."""
+def bcsr_matvec(A: BCSRMatrix, x, interpret=False, use_pallas=None):
+    """y = A @ x for a BCSRMatrix; returns the logical (m,) slice.
+
+    use_pallas=None resolves via `pallas_default()` (TPU backend only).
+    """
+    if use_pallas is None:
+        use_pallas = pallas_default()
     m, n = A.shape
     nbr, maxk = A.cols.shape
     n_pad = int(np.prod([-(-n // BC), BC]))

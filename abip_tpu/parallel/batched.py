@@ -76,16 +76,30 @@ class _Anchor(NamedTuple):
                                    "rho_y", "normalize", "scale", "ruiz_iter",
                                    "hybrid_thresh", "dynamic_x", "dynamic_eta",
                                    "shrink_second", "gamma0", "sigma0",
-                                   "precision", "ir_steps", "solver"))
+                                   "precision", "ir_steps", "solver",
+                                   "engine", "sprint_T", "sprint_mu_switch"))
 def device_solve_lp(A, b, c, *, eps=1e-6, max_ipm=200, max_admm=200_000,
                     alpha=1.8, rho_y=1e-3, normalize=True, scale=1.0,
                     ruiz_iter=10, hybrid_thresh=1000.0, dynamic_x=0.8,
                     dynamic_eta=1.1, shrink_second=0.5, gamma0=2.0,
                     sigma0=0.3, precision="f64", ir_steps=1,
-                    solver="cholesky") -> DeviceSolveResult:
-    """Solve one standard-form LP entirely on device.  vmap-able."""
+                    solver="cholesky", engine="steps", sprint_T=32,
+                    sprint_mu_switch=1e-3) -> DeviceSolveResult:
+    """Solve one standard-form LP entirely on device.  vmap-able.
+
+    engine="sprint" (mixed precision only) runs `sprint_T` whole f32 ADMM
+    iterations per launch through `ops.admm_pallas.fused_admm_sprint`
+    while mu > `sprint_mu_switch` (the bulk of the iterations), dropping
+    to the anchored per-iteration path for the accuracy endgame -- the
+    kernel-count economy described in the module docstring.
+    """
     if precision not in ("f64", "mixed"):
         raise ValueError(f"precision must be 'f64' or 'mixed'; got {precision!r}")
+    if engine not in ("steps", "sprint"):
+        raise ValueError(f"engine must be 'steps' or 'sprint'; got {engine!r}")
+    if engine == "sprint" and precision != "mixed":
+        raise ValueError("engine='sprint' requires precision='mixed'")
+    sprint = engine == "sprint"
     A = A.astype(f64)
     b = b.astype(f64)
     c = c.astype(f64)
@@ -123,6 +137,10 @@ def device_solve_lp(A, b, c, *, eps=1e-6, max_ipm=200, max_admm=200_000,
     chol64 = jax.lax.linalg.cholesky(N64)
     A32 = A_s.astype(f32)
     chol32 = chol64.astype(f32)
+    if sprint:
+        # the fused sprint applies N^-1 as one matmul
+        Ninv32_sprint = jax.scipy.linalg.cho_solve(
+            (chol64, True), jnp.eye(m, dtype=dtype)).astype(f32)
     if solver == "inverse":
         # explicit inverse: applying N^-1 becomes ONE matmul (MXU-friendly,
         # fuses under vmap) instead of two sequential triangular solves;
@@ -254,8 +272,36 @@ def device_solve_lp(A, b, c, *, eps=1e-6, max_ipm=200, max_admm=200_000,
             )
 
         def body(s: IC):
-            u_t = project(s.u, s.v, s.k)
-            u, v = hsd.admm_update(s.u, s.v, s.u, u_t, mu, alpha, m)
+            if sprint:
+                from ..ops.admm_pallas import fused_admm_sprint
+
+                h_pad = jnp.concatenate([h, jnp.zeros((1,), dtype)])
+                g_pad = jnp.concatenate([g, jnp.zeros((1,), dtype)])
+
+                def sprint_branch(args):
+                    su, sv = args
+                    u32, v32 = fused_admm_sprint(
+                        A32, Ninv32_sprint, h_pad.astype(f32),
+                        g_pad.astype(f32), rho_y, g_th, mu, alpha,
+                        su.astype(f32), sv.astype(f32), T=sprint_T)
+                    return (u32.astype(f64), v32.astype(f64),
+                            jnp.asarray(sprint_T, jnp.int32))
+
+                def step_branch(args):
+                    su, sv = args
+                    u_t = project(su, sv, s.k)
+                    u, v = hsd.admm_update(su, sv, su, u_t, mu, alpha, m)
+                    return u, v, jnp.asarray(1, jnp.int32)
+
+                # sprint through the bulk; per-iteration anchored steps for
+                # the accuracy endgame
+                u, v, dk = jax.lax.cond(mu > sprint_mu_switch,
+                                        sprint_branch, step_branch,
+                                        (s.u, s.v))
+            else:
+                u_t = project(s.u, s.v, s.k)
+                u, v = hsd.admm_update(s.u, s.v, s.u, u_t, mu, alpha, m)
+                dk = jnp.asarray(1, jnp.int32)
 
             u_sum = s.u_sum + u
             v_sum = s.v_sum + v
@@ -295,7 +341,7 @@ def device_solve_lp(A, b, c, *, eps=1e-6, max_ipm=200, max_admm=200_000,
             r, st = jax.lax.cond(do_res, check, no_check, None)
             return IC(u=u, v=v, u_sum=u_sum, v_sum=v_sum,
                       u_avg=u_avg, v_avg=v_avg, avg_crit=avg_crit,
-                      j=s.j + 1, k=s.k + 1, qres=qres, status=st, res=r)
+                      j=s.j + 1, k=s.k + dk, qres=qres, status=st, res=r)
 
         z = jnp.zeros((l,), dtype)
         init = IC(u=carry.u, v=carry.v, u_sum=z, v_sum=z,

@@ -56,3 +56,36 @@ def svm_instance(m=500, n=50, margin=1.0, seed=0):
     y = np.sign(X @ w + margin * 0.1 * rng.standard_normal(m))
     y[y == 0] = 1.0
     return X, y
+
+
+def infeasible_lp(m=20, n=60, seed=0):
+    """Standard-form LP that is infeasible by a Farkas certificate:
+    construct y with A'y <= -margin and b'y = 1 > 0, so {x>=0: Ax=b} = {}.
+    Used by the parity/status tests (reference classifies via res_infeas,
+    `abip.c:1565-1576`)."""
+    rng = np.random.default_rng(seed)
+    y = rng.standard_normal(m)
+    y /= np.linalg.norm(y)
+    A = rng.standard_normal((m, n))
+    margin = 0.1
+    viol = A.T @ y + margin          # want A'y <= -margin
+    A = A - np.outer(y, np.maximum(viol, 0.0))
+    b = y.copy()                     # b'y = 1 > 0
+    c = rng.random(n) + 0.5
+    assert (A.T @ y <= -margin + 1e-9).all() and b @ y > 0
+    return A, b, c
+
+
+def unbounded_lp(m=20, n=60, seed=0):
+    """Standard-form LP unbounded below: a ray d >= 0 with Ad = 0 and
+    c'd < 0 is built in."""
+    rng = np.random.default_rng(seed)
+    d = rng.random(n) + 0.1          # strictly positive ray
+    A = rng.standard_normal((m, n))
+    A = A - np.outer(A @ d, d) / (d @ d)     # Ad = 0
+    x0 = rng.random(n) + 0.5
+    b = A @ x0                        # feasible
+    c = rng.standard_normal(n)
+    c = c - ((c @ d) + 1.0) * d / (d @ d)    # c'd = -1 < 0
+    assert abs(c @ d + 1.0) < 1e-9 and np.abs(A @ d).max() < 1e-9
+    return A, b, c

@@ -119,3 +119,88 @@ def test_ell_matvec_matches_dense(rng):
     x = rng.standard_normal(120)
     np.testing.assert_allclose(np.asarray(ell_matvec(E, jnp.asarray(x))),
                                A @ x, rtol=1e-12, atol=1e-12)
+
+
+def test_sprint_engine_solves_batch(rng):
+    """engine='sprint' (fused T-iteration sprints through the bulk, anchored
+    steps for the endgame) reaches the same optima as engine='steps'."""
+    import jax.numpy as jnp
+
+    from abip_tpu.parallel.batched import solve_lp_batch
+    from tests.conftest import random_lp
+    from scipy.optimize import linprog
+
+    B, m, n = 3, 20, 60
+    As, bs, cs, refs = [], [], [], []
+    for i in range(B):
+        A, b, c = random_lp(np.random.default_rng(100 + i), m, n)
+        As.append(A); bs.append(b); cs.append(c)
+        refs.append(linprog(c, A_eq=A, b_eq=b, bounds=(0, None),
+                            method="highs").fun)
+    res = solve_lp_batch(jnp.asarray(np.stack(As)), jnp.asarray(np.stack(bs)),
+                         jnp.asarray(np.stack(cs)), eps=1e-6,
+                         precision="mixed", engine="sprint", sprint_T=16)
+    for i in range(B):
+        assert int(res.status[i]) == 1
+        assert float(res.pobj[i]) == pytest.approx(
+            refs[i], abs=1e-4 * (1 + abs(refs[i])))
+
+
+def test_sprint_engine_requires_mixed():
+    import jax.numpy as jnp
+
+    from abip_tpu.parallel.batched import device_solve_lp
+
+    A = jnp.eye(2)
+    with pytest.raises(ValueError, match="requires precision='mixed'"):
+        device_solve_lp(A, jnp.ones(2), jnp.ones(2), engine="sprint")
+
+
+import jax  # noqa: E402  (backend marker below)
+
+tpu_only = pytest.mark.skipif(jax.default_backend() != "tpu",
+                              reason="needs a real TPU backend")
+
+
+@tpu_only
+def test_bcsr_pallas_compiled_matches_xla(rng):
+    """Compiled-TPU validation of the Pallas BCSR kernel (VERDICT round 1
+    #2): compiled kernel output must match the XLA fallback."""
+    import scipy.sparse as sp
+    import jax.numpy as jnp
+
+    from abip_tpu.ops.spmv_pallas import BCSRMatrix, bcsr_matvec
+
+    A = sp.random(64, 256, density=0.1, random_state=7, format="csr")
+    B = BCSRMatrix.from_scipy(A)
+    x = rng.standard_normal(256).astype(np.float32)
+    y_xla = np.asarray(bcsr_matvec(B, jnp.asarray(x), use_pallas=False))
+    y_pal = np.asarray(bcsr_matvec(B, jnp.asarray(x), use_pallas=True))
+    np.testing.assert_allclose(y_pal, y_xla, rtol=1e-5, atol=1e-5)
+
+
+@tpu_only
+def test_sprint_pallas_compiled_matches_xla(rng):
+    """Compiled fused_admm_sprint must match the identical-math XLA path."""
+    import jax.numpy as jnp
+
+    from abip_tpu.ops.admm_pallas import fused_admm_sprint
+
+    m, n = 16, 48
+    l = m + n + 1
+    A = rng.standard_normal((m, n)).astype(np.float32)
+    N = 1e-3 * np.eye(m) + A @ A.T
+    Ninv = np.linalg.inv(N).astype(np.float32)
+    h = rng.standard_normal(l).astype(np.float32)
+    g = rng.standard_normal(l).astype(np.float32)
+    u = np.abs(rng.standard_normal(l)).astype(np.float32)
+    v = np.abs(rng.standard_normal(l)).astype(np.float32)
+    args = (jnp.asarray(A), jnp.asarray(Ninv), jnp.asarray(h),
+            jnp.asarray(g), 1e-3, 0.7, 0.05, 1.8, jnp.asarray(u),
+            jnp.asarray(v))
+    u_x, v_x = fused_admm_sprint(*args, T=8, use_pallas=False)
+    u_p, v_p = fused_admm_sprint(*args, T=8, use_pallas=True)
+    np.testing.assert_allclose(np.asarray(u_p), np.asarray(u_x),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(v_p), np.asarray(v_x),
+                               rtol=1e-4, atol=1e-4)

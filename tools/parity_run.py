@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import re
 import struct
 import subprocess
 import sys
@@ -58,6 +59,9 @@ def main(argv=None):
     ap.add_argument("--m", type=int, default=50)
     ap.add_argument("--n", type=int, default=2000)
     ap.add_argument("--mps", help="directory of .mps files instead of generated")
+    ap.add_argument("--classes", action="store_true",
+                    help="extended sweep: several shape classes x --count, "
+                         "including infeasible/unbounded status classes")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args(argv)
 
@@ -67,10 +71,27 @@ def main(argv=None):
         jax.config.update("jax_platforms", "cpu")
     sys.path.insert(0, ".")
     import abip_tpu
-    from benchmarks.generate import smoke_lp
+    from benchmarks.generate import (hilbert_lp, infeasible_lp, smoke_lp,
+                                     unbounded_lp)
 
     if args.mps:
         gen = _mps_instances(args.mps)
+    elif args.classes:
+        def _classes():
+            for s in range(args.count):
+                yield (f"smoke-{s}",
+                       *smoke_lp(m=30, n_rand=270, density=0.3, seed=s))
+            for s in range(args.count):
+                yield (f"wide-{s}",
+                       *smoke_lp(m=20, n_rand=980, density=0.1, seed=s))
+            for s in range(args.count):
+                yield f"hilbert-{s}", *hilbert_lp(n=40, shift=0.5, seed=s)
+            for s in range(args.count):
+                yield f"infeas-{s}", *infeasible_lp(m=15, n=60, seed=s)
+            for s in range(args.count):
+                yield f"unbdd-{s}", *unbounded_lp(m=15, n=60, seed=s)
+
+        gen = _classes()
     else:
         gen = ((str(seed), *smoke_lp(m=args.m, n_rand=args.n - args.m,
                                      density=0.3, seed=seed))
@@ -81,16 +102,30 @@ def main(argv=None):
         with tempfile.NamedTemporaryFile(suffix=".bin", delete=False) as f:
             export_instance(f.name, A, b, c)
             path = f.name
-        ref = json.loads(subprocess.run(
+        raw = subprocess.run(
             [args.ref_bin, path, str(args.eps)],
             capture_output=True, text=True, check=True,
-        ).stdout.strip().splitlines()[-1])
+        ).stdout.strip().splitlines()[-1]
+        # the C driver prints bare inf/nan (infeasible/unbounded exits)
+        raw = re.sub(r"\b-inf\b", "-Infinity", raw)
+        raw = re.sub(r"\binf\b", "Infinity", raw)
+        raw = re.sub(r"\bnan\b", "NaN", raw)
+        ref = json.loads(raw)
         ours = abip_tpu.solve_lp(A, b, c, eps=args.eps)
+        ref_pobj = ref.get("pobj", float("nan"))
+        # normalize the two solvers' status vocabularies for comparison
+        def _kind(s):
+            s = str(s).lower()
+            for k in ("infeasible", "unbounded", "solved"):
+                if k in s:
+                    return k
+            return s
         row = {
             "seed": seed,
             "ref_status": ref["status"], "our_status": ours.status_name,
-            "ref_pobj": ref["pobj"], "our_pobj": ours.pobj,
-            "pobj_rel_diff": abs(ref["pobj"] - ours.pobj) / (1 + abs(ref["pobj"])),
+            "status_match": _kind(ref["status"]) == _kind(ours.status_name),
+            "ref_pobj": ref_pobj, "our_pobj": ours.pobj,
+            "pobj_rel_diff": abs(ref_pobj - ours.pobj) / (1 + abs(ref_pobj)),
             "ref_admm": ref["admm"], "our_admm": ours.admm_iters,
             "admm_ratio": ours.admm_iters / max(1, ref["admm"]),
             "ref_ipm": ref["ipm"], "our_ipm": ours.ipm_iters,
@@ -98,11 +133,16 @@ def main(argv=None):
         rows.append(row)
         print(json.dumps(row))
 
-    ratios = [r["admm_ratio"] for r in rows]
-    diffs = [r["pobj_rel_diff"] for r in rows]
-    print(f"# admm-iteration ratio (ours/ref): min {min(ratios):.2f} "
+    solved = [r for r in rows if "Solved" in str(r["ref_status"])]
+    ratios = [r["admm_ratio"] for r in solved] or [float("nan")]
+    diffs = [r["pobj_rel_diff"] for r in solved
+             if r["pobj_rel_diff"] == r["pobj_rel_diff"]] or [float("nan")]
+    mismatches = [r["seed"] for r in rows if not r["status_match"]]
+    print(f"# admm-iteration ratio (ours/ref, solved): min {min(ratios):.2f} "
           f"median {sorted(ratios)[len(ratios)//2]:.2f} max {max(ratios):.2f}")
-    print(f"# max pobj rel diff: {max(diffs):.2e}")
+    print(f"# max pobj rel diff (solved): {max(diffs):.2e}")
+    print(f"# status matches: {len(rows) - len(mismatches)}/{len(rows)}"
+          + (f"  MISMATCHES: {mismatches}" if mismatches else ""))
     return rows
 
 
