@@ -27,22 +27,75 @@ import jax.numpy as jnp
 
 
 class DenseSchurSolver:
-    """Cached-Cholesky Schur solver for the conic block system."""
+    """Cached-Cholesky Schur solver for the conic block system.
 
-    def __init__(self, A, Q, rho_y_vec, rho_x_vec):
+    mode="inverse_mixed" applies the pre-computed f32 explicit inverse
+    (one MXU matmul) plus one f64 iterative-refinement step against the
+    f64 Schur matrix -- the anchored mixed-precision pattern of
+    `parallel/batched.py`, avoiding f64 triangular solves that are
+    software-emulated (~30x slower) on TPU v5e.
+    """
+
+    def __init__(self, A, Q, rho_y_vec, rho_x_vec, mode="chol"):
         # A: (m, n) dense; Q: (n, n) dense or None
+        if mode not in ("chol", "inverse_mixed"):
+            raise ValueError(f"unknown dense mode: {mode!r}")
         self.A = A
         self.Q = Q
+        self.mode = mode
         self.ry_inv = 1.0 / rho_y_vec
         m, n = A.shape
         S = (A * self.ry_inv[:, None]).T @ A + jnp.diag(rho_x_vec)
         if Q is not None:
             S = S + Q
         self.chol = jax.lax.linalg.cholesky(S)
+        if mode == "inverse_mixed":
+            # S's conditioning is dominated by 1/rho_y (1e6 at conic
+            # defaults) -- far beyond f32.  Jacobi-equilibrate first:
+            # S_hat = D S D with D = diag(S)^-1/2 has unit diagonal, so
+            # its f32 inverse is accurate; two IR steps against the f64 S
+            # recover f64-quality solves.
+            self.S64 = S
+            self.d_S = 1.0 / jnp.sqrt(jnp.diag(S))
+            S_hat = S * self.d_S[:, None] * self.d_S[None, :]
+            eye = jnp.eye(n, dtype=S.dtype)
+            self.Shat_inv32 = jax.scipy.linalg.cho_solve(
+                (jax.lax.linalg.cholesky(S_hat), True), eye
+            ).astype(jnp.float32)
+
+    def _apply_inv(self, rhs, tol_hint=None):
+        if self.mode == "chol":
+            return jax.scipy.linalg.cho_solve((self.chol, True), rhs)
+
+        def inv_mixed(r):
+            def once(rr):
+                rh = (self.d_S * rr).astype(jnp.float32)
+                return self.d_S * (self.Shat_inv32 @ rh).astype(rr.dtype)
+
+            # 3 IR steps: cond(S_hat) is spectral (~1/rho_y), so each f32
+            # apply contracts error by ~cond*eps32; measured on the LP-cone
+            # smoke shape, 3 steps reproduce the f64 trajectory exactly
+            z = once(r)
+            for _ in range(3):
+                z = z + once(r - self.S64 @ z)
+            return z
+
+        def inv_exact(r):
+            return jax.scipy.linalg.cho_solve((self.chol, True), r)
+
+        if tol_hint is None:
+            # setup-time solves (pre_calculate r-vector) need full accuracy
+            return inv_exact(rhs)
+        # bulk iterations ride the f32 inverse; once residuals approach
+        # tolerance (error_ratio small) the f32 noise floor would stall the
+        # inner criterion, so the endgame switches to the exact factor --
+        # same pattern as the sprint engine's mu switch
+        return jax.lax.cond(jnp.asarray(tol_hint) > 100.0,
+                            inv_mixed, inv_exact, rhs)
 
     def solve(self, w_y, w_x, iter_count=0, warm_start=None, tol_hint=None):
         rhs = w_x + self.A.T @ (self.ry_inv * w_y)
-        z_x = jax.scipy.linalg.cho_solve((self.chol, True), rhs)
+        z_x = self._apply_inv(rhs, tol_hint)
         z_y = self.ry_inv * (w_y - self.A @ z_x)
         return z_y, z_x, jnp.zeros((), jnp.int32)
 

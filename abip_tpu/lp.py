@@ -364,10 +364,16 @@ class LPWorkspace:
         self.b, self.c = b_s, c_s
 
         # -- linear-system payload -------------------------------------------
-        # Direct (cached Cholesky of rho_y I + A A') when m is modest,
-        # PCG otherwise (`source/util.c:237-244` auto-select intent).
+        # Direct (cached Cholesky of rho_y I + A A') when the normal matrix
+        # is affordable, PCG otherwise.  Mirrors the reference auto-select
+        # shape rule (`source/util.c:237-244`: PCG when m*n is huge) --
+        # m alone is not enough: assembling AA' costs O(m^2) memory and
+        # O(nnz*m) work, so large sparse problems must take the CG path
+        # even at modest m.
         direct = settings.linsys == "dense" or (
-            settings.linsys == "auto" and m <= 4096
+            settings.linsys == "auto"
+            and m <= 4096
+            and float(m) * float(n) <= 5e7
         )
         A_dense = bcsr = bcsr_T = ell = ell_T = chol = M = None
         if is_sparse:

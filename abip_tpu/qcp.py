@@ -201,7 +201,8 @@ class ConicWorkspace:
         else:
             Q_dense = Q if Q is not None else (
                 jnp.diag(self.Q_diag) if self.Q_diag is not None else None)
-            self.solver = DenseSchurSolver(A_dense, Q_dense, ry, rx)
+            self.solver = DenseSchurSolver(A_dense, Q_dense, ry, rx,
+                                           mode=settings.dense_mode)
 
         # r = Ktilde^-1 (-b; c), a = rho_tau + <rho . r, r>
         # (`pre_calculate`, `source/abip.c:886-910`)

@@ -106,6 +106,9 @@ class Settings:
 
     # -- linear system backend ----------------------------------------------
     linsys: str = "auto"            # auto | dense | cg
+    dense_mode: str = "chol"        # chol | inverse_mixed (f32 explicit
+    #   inverse apply + one f64 iterative-refinement step; MXU-friendly on
+    #   TPU where f64 triangular solves are emulated ~30x slower)
     cg_rate: float = 2.0
     cg_max_iters: int = 1000
     cg_best_tol: float = 1e-9
@@ -151,3 +154,5 @@ class Settings:
             )
         if self.linsys not in ("auto", "dense", "cg"):
             raise ValueError(f"unknown linsys backend: {self.linsys!r}")
+        if self.dense_mode not in ("chol", "inverse_mixed"):
+            raise ValueError(f"unknown dense_mode: {self.dense_mode!r}")

@@ -149,3 +149,25 @@ def test_unified_dispatch(rng):
     assert type(s_conic).__name__ == "ConicSolution"
     assert s_lp.status_name.startswith("Solved")
     assert s_conic.status_name.startswith("Solved")
+
+
+def test_inverse_mixed_dense_mode_matches_chol(rng):
+    """dense_mode='inverse_mixed' (f32 explicit inverse + f64 IR) must
+    track the Cholesky trajectory on LP-cone and SOC instances."""
+    from abip_tpu.qcp import ConicWorkspace, conic_defaults
+
+    A, b, c = random_lp(rng, 15, 40)
+    s0 = conic_defaults(eps=1e-6)
+    s1 = conic_defaults(eps=1e-6, dense_mode="inverse_mixed")
+    r0 = ConicWorkspace(A, b, c, ConeSpec.lp(40), settings=s0).solve()
+    r1 = ConicWorkspace(A, b, c, ConeSpec.lp(40), settings=s1).solve()
+    assert r1.status_name.startswith("Solved")
+    assert r1.pobj == pytest.approx(r0.pobj, abs=1e-5 * (1 + abs(r0.pobj)))
+    assert abs(r1.admm_iters - r0.admm_iters) <= max(5, 0.05 * r0.admm_iters)
+
+    a = rng.standard_normal(4)
+    n = 5
+    A2 = np.zeros((4, n)); A2[:, 1:] = np.eye(4)
+    c2 = np.zeros(n); c2[0] = 1.0
+    r2 = ConicWorkspace(A2, a, c2, ConeSpec(soc=(5,)), settings=s1).solve()
+    assert r2.pobj == pytest.approx(np.linalg.norm(a), abs=1e-4)
