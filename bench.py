@@ -11,7 +11,9 @@ The timed batch uses DIFFERENT instances from the warm-up batch so remote
 execution caches cannot contaminate the measurement.
 
 Env knobs: ABIP_BENCH_CPU=1 (CPU backend), ABIP_BENCH_B (batch size),
-ABIP_BENCH_SINGLE=1 (legacy single-instance f64 metric).
+ABIP_BENCH_SINGLE=1 (legacy single-instance f64 metric),
+ABIP_BENCH_ENGINE=sprint (+ ABIP_BENCH_SPRINT_T) for the fused-sprint
+engine.
 """
 import json
 import sys
@@ -134,6 +136,10 @@ def _bench_inner():
 
     B = int(os.environ.get("ABIP_BENCH_B", "16"))
     precision = os.environ.get("ABIP_BENCH_PRECISION", "mixed")
+    engine = os.environ.get("ABIP_BENCH_ENGINE", "steps")
+    if engine == "sprint":
+        kw.update(engine="sprint",
+                  sprint_T=int(os.environ.get("ABIP_BENCH_SPRINT_T", "32")))
     warm = _batch(10_000, B)
     res = solve_lp_batch(*warm, precision=precision, **kw)
     jax.block_until_ready(res)
@@ -153,7 +159,7 @@ def _bench_inner():
         "unit": "iter/s",
         "vs_baseline": round(agg / base, 3) if base else None,
         "detail": {
-            "mode": f"batched B={B} {precision} (aggregate)",
+            "mode": f"batched B={B} {precision} engine={engine} (aggregate)",
             "problem": "smoke_lp m=50 n=2000 density=0.3",
             "eps": 1e-6,
             "solved": int((st == 1).sum()),
