@@ -57,6 +57,52 @@ def from_sedumi(A, b, c, K):
     return A[:, perm].toarray(), b, c[perm], cones, perm
 
 
+def to_sedumi(A, b, c, cones):
+    """Convert (A, b, c, ConeSpec) in our cone order to SeDuMi (A, b, c, K).
+
+    Inverse of :func:`from_sedumi`: permutes columns back to the SeDuMi
+    variable order [free, nonneg, soc..., rsoc...].  SeDuMi's K struct has
+    no zero-cone field for primal variables, so ``cones.zero`` must be 0.
+    """
+    A = sp.csc_matrix(A)
+    b = np.asarray(b, float).ravel()
+    c = np.asarray(c, float).ravel()
+    n = A.shape[1]
+    if cones.zero:
+        raise ValueError("SeDuMi K has no primal zero cone; zero must be 0")
+    if cones.dim != n:
+        raise ValueError(
+            f"cone dims ({cones.dim}) do not match number of columns ({n})"
+        )
+    nq, nr = sum(cones.soc), sum(cones.rsoc)
+    # ours: [soc..., rsoc..., free, zero(=0), nonneg]
+    idx_q = np.arange(0, nq)
+    idx_r = np.arange(nq, nq + nr)
+    idx_free = np.arange(nq + nr, nq + nr + cones.free)
+    idx_l = np.arange(nq + nr + cones.free, n)
+    # sedumi order: [free, nonneg, soc..., rsoc...]
+    inv = np.concatenate([idx_free, idx_l, idx_q, idx_r]).astype(int)
+    K = {"f": cones.free, "l": cones.nonneg,
+         "q": list(cones.soc), "r": list(cones.rsoc)}
+    return A[:, inv], b, c[inv], K
+
+
+def write_sedumi_mat(path, A, b, c, cones, extra=None):
+    """Write a SeDuMi .mat file readable by :func:`load_sedumi_mat`.
+
+    Round-trips through :func:`to_sedumi`; `extra` merges additional
+    fields (e.g. a known optimal objective) into the saved dict.
+    """
+    from scipy.io import savemat
+
+    As, bs, cs, K = to_sedumi(A, b, c, cones)
+    d = {"A": sp.csc_matrix(As), "b": bs.reshape(-1, 1),
+         "c": cs.reshape(-1, 1), "K": K}
+    if extra:
+        d.update(extra)
+    savemat(path, d)
+
+
 def _has(K, field):
     try:
         v = K[field]

@@ -22,9 +22,15 @@ import argparse
 import glob
 import json
 import os
+import sys
 import time
 
 import numpy as np
+
+# Allow `python benchmarks/run_suite.py` as well as `python -m benchmarks.run_suite`.
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _ROOT not in sys.path:
+    sys.path.insert(0, _ROOT)
 
 
 def record(name, sol, wall):
@@ -107,6 +113,35 @@ def run_highs(paths, outdir):
                 "time": wall,
             }
         except Exception as e:  # noqa: BLE001
+            rec = {"name": name, "status": f"Error: {e}",
+                   "time": time.perf_counter() - t0}
+        out.append(rec)
+        _write(outdir, name, rec)
+        print(json.dumps(rec))
+    return out
+
+
+def run_sedumi(paths, eps, outdir, **overrides):
+    """Conic suite runner on SeDuMi .mat files -- the `test_cblib.m:60-76`
+    analogue.  If the .mat carries a `pobj_star` oracle field (conic_mini
+    instances), the record includes the absolute objective error."""
+    from scipy.io import loadmat
+
+    from abip_tpu.io.sedumi import solve_sedumi
+
+    out = []
+    for path in paths:
+        name = os.path.splitext(os.path.basename(path))[0]
+        t0 = time.perf_counter()
+        try:
+            sol = solve_sedumi(path, eps=eps, **overrides)
+            rec = record(name, sol, time.perf_counter() - t0)
+            star = loadmat(path, simplify_cells=True).get("pobj_star")
+            if star is not None and np.asarray(star).size:
+                star = float(np.asarray(star).ravel()[0])
+                rec["pobj_star"] = star
+                rec["obj_err"] = abs(rec["pobj"] - star) / max(1.0, abs(star))
+        except Exception as e:  # noqa: BLE001 -- a bench run logs failures
             rec = {"name": name, "status": f"Error: {e}",
                    "time": time.perf_counter() - t0}
         out.append(rec)
@@ -221,6 +256,8 @@ def _write(outdir, name, rec):
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--mps", help="directory of .mps(.gz) files")
+    ap.add_argument("--sedumi",
+                    help="directory of SeDuMi .mat conic instances")
     ap.add_argument("--generated", help="generator spec, e.g. smoke:8")
     ap.add_argument("--batched", action="store_true",
                     help="solve generated instances as one vmapped program")
@@ -252,11 +289,16 @@ def main(argv=None):
                             precision=args.precision)
         else:
             run_mps(paths, args.eps, args.outdir)
+    elif args.sedumi:
+        paths = sorted(glob.glob(os.path.join(args.sedumi, "*.mat")))
+        if not paths:
+            raise SystemExit(f"no .mat files under {args.sedumi}")
+        run_sedumi(paths, args.eps, args.outdir)
     elif args.generated:
         run_generated(args.generated, args.eps, args.outdir,
                       batched=args.batched, precision=args.precision)
     else:
-        ap.error("one of --mps / --generated is required")
+        ap.error("one of --mps / --sedumi / --generated is required")
 
 
 if __name__ == "__main__":
