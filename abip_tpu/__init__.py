@@ -26,6 +26,7 @@ from .problem import LinearOperator             # noqa: E402
 from .lp import solve_lp, LPWorkspace, LPSolution  # noqa: E402
 from .cones import ConeSpec                     # noqa: E402
 from .qcp import solve_qcp, ConicWorkspace, ConicSolution, conic_defaults  # noqa: E402
+from .pdhg import solve_lp_pdhg                 # noqa: E402
 
 __version__ = "0.1.0"
 
@@ -42,5 +43,6 @@ __all__ = [
     "ConicWorkspace",
     "ConicSolution",
     "conic_defaults",
+    "solve_lp_pdhg",
     "__version__",
 ]

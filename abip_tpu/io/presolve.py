@@ -132,11 +132,14 @@ def presolve_to_standard(p: GeneralLP) -> StandardFormLP:
     )
 
 
-def solve_mps(path: str, settings=None, dense: bool = True, **overrides):
+def solve_mps(path: str, settings=None, dense: bool = True,
+              method: str = "abip", **overrides):
     """Read an MPS file, presolve to standard form, solve, map back.
 
     Returns (solution, standard_form).  The reported objective includes the
-    presolve constant and the min/max sign flip.
+    presolve constant and the min/max sign flip.  `method` selects the
+    solver on the standard form: "abip" (ADMM interior point) or "pdhg"
+    (restarted PDHG competitor, `pdhg.solve_lp_pdhg`).
     """
     from .mps import read_mps
     from ..lp import solve_lp
@@ -145,7 +148,14 @@ def solve_mps(path: str, settings=None, dense: bool = True, **overrides):
     p = read_mps(path)
     std = presolve_to_standard(p)
     A = std.A.toarray() if dense else std.A
-    sol = solve_lp(A, std.b, std.c, settings or Settings(), **overrides)
+    if method == "pdhg":
+        from ..pdhg import solve_lp_pdhg
+
+        sol = solve_lp_pdhg(A, std.b, std.c, **overrides)
+    elif method == "abip":
+        sol = solve_lp(A, std.b, std.c, settings or Settings(), **overrides)
+    else:
+        raise ValueError(f"unknown method {method!r}")
     sol.pobj = std.user_objective(sol.pobj)
     sol.dobj = std.user_objective(sol.dobj)
     sol.x = std.recover(sol.x)

@@ -1,0 +1,250 @@
+"""Restarted PDHG (PDLP-style) first-order LP solver.
+
+The reference benchmarks ABIP against Google's PDLP through an external
+driver (`/root/reference/scripts/bench-lp/pdlp_solve.py:1-146`); this
+module supplies that competitor column natively so `analyze --compare`
+can produce the reference-style method table without external deps --
+and because restarted PDHG is itself the canonical first-order LP method
+for accelerator hardware, it doubles as a second fully-on-device solver.
+
+Algorithm (Applegate et al., "Practical Large-Scale Linear Programming
+using Primal-Dual Hybrid Gradient", NeurIPS 2021):
+
+    min c'x  s.t.  Ax = b, x >= 0      (standard form, same as ABIP-LP)
+
+saddle-point form  min_{x>=0} max_y  c'x + y'(b - Ax), iterated as
+
+    x+ = max(0, x - tau (c - A'y))
+    y+ = y  + sigma (b - A(2x+ - x))
+
+with tau = eta/omega, sigma = eta*omega, eta <= 1/||A||_2, plus:
+  * Ruiz/pc equilibration (shared `scaling.equilibrate` pipeline),
+  * fixed-frequency restarts to the better of {current, running average}
+    by KKT error (the practical core of PDLP's adaptive restart rule),
+  * primal-weight (omega) updates from the primal/dual movement ratio at
+    each restart.
+
+The whole solve is one jitted `lax.while_loop`; each trip runs
+`check_period` PDHG steps as a `fori_loop` sprint (zero host syncs in the
+hot loop), then evaluates unscaled KKT residuals for restart/termination.
+"""
+from __future__ import annotations
+
+import time
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .lp import LPSolution
+from .scaling import equilibrate
+from .settings import Status
+
+
+class _ScaleFlags(NamedTuple):
+    """Minimal settings shim for `scaling.equilibrate`."""
+
+    pc_ruiz_rescale: bool = True
+    origin_rescale: bool = True
+    qp_rescale: bool = False
+    ruiz_iter: int = 10
+    scale: float = 1.0
+
+
+def estimate_spectral_norm(A, iters: int = 40):
+    """||A||_2 via power iteration on A'A (device-side, jittable)."""
+
+    def body(_, v):
+        w = A.T @ (A @ v)
+        return w / jnp.maximum(jnp.linalg.norm(w), 1e-30)
+
+    v0 = jnp.ones((A.shape[1],), A.dtype) / jnp.sqrt(
+        jnp.asarray(A.shape[1], A.dtype))
+    v = jax.lax.fori_loop(0, iters, body, v0)
+    return jnp.linalg.norm(A @ v)
+
+
+class _PDHGState(NamedTuple):
+    x: jnp.ndarray
+    y: jnp.ndarray
+    x_sum: jnp.ndarray
+    y_sum: jnp.ndarray
+    n_avg: jnp.ndarray          # iterations accumulated in the average
+    x_rs: jnp.ndarray           # iterate at the last restart (scaled)
+    y_rs: jnp.ndarray
+    err_rs: jnp.ndarray         # KKT error at the last restart
+    omega: jnp.ndarray          # primal weight
+    k: jnp.ndarray              # total PDHG iterations
+    status: jnp.ndarray
+    pres: jnp.ndarray
+    dres: jnp.ndarray
+    gap: jnp.ndarray
+    pobj: jnp.ndarray
+    dobj: jnp.ndarray
+
+
+def _kkt_unscaled(A, b, c, E, D, xb, yb, nb, nc):
+    """Unscaled relative KKT residuals of a scaled iterate (xb, yb).
+
+    x = xb/E, y = yb/D; dual slack s = c - A'y; dual infeasibility is the
+    negative part of s (x >= 0 conic dual).  Matches the reference's
+    relative convergence test (`abip.c:1613-1641`) with the first-order
+    dual-violation norm in place of the ADMM s-iterate.
+    """
+    x = xb / E
+    y = yb / D
+    r_pri = A @ x - b
+    s = c - A.T @ y
+    pres = jnp.linalg.norm(r_pri) / (1.0 + nb)
+    dres = jnp.linalg.norm(jnp.minimum(s, 0.0)) / (1.0 + nc)
+    pobj = c @ x
+    dobj = b @ y
+    gap = jnp.abs(pobj - dobj) / (1.0 + jnp.abs(pobj) + jnp.abs(dobj))
+    return pres, dres, gap, pobj, dobj
+
+
+@partial(jax.jit, static_argnames=("check_period", "max_iters"))
+def _pdhg_run(Ab, bb, cb, A, b, c, E, D, eta, omega0, eps, max_iters,
+              check_period):
+    m, n = Ab.shape
+    dt = Ab.dtype
+    nb = jnp.linalg.norm(b)
+    nc = jnp.linalg.norm(c)
+
+    def sprint(x, y, omega):
+        """check_period PDHG steps at fixed (tau, sigma); returns sums."""
+        tau = eta / omega
+        sigma = eta * omega
+
+        def step(_, carry):
+            x, y, xs, ys = carry
+            xn = jnp.maximum(0.0, x - tau * (cb - Ab.T @ y))
+            yn = y + sigma * (bb - Ab @ (2.0 * xn - x))
+            return xn, yn, xs + xn, ys + yn
+
+        zeros = (jnp.zeros_like(x), jnp.zeros_like(y))
+        return jax.lax.fori_loop(0, check_period, step, (x, y) + zeros)
+
+    def cond(st: _PDHGState):
+        return (st.status == Status.UNFINISHED) & (st.k < max_iters)
+
+    def body(st: _PDHGState):
+        x, y, xs, ys = sprint(st.x, st.y, st.omega)
+        x_sum, y_sum = st.x_sum + xs, st.y_sum + ys
+        n_avg = st.n_avg + check_period
+        x_avg = x_sum / n_avg
+        y_avg = y_sum / n_avg
+
+        cur = _kkt_unscaled(A, b, c, E, D, x, y, nb, nc)
+        avg = _kkt_unscaled(A, b, c, E, D, x_avg, y_avg, nb, nc)
+        cur_err = jnp.maximum(jnp.maximum(cur[0], cur[1]), cur[2])
+        avg_err = jnp.maximum(jnp.maximum(avg[0], avg[1]), avg[2])
+
+        take_avg = avg_err < cur_err
+        x_c = jnp.where(take_avg, x_avg, x)
+        y_c = jnp.where(take_avg, y_avg, y)
+        pres, dres, gap, pobj, dobj = jax.tree.map(
+            lambda a, b_: jnp.where(take_avg, a, b_), avg, cur)
+        cand_err = jnp.minimum(avg_err, cur_err)
+        k = st.k + check_period
+
+        converged = (pres < eps) & (dres < eps) & (gap < eps)
+        status = jnp.where(converged, Status.SOLVED, st.status)
+
+        # Adaptive restart (PDLP's practical rule): restart to the better
+        # of {current, average} on sufficient KKT decay since the last
+        # restart (beta=0.2), or when the averaging window has grown past
+        # 0.36 of the total iteration count.  Restarting unconditionally
+        # every window stalls hard instances (measured: omega collapse +
+        # 1e-3 plateau on a 40x400 LP); this rule solves it in ~4k iters.
+        restart = (cand_err <= 0.2 * st.err_rs) | (n_avg >= 0.36 * k)
+
+        # primal-weight update from movement since the last restart,
+        # smoothed (theta=0.5) and rate-limited to 4x per restart
+        dx = jnp.linalg.norm(x_c - st.x_rs)
+        dy = jnp.linalg.norm(y_c - st.y_rs)
+        safe = (dx > 1e-30) & (dy > 1e-30)
+        log_ratio = jnp.where(safe, jnp.log(jnp.where(safe, dy, 1.0))
+                              - jnp.log(jnp.where(safe, dx, 1.0)), 0.0)
+        log_w = jnp.log(st.omega)
+        step_lw = jnp.clip(0.5 * (log_ratio - log_w),
+                           -jnp.log(4.0), jnp.log(4.0))
+        omega_new = jnp.clip(jnp.exp(log_w + step_lw), 1e-4, 1e4)
+        omega = jnp.where(restart & safe, omega_new, st.omega)
+
+        def pick(r, a, b_):
+            return jnp.where(r, a, b_)
+
+        return _PDHGState(
+            x=pick(restart, x_c, x), y=pick(restart, y_c, y),
+            x_sum=pick(restart, jnp.zeros_like(x), x_sum),
+            y_sum=pick(restart, jnp.zeros_like(y), y_sum),
+            n_avg=pick(restart, jnp.zeros((), dt), n_avg),
+            x_rs=pick(restart, x_c, st.x_rs),
+            y_rs=pick(restart, y_c, st.y_rs),
+            err_rs=pick(restart, cand_err, st.err_rs),
+            omega=omega, k=k, status=status,
+            pres=pres, dres=dres, gap=gap, pobj=pobj, dobj=dobj,
+        )
+
+    zero = jnp.zeros((), dt)
+    init = _PDHGState(
+        x=jnp.zeros((n,), dt), y=jnp.zeros((m,), dt),
+        x_sum=jnp.zeros((n,), dt), y_sum=jnp.zeros((m,), dt),
+        n_avg=zero, x_rs=jnp.zeros((n,), dt), y_rs=jnp.zeros((m,), dt),
+        err_rs=zero + jnp.inf,
+        omega=jnp.asarray(omega0, dt), k=jnp.zeros((), jnp.int32),
+        status=jnp.asarray(Status.UNFINISHED, jnp.int32),
+        pres=zero + jnp.inf, dres=zero + jnp.inf, gap=zero + jnp.inf,
+        pobj=zero, dobj=zero,
+    )
+    return jax.lax.while_loop(cond, body, init)
+
+
+def solve_lp_pdhg(A, b, c, eps: float = 1e-6, max_iters: int = 200_000,
+                  check_period: int = 256, dtype=jnp.float64) -> LPSolution:
+    """Solve `min c'x s.t. Ax = b, x >= 0` with restarted PDHG.
+
+    Drop-in competitor for `solve_lp` on the same standard form; the
+    returned `LPSolution` reports PDHG iterations in `admm_iters` so the
+    bench `record()` schema applies unchanged.
+    """
+    t0 = time.perf_counter()
+    A = jnp.asarray(A, dtype)
+    b = jnp.asarray(b, dtype)
+    c = jnp.asarray(c, dtype)
+
+    Ab, sd = equilibrate(A, _ScaleFlags())
+    bb = b / sd.D
+    cb = c / sd.E
+
+    normA = estimate_spectral_norm(Ab)
+    eta = 0.9 / jnp.maximum(normA, 1e-30)
+    nbb = jnp.linalg.norm(bb)
+    ncb = jnp.linalg.norm(cb)
+    omega0 = jnp.where((nbb > 1e-30) & (ncb > 1e-30), ncb / nbb, 1.0)
+
+    setup = time.perf_counter() - t0
+    t1 = time.perf_counter()
+    st = _pdhg_run(Ab, bb, cb, A, b, c, sd.E, sd.D, eta, omega0, eps,
+                   max_iters, check_period)
+    st = jax.block_until_ready(st)
+    solve = time.perf_counter() - t1
+
+    status = int(st.status)
+    if status == Status.UNFINISHED:
+        worst = max(float(st.pres), float(st.dres), float(st.gap))
+        status = Status.SOLVED_INACCURATE if worst < 1e-3 else Status.FAILED
+    x = np.asarray(st.x / sd.E)
+    y = np.asarray(st.y / sd.D)
+    s = np.asarray(c - A.T @ (st.y / sd.D))
+    return LPSolution(
+        x=x, y=y, s=s, status=status, status_name=Status.name(status),
+        pobj=float(st.pobj), dobj=float(st.dobj),
+        res_pri=float(st.pres), res_dual=float(st.dres),
+        rel_gap=float(st.gap), res_infeas=float("nan"),
+        res_unbdd=float("nan"), ipm_iters=0, admm_iters=int(st.k),
+        setup_time=setup, solve_time=solve,
+    )

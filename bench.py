@@ -69,14 +69,23 @@ def main():
         # optimal CPU configuration is the direct (un-vmapped) single f64
         # solve (measured ~1.4x the reference C solver); batching pays
         # only on TPU.
-        attempts = [
-            ({}, 1200),                                      # device config
-            ({"ABIP_BENCH_CPU": "1", "ABIP_BENCH_SINGLE": "1"}, 900),
-        ]
+        cpu_cfg = ({"ABIP_BENCH_CPU": "1", "ABIP_BENCH_SINGLE": "1"}, 900)
         if os.environ.get("ABIP_BENCH_CPU") and not os.environ.get(
                 "ABIP_BENCH_B"):
             # caller forced CPU: go straight to the CPU-optimal config
-            attempts = attempts[1:]
+            attempts = [cpu_cfg]
+        elif not _device_alive():
+            # wedged/absent accelerator tunnel: don't burn the device
+            # watchdog budgets, fall straight back to CPU
+            attempts = [cpu_cfg]
+        else:
+            # device ladder: biggest batch first (best measured-throughput
+            # candidate), fall back to the known-good B=16, then CPU
+            attempts = [
+                ({"ABIP_BENCH_B": "64"}, 1800),
+                ({"ABIP_BENCH_B": "16"}, 1200),
+                cpu_cfg,
+            ]
         for extra_env, timeout_s in attempts:
             env = dict(os.environ, ABIP_BENCH_INNER="1", **extra_env)
             try:
@@ -100,6 +109,35 @@ def main():
         return
 
     _bench_inner()
+
+
+def _device_alive(timeout_s=300):
+    """Probe the accelerator with a tiny jitted matmul in a subprocess.
+
+    The axon TPU tunnel in this image can wedge remote-side, making any
+    jax op block indefinitely.  A fresh-process probe (first compile is
+    normally 20-40 s) under a timeout distinguishes a live device from a
+    wedged tunnel without spending the full benchmark watchdog budget.
+    Returns False when the default backend is CPU-only as well -- the CPU
+    fallback config is then strictly better than the "device" configs.
+    """
+    import subprocess
+
+    code = (
+        "import numpy as np, jax, jax.numpy as jnp\n"
+        "assert jax.default_backend() != 'cpu'\n"
+        "x = jnp.asarray(np.random.rand(128, 128).astype(np.float32))\n"
+        "jax.jit(lambda a: a @ a)(x).block_until_ready()\n"
+        "print('DEVICE_OK')\n"
+    )
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c", code], capture_output=True, text=True,
+            timeout=timeout_s,
+        )
+        return "DEVICE_OK" in proc.stdout
+    except subprocess.TimeoutExpired:
+        return False
 
 
 def _bench_inner():

@@ -262,9 +262,11 @@ def main(argv=None):
     ap.add_argument("--batched", action="store_true",
                     help="solve generated instances as one vmapped program")
     ap.add_argument("--precision", default="f64", choices=["f64", "mixed"])
-    ap.add_argument("--method", default="abip", choices=["abip", "highs"],
+    ap.add_argument("--method", default="abip",
+                    choices=["abip", "highs", "pdhg"],
                     help="solver to run on --mps files (highs = scipy "
-                         "linprog competitor column for analyze --compare)")
+                         "linprog, pdhg = restarted PDHG; competitor "
+                         "columns for analyze --compare)")
     ap.add_argument("--eps", type=float, default=1e-6)
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
     ap.add_argument("-o", "--outdir", default=None)
@@ -284,6 +286,8 @@ def main(argv=None):
             raise SystemExit(f"no .mps files under {args.mps}")
         if args.method == "highs":
             run_highs(paths, args.outdir)
+        elif args.method == "pdhg":
+            run_mps(paths, args.eps, args.outdir, method="pdhg")
         elif args.batched:
             run_mps_batched(paths, args.eps, args.outdir,
                             precision=args.precision)
