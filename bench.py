@@ -154,6 +154,9 @@ def _bench_inner():
     if os.environ.get("ABIP_BENCH_SINGLE"):
         import jax.numpy as jnp
 
+        # anchored mixed precision beats f64 ~10% even on CPU (identical
+        # trajectory, cheaper matvecs); override with ABIP_BENCH_PRECISION
+        kw["precision"] = os.environ.get("ABIP_BENCH_PRECISION", "mixed")
         A, b, c = reference_smoke_lp()
         res = device_solve_lp(jnp.asarray(A), jnp.asarray(b), jnp.asarray(c), **kw)
         jax.block_until_ready(res)
@@ -170,7 +173,8 @@ def _bench_inner():
             "unit": "iter/s",
             "vs_baseline": round(iters / dt / base, 3) if base else None,
             "detail": {
-                "mode": "single f64 (direct device_solve_lp, no vmap)",
+                "mode": f"single {kw['precision']} "
+                        "(direct device_solve_lp, no vmap)",
                 "problem": "smoke_lp m=50 n=2000 density=0.3",
                 "eps": 1e-6, "status": int(res.status),
                 "admm_iters": iters, "solve_sec": round(dt, 4),
