@@ -89,3 +89,32 @@ def unbounded_lp(m=20, n=60, seed=0):
     c = c - ((c @ d) + 1.0) * d / (d @ d)    # c'd = -1 < 0
     assert abs(c @ d + 1.0) < 1e-9 and np.abs(A @ d).max() < 1e-9
     return A, b, c
+
+
+def pagerank_lp(n=20000, deg=6, alpha=0.85, seed=0):
+    """PageRank as a standard-form LP over a random power-law-ish digraph.
+
+    The reference's fourth LP suite builds these from SuiteSparse graph
+    matrices (`scripts/README.md:38-39`, `conf/pagerank.json`); with no
+    network in this environment we generate the graph: each node links to
+    `deg` uniform random targets, P is the row-normalized adjacency, and
+
+        min 1'x   s.t.  (I - alpha P') x = ((1-alpha)/n) 1,   x >= 0.
+
+    (I - alpha P') is a nonsingular M-matrix, so the equality system has
+    the unique solution x* = the PageRank vector (elementwise >= 0): the
+    LP is feasibility-tight and its optimum is 1'x* = 1 exactly.  Returns
+    (A_csr, b, c); A is sparse (nnz ~ n*(deg+1)) -- the CG/scattered-
+    sparsity path, not the dense Cholesky path.
+    """
+    import scipy.sparse as sp
+
+    rng = np.random.default_rng(seed)
+    rows = np.repeat(np.arange(n), deg)
+    cols = rng.integers(0, n, n * deg)
+    P = sp.csr_matrix((np.ones(n * deg), (rows, cols)), shape=(n, n))
+    P = sp.diags(1.0 / np.maximum(np.asarray(P.sum(axis=1)).ravel(), 1)) @ P
+    A = (sp.eye(n) - alpha * P.T).tocsr()
+    b = (1.0 - alpha) / n * np.ones(n)
+    c = np.ones(n)
+    return A, b, c

@@ -191,11 +191,27 @@ def run_generated(spec, eps, outdir, batched=False, precision="f64",
                   **overrides):
     import jax.numpy as jnp
 
-    from . import generate
+    try:
+        from . import generate
+    except ImportError:                 # script mode: repo root on sys.path
+        from benchmarks import generate
 
     kind, _, count = spec.partition(":")
     count = int(count or 4)
-    gen = {"smoke": generate.smoke_lp, "hilbert": generate.hilbert_lp}[kind]
+    kind, _, size = kind.partition("@")        # e.g. pagerank@50000:2
+    gen = {"smoke": generate.smoke_lp, "hilbert": generate.hilbert_lp,
+           "pagerank": generate.pagerank_lp}[kind]
+    label = f"{kind}@{size}" if size else kind
+    if size:
+        import functools
+
+        gen = functools.partial(gen, **{"n": int(size)})
+    if kind == "pagerank":
+        # sparse scattered-sparsity family: CG path, no batching
+        overrides = {"linsys": "cg", "adaptive": False, **overrides}
+        if batched:
+            raise SystemExit("pagerank instances are sparse (CG path); "
+                             "--batched applies to dense families only")
     out = []
 
     if batched:
@@ -215,7 +231,7 @@ def run_generated(spec, eps, outdir, batched=False, precision="f64",
 
         for i in range(count):
             rec = {
-                "name": f"{kind}-{i}",
+                "name": f"{label}-{i}",
                 "status": Status.name(int(res.status[i])),
                 "ipm_iter": int(res.ipm_iters[i]),
                 "admm_iter": int(res.admm_iters[i]),
@@ -236,7 +252,7 @@ def run_generated(spec, eps, outdir, batched=False, precision="f64",
 
     for i in range(count):
         A, b, c = gen(seed=i)
-        name = f"{kind}-{i}"
+        name = f"{label}-{i}"
         t0 = time.perf_counter()
         sol = solve_lp(A, b, c, eps=eps, **overrides)
         rec = record(name, sol, time.perf_counter() - t0)

@@ -169,3 +169,21 @@ def test_pagerank_scattered_sparse(rng):
     for _ in range(200):
         v = 0.85 * (P.T @ v) + 0.15 / n
     assert np.abs(sol.x - v).max() < 1e-8
+
+
+def test_pagerank_generator_oracle():
+    """pagerank_lp: unique feasible point is the PageRank vector, so the
+    LP optimum is exactly 1 (see generator docstring); solve a small one
+    through the CG path and check both."""
+    import scipy.sparse.linalg as spla
+
+    from benchmarks.generate import pagerank_lp
+
+    A, b, c = pagerank_lp(n=1500, seed=4)
+    x_star = spla.spsolve(A.tocsc(), b)
+    assert x_star.min() >= 0 and c @ x_star == pytest.approx(1.0, abs=1e-10)
+
+    sol = abip_tpu.solve_lp(A, b, c, eps=1e-6, linsys="cg", adaptive=False)
+    assert sol.status_name.startswith("Solved")
+    assert sol.pobj == pytest.approx(1.0, abs=1e-5)
+    assert np.abs(sol.x - x_star).max() < 1e-6
