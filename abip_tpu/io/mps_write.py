@@ -68,13 +68,18 @@ def write_mps(p: GeneralLP, path: str, name: Optional[str] = None) -> None:
     out.append("COLUMNS")
     A = p.A.tocsc()
     for j in range(n):
-        if p.c[j] != 0.0:
-            out.append(f"    {cnames[j]}  OBJ  {_fmt(p.c[j])}")
+        nnz_lines = 0
         for k in range(A.indptr[j], A.indptr[j + 1]):
             i = A.indices[k]
             v = A.data[k]
             if v != 0.0:
                 out.append(f"    {cnames[j]}  {rnames[i]}  {_fmt(v)}")
+                nnz_lines += 1
+        # a column must appear at least once or the reader never registers
+        # the variable (and any BOUNDS line for it then errors), so emit
+        # the objective entry even when c[j] == 0 for empty columns
+        if p.c[j] != 0.0 or nnz_lines == 0:
+            out.append(f"    {cnames[j]}  OBJ  {_fmt(p.c[j])}")
 
     out.append("RHS")
     for i in range(m):

@@ -111,14 +111,14 @@ def _has(K, field):
     return v is not None and np.asarray(v).size > 0
 
 
-def load_sedumi_mat(path):
-    """Load a SeDuMi .mat file (A/At, b, c, K) via scipy.io.
-
-    Returns (A, b, c, ConeSpec, perm) in our cone ordering.
-    """
+def _read_mat(path):
     from scipy.io import loadmat
 
-    d = loadmat(path, simplify_cells=True)
+    return loadmat(path, simplify_cells=True)
+
+
+def _convert_mat_dict(d):
+    """(A, b, c, ConeSpec, perm) in our cone ordering from a loaded dict."""
     if "A" in d:
         A = d["A"]
     elif "At" in d:
@@ -132,14 +132,31 @@ def load_sedumi_mat(path):
     return from_sedumi(A, d["b"], d["c"], K)
 
 
-def solve_sedumi(path, settings=None, **overrides):
-    """Load a SeDuMi .mat problem and solve it; x returned in sedumi order."""
+def load_sedumi_mat(path):
+    """Load a SeDuMi .mat file (A/At, b, c, K) via scipy.io.
+
+    Returns (A, b, c, ConeSpec, perm) in our cone ordering.
+    """
+    return _convert_mat_dict(_read_mat(path))
+
+
+def solve_sedumi(path, settings=None, extra_fields=(), **overrides):
+    """Load a SeDuMi .mat problem and solve it; x returned in sedumi order.
+
+    `extra_fields` names additional .mat entries (e.g. a `pobj_star`
+    oracle) returned alongside the solution as a dict from the single
+    file read; with the default empty tuple only the solution is
+    returned.
+    """
     from ..qcp import solve_qcp
 
-    A, b, c, cones, perm = load_sedumi_mat(path)
+    d = _read_mat(path)
+    A, b, c, cones, perm = _convert_mat_dict(d)
     sol = solve_qcp(A, b, c, cones, settings=settings, **overrides)
     inv = np.empty_like(perm)
     inv[perm] = np.arange(len(perm))
     sol.x = sol.x[inv]
     sol.s = sol.s[inv]
+    if extra_fields:
+        return sol, {k: d.get(k) for k in extra_fields}
     return sol

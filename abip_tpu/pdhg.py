@@ -159,7 +159,11 @@ def _pdhg_run(Ab, bb, cb, A, b, c, E, D, eta, omega0, eps, max_iters,
         # 0.36 of the total iteration count.  Restarting unconditionally
         # every window stalls hard instances (measured: omega collapse +
         # 1e-3 plateau on a 40x400 LP); this rule solves it in ~4k iters.
-        restart = (cand_err <= 0.2 * st.err_rs) | (n_avg >= 0.36 * k)
+        # On convergence the candidate MUST be adopted into the state --
+        # the reported residuals belong to it, not to the raw current
+        # iterate -- so convergence forces the restart branch.
+        restart = (cand_err <= 0.2 * st.err_rs) | (n_avg >= 0.36 * k) \
+            | converged
 
         # primal-weight update from movement since the last restart,
         # smoothed (theta=0.5) and rate-limited to 4x per restart

@@ -70,14 +70,19 @@ def main():
         # solve (measured ~1.4x the reference C solver); batching pays
         # only on TPU.
         cpu_cfg = ({"ABIP_BENCH_CPU": "1", "ABIP_BENCH_SINGLE": "1"}, 900)
-        if os.environ.get("ABIP_BENCH_CPU") and not os.environ.get(
-                "ABIP_BENCH_B"):
-            # caller forced CPU: go straight to the CPU-optimal config
-            attempts = [cpu_cfg]
+        user_b = os.environ.get("ABIP_BENCH_B")
+        if os.environ.get("ABIP_BENCH_CPU"):
+            # caller forced CPU: never probe the accelerator; honor an
+            # explicit batch size, else the CPU-optimal single config
+            attempts = [({"ABIP_BENCH_CPU": "1"}, 900)] if user_b \
+                else [cpu_cfg]
         elif not _device_alive():
             # wedged/absent accelerator tunnel: don't burn the device
             # watchdog budgets, fall straight back to CPU
             attempts = [cpu_cfg]
+        elif user_b:
+            # caller pinned the batch size: one device attempt with it
+            attempts = [({}, 1800), cpu_cfg]
         else:
             # device ladder: biggest batch first (best measured-throughput
             # candidate), fall back to the known-good B=16, then CPU
@@ -111,33 +116,48 @@ def main():
     _bench_inner()
 
 
-def _device_alive(timeout_s=300):
-    """Probe the accelerator with a tiny jitted matmul in a subprocess.
+def _device_alive():
+    """Probe the accelerator in two subprocess stages.
 
     The axon TPU tunnel in this image can wedge remote-side, making any
-    jax op block indefinitely.  A fresh-process probe (first compile is
-    normally 20-40 s) under a timeout distinguishes a live device from a
-    wedged tunnel without spending the full benchmark watchdog budget.
-    Returns False when the default backend is CPU-only as well -- the CPU
+    jax op block indefinitely; a probe under a timeout distinguishes a
+    live device from a wedged tunnel without spending the full benchmark
+    watchdog budget.  Killing a client MID-REMOTE-COMPILE can wedge the
+    tunnel further, so the probe is split: stage 1 only enumerates
+    devices (no compilation in flight -- safe to kill on timeout); the
+    stage-2 compile probe runs only after enumeration succeeded, with a
+    timeout far above the normal 20-40 s first-compile latency, so a
+    mid-compile kill is a last resort, not the common path.  Returns
+    False when the default backend is CPU-only as well -- the CPU
     fallback config is then strictly better than the "device" configs.
     """
     import subprocess
 
-    code = (
+    enum_code = (
+        "import jax\n"
+        "assert jax.default_backend() != 'cpu'\n"
+        "assert len(jax.devices()) > 0\n"
+        "print('ENUM_OK')\n"
+    )
+    compile_code = (
         "import numpy as np, jax, jax.numpy as jnp\n"
         "assert jax.default_backend() != 'cpu'\n"
         "x = jnp.asarray(np.random.rand(128, 128).astype(np.float32))\n"
         "jax.jit(lambda a: a @ a)(x).block_until_ready()\n"
         "print('DEVICE_OK')\n"
     )
-    try:
-        proc = subprocess.run(
-            [sys.executable, "-c", code], capture_output=True, text=True,
-            timeout=timeout_s,
-        )
-        return "DEVICE_OK" in proc.stdout
-    except subprocess.TimeoutExpired:
-        return False
+    for code, token, timeout_s in ((enum_code, "ENUM_OK", 120),
+                                   (compile_code, "DEVICE_OK", 540)):
+        try:
+            proc = subprocess.run(
+                [sys.executable, "-c", code], capture_output=True,
+                text=True, timeout=timeout_s,
+            )
+            if token not in proc.stdout:
+                return False
+        except subprocess.TimeoutExpired:
+            return False
+    return True
 
 
 def _bench_inner():

@@ -125,8 +125,6 @@ def run_sedumi(paths, eps, outdir, **overrides):
     """Conic suite runner on SeDuMi .mat files -- the `test_cblib.m:60-76`
     analogue.  If the .mat carries a `pobj_star` oracle field (conic_mini
     instances), the record includes the absolute objective error."""
-    from scipy.io import loadmat
-
     from abip_tpu.io.sedumi import solve_sedumi
 
     out = []
@@ -134,9 +132,11 @@ def run_sedumi(paths, eps, outdir, **overrides):
         name = os.path.splitext(os.path.basename(path))[0]
         t0 = time.perf_counter()
         try:
-            sol = solve_sedumi(path, eps=eps, **overrides)
+            sol, extra = solve_sedumi(path, eps=eps,
+                                      extra_fields=("pobj_star",),
+                                      **overrides)
             rec = record(name, sol, time.perf_counter() - t0)
-            star = loadmat(path, simplify_cells=True).get("pobj_star")
+            star = extra.get("pobj_star")
             if star is not None and np.asarray(star).size:
                 star = float(np.asarray(star).ravel()[0])
                 rec["pobj_star"] = star
@@ -205,7 +205,9 @@ def run_generated(spec, eps, outdir, batched=False, precision="f64",
     if size:
         import functools
 
-        gen = functools.partial(gen, **{"n": int(size)})
+        # per-generator size parameter (smoke_lp sizes by n_rand, not n)
+        size_param = {"smoke": "n_rand", "hilbert": "n", "pagerank": "n"}
+        gen = functools.partial(gen, **{size_param[kind]: int(size)})
     if kind == "pagerank":
         # sparse scattered-sparsity family: CG path, no batching
         overrides = {"linsys": "cg", "adaptive": False, **overrides}

@@ -40,6 +40,11 @@ def test_pdhg_kkt_quality():
     assert sol.s.min() > -1e-5
     # reported residuals consistent with the eps contract
     assert sol.res_pri < 1e-7 and sol.res_dual < 1e-7 and sol.rel_gap < 1e-7
+    # the reported residuals must belong to the RETURNED iterate (the
+    # convergence-forces-restart rule): recomputing pres from sol.x
+    # reproduces res_pri exactly
+    recomputed = np.linalg.norm(A @ sol.x - b) / (1 + np.linalg.norm(b))
+    assert recomputed == pytest.approx(sol.res_pri, rel=1e-10)
 
 
 def test_spectral_norm_estimate():
