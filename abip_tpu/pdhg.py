@@ -105,24 +105,51 @@ def _kkt_unscaled(A, b, c, E, D, xb, yb, nb, nc):
     return pres, dres, gap, pobj, dobj
 
 
-@partial(jax.jit, static_argnames=("check_period", "max_iters"))
+@partial(jax.jit, static_argnames=("check_period", "max_iters",
+                                   "precision"))
 def _pdhg_run(Ab, bb, cb, A, b, c, E, D, eta, omega0, eps, max_iters,
-              check_period):
+              check_period, precision="f64"):
     m, n = Ab.shape
     dt = Ab.dtype
     nb = jnp.linalg.norm(b)
     nc = jnp.linalg.norm(c)
+    mixed = precision == "mixed"
+    A32 = Ab.astype(jnp.float32) if mixed else None
 
     def sprint(x, y, omega):
-        """check_period PDHG steps at fixed (tau, sigma); returns sums."""
+        """check_period PDHG steps at fixed (tau, sigma); returns sums.
+
+        precision="mixed" uses the framework's anchored-delta scheme
+        (`parallel/batched.py` docstring): both matvecs are evaluated as
+        the cached f64 product at the sprint-start anchor plus an f32
+        delta product, so the per-step cost is two f32 matvecs while the
+        outer residual checks stay exact f64.  The f32 rounding scales
+        with the iterate's movement within one window, which shrinks as
+        the method converges.
+        """
         tau = eta / omega
         sigma = eta * omega
 
-        def step(_, carry):
-            x, y, xs, ys = carry
-            xn = jnp.maximum(0.0, x - tau * (cb - Ab.T @ y))
-            yn = y + sigma * (bb - Ab @ (2.0 * xn - x))
-            return xn, yn, xs + xn, ys + yn
+        if mixed:
+            x_a, y_a = x, y
+            Ax_a = Ab @ x_a           # f64 anchor products, once per sprint
+            ATy_a = Ab.T @ y_a
+            f32 = jnp.float32
+
+            def step(_, carry):
+                x, y, xs, ys = carry
+                ATy = ATy_a + (A32.T @ (y - y_a).astype(f32)).astype(dt)
+                xn = jnp.maximum(0.0, x - tau * (cb - ATy))
+                z = 2.0 * xn - x
+                Az = Ax_a + (A32 @ (z - x_a).astype(f32)).astype(dt)
+                yn = y + sigma * (bb - Az)
+                return xn, yn, xs + xn, ys + yn
+        else:
+            def step(_, carry):
+                x, y, xs, ys = carry
+                xn = jnp.maximum(0.0, x - tau * (cb - Ab.T @ y))
+                yn = y + sigma * (bb - Ab @ (2.0 * xn - x))
+                return xn, yn, xs + xn, ys + yn
 
         zeros = (jnp.zeros_like(x), jnp.zeros_like(y))
         return jax.lax.fori_loop(0, check_period, step, (x, y) + zeros)
@@ -208,13 +235,19 @@ def _pdhg_run(Ab, bb, cb, A, b, c, E, D, eta, omega0, eps, max_iters,
 
 
 def solve_lp_pdhg(A, b, c, eps: float = 1e-6, max_iters: int = 200_000,
-                  check_period: int = 256, dtype=jnp.float64) -> LPSolution:
+                  check_period: int = 256, dtype=jnp.float64,
+                  precision: str = "f64") -> LPSolution:
     """Solve `min c'x s.t. Ax = b, x >= 0` with restarted PDHG.
 
     Drop-in competitor for `solve_lp` on the same standard form; the
     returned `LPSolution` reports PDHG iterations in `admm_iters` so the
-    bench `record()` schema applies unchanged.
+    bench `record()` schema applies unchanged.  `precision="mixed"` runs
+    the hot-loop matvecs through the anchored f32-delta scheme (the TPU
+    mode: v5e f64 is ~30x slower than f32) with f64 checks.
     """
+    if precision not in ("f64", "mixed"):
+        raise ValueError(f"precision must be 'f64' or 'mixed'; "
+                         f"got {precision!r}")
     t0 = time.perf_counter()
     A = jnp.asarray(A, dtype)
     b = jnp.asarray(b, dtype)
@@ -233,7 +266,7 @@ def solve_lp_pdhg(A, b, c, eps: float = 1e-6, max_iters: int = 200_000,
     setup = time.perf_counter() - t0
     t1 = time.perf_counter()
     st = _pdhg_run(Ab, bb, cb, A, b, c, sd.E, sd.D, eta, omega0, eps,
-                   max_iters, check_period)
+                   max_iters, check_period, precision=precision)
     st = jax.block_until_ready(st)
     solve = time.perf_counter() - t1
 

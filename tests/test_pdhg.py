@@ -75,3 +75,17 @@ def test_pdhg_via_mps(tmp_path):
     ref = linprog(c, A_eq=A, b_eq=b, bounds=(0, None), method="highs")
     assert sol.status_name == "Solved"
     assert abs(sol.pobj - ref.fun) / max(1.0, abs(ref.fun)) < 1e-4
+
+
+def test_pdhg_mixed_precision_trajectory():
+    """Anchored f32-delta matvecs reproduce the f64 trajectory: same
+    iteration count and the same (eps-consistent) solution."""
+    A, b, c = random_lp(0, 50, 200)
+    s64 = solve_lp_pdhg(A, b, c, eps=1e-6, precision="f64")
+    smx = solve_lp_pdhg(A, b, c, eps=1e-6, precision="mixed")
+    assert smx.status_name == "Solved"
+    assert smx.admm_iters == s64.admm_iters
+    assert abs(smx.pobj - s64.pobj) < 1e-6 * (1 + abs(s64.pobj))
+
+    with pytest.raises(ValueError):
+        solve_lp_pdhg(A, b, c, precision="f32")
