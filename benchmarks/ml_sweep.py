@@ -1,0 +1,162 @@
+"""ML application sweeps: LASSO and SVM grids with oracle cross-checks.
+
+The reference's QCP bench layer sweeps LASSO over an (m, n) grid in both
+the SOCP and QP-style forms and SVM over C values, comparing objectives
+across solvers and aggregating with SGM-10
+(`/root/reference/scripts/bench-qcp/test_lasso.m:36-120`, `test_svm.m`,
+`calculate_SGM.m:3`).  This driver runs the same protocol (scaled by
+--scale for CPU-budget runs) with independent oracles in place of the
+commercial competitors this environment lacks:
+
+  * LASSO: proximal-gradient (ISTA) with backtracking -- provably
+    converges to the same global optimum, so the objective gap is a
+    correctness check, not a horse race.
+  * SVM: the QP and SOCP embeddings of the SAME instance must agree with
+    each other (two independent reformulations, one optimum).
+
+Records use the run_suite JSON schema plus `obj_err`; use
+`python -m benchmarks.analyze <outdir>` for SGM-10 tables.
+
+Usage::
+
+    python -m benchmarks.ml_sweep --kind lasso --scale 0.1 --cpu -o out/
+    python -m benchmarks.ml_sweep --kind svm --cpu -o out/
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _ROOT not in sys.path:
+    sys.path.insert(0, _ROOT)
+
+
+def ista_lasso(X, y, lam, iters=5000, tol=1e-10):
+    """Proximal gradient with FISTA momentum: oracle for
+    min 1/2||Xw - y||^2 + lam*||w||_1."""
+    L = np.linalg.norm(X, 2) ** 2
+    w = np.zeros(X.shape[1])
+    z = w.copy()
+    t = 1.0
+    obj_prev = np.inf
+    for _ in range(iters):
+        g = X.T @ (X @ z - y)
+        w_new = z - g / L
+        w_new = np.sign(w_new) * np.maximum(np.abs(w_new) - lam / L, 0.0)
+        t_new = 0.5 * (1 + np.sqrt(1 + 4 * t * t))
+        z = w_new + (t - 1) / t_new * (w_new - w)
+        w, t = w_new, t_new
+        obj = 0.5 * np.linalg.norm(X @ w - y) ** 2 + lam * np.abs(w).sum()
+        if abs(obj_prev - obj) < tol * max(1.0, abs(obj)):
+            break
+        obj_prev = obj
+    return w, obj
+
+
+def sweep_lasso(scale, eps, outdir, matrix_free=False):
+    from benchmarks.generate import lasso_instance
+
+    from abip_tpu.problems import solve_lasso
+
+    ms = [int(m * scale) for m in (1000, 2000, 5000)]
+    ns = [int(n * scale) for n in (5000, 10000, 15000)]
+    out = []
+    for m in ms:
+        for n in ns:
+            X, y, lam = lasso_instance(m=m, n=n, seed=m + n)
+            t0 = time.perf_counter()
+            w, obj, sol = solve_lasso(X, y, lam, eps=eps,
+                                      matrix_free=matrix_free)
+            wall = time.perf_counter() - t0
+            _, obj_star = ista_lasso(X, y, lam)
+            rec = {
+                "name": f"lasso_m{m}_n{n}",
+                "status": sol.status_name,
+                "ipm_iter": int(sol.ipm_iters),
+                "admm_iter": int(sol.admm_iters),
+                "pres": float(sol.res_pri), "dres": float(sol.res_dual),
+                "gap": float(sol.rel_gap),
+                "pobj": float(obj), "dobj": float(obj_star),
+                "obj_err": abs(obj - obj_star) / max(1.0, abs(obj_star)),
+                "time": wall,
+            }
+            out.append(rec)
+            _write(outdir, rec)
+            print(json.dumps(rec))
+    return out
+
+
+def sweep_svm(scale, eps, outdir):
+    from benchmarks.generate import svm_instance
+
+    from abip_tpu.problems import solve_svm
+
+    shapes = [(int(500 * scale), int(50 * scale)),
+              (int(1000 * scale), int(100 * scale))]
+    out = []
+    for m, n in shapes:
+        for C in (0.1, 1.0):
+            X, y = svm_instance(m=max(m, 8), n=max(n, 4), seed=m + n)
+            recs = {}
+            for form in ("qp", "socp"):
+                t0 = time.perf_counter()
+                w, b0, obj, sol = solve_svm(X, y, C, form=form, eps=eps)
+                recs[form] = (obj, sol, time.perf_counter() - t0)
+            obj_qp, sol_qp, t_qp = recs["qp"]
+            obj_socp, sol_socp, t_socp = recs["socp"]
+            rec = {
+                "name": f"svm_m{max(m, 8)}_n{max(n, 4)}_C{C}",
+                "status": sol_qp.status_name,
+                "status_socp": sol_socp.status_name,
+                "admm_iter": int(sol_qp.admm_iters),
+                "admm_iter_socp": int(sol_socp.admm_iters),
+                "pobj": float(obj_qp), "pobj_socp": float(obj_socp),
+                "obj_err": abs(obj_qp - obj_socp)
+                / max(1.0, abs(obj_qp)),
+                "time": t_qp, "time_socp": t_socp,
+            }
+            out.append(rec)
+            _write(outdir, rec)
+            print(json.dumps(rec))
+    return out
+
+
+def _write(outdir, rec):
+    if outdir:
+        os.makedirs(outdir, exist_ok=True)
+        with open(os.path.join(outdir, f"{rec['name']}.json"), "w") as f:
+            json.dump(rec, f, indent=2)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--kind", choices=["lasso", "svm"], required=True)
+    ap.add_argument("--scale", type=float, default=0.1,
+                    help="grid scale vs the reference protocol (1.0 = "
+                         "test_lasso.m's m up to 5000, n up to 15000)")
+    ap.add_argument("--eps", type=float, default=1e-4)
+    ap.add_argument("--matrix-free", action="store_true")
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("-o", "--outdir", default=None)
+    args = ap.parse_args(argv)
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    if args.kind == "lasso":
+        sweep_lasso(args.scale, args.eps, args.outdir,
+                    matrix_free=args.matrix_free)
+    else:
+        sweep_svm(args.scale, args.eps, args.outdir)
+
+
+if __name__ == "__main__":
+    main()
