@@ -77,14 +77,16 @@ class _Anchor(NamedTuple):
                                    "hybrid_thresh", "dynamic_x", "dynamic_eta",
                                    "shrink_second", "gamma0", "sigma0",
                                    "precision", "ir_steps", "solver",
-                                   "engine", "sprint_T", "sprint_mu_switch"))
+                                   "engine", "sprint_T", "sprint_mu_switch",
+                                   "qres_period"))
 def device_solve_lp(A, b, c, *, eps=1e-6, max_ipm=200, max_admm=200_000,
                     alpha=1.8, rho_y=1e-3, normalize=True, scale=1.0,
                     ruiz_iter=10, hybrid_thresh=1000.0, dynamic_x=0.8,
                     dynamic_eta=1.1, shrink_second=0.5, gamma0=2.0,
                     sigma0=0.3, precision="f64", ir_steps=1,
                     solver="cholesky", engine="steps", sprint_T=32,
-                    sprint_mu_switch=1e-3) -> DeviceSolveResult:
+                    sprint_mu_switch=1e-3,
+                    qres_period=1) -> DeviceSolveResult:
     """Solve one standard-form LP entirely on device.  vmap-able.
 
     engine="sprint" (mixed precision only) runs `sprint_T` whole f32 ADMM
@@ -92,6 +94,12 @@ def device_solve_lp(A, b, c, *, eps=1e-6, max_ipm=200, max_admm=200_000,
     while mu > `sprint_mu_switch` (the bulk of the iterations), dropping
     to the anchored per-iteration path for the accuracy endgame -- the
     kernel-count economy described in the module docstring.
+
+    qres_period=P evaluates the inner stopping criterion (2 matvecs,
+    `iterate_Q_norm_resd` in the reference, checked every iteration
+    there) only every P-th iteration: each stage may overrun by at most
+    P-1 iterations, in exchange for cutting the per-iteration matvec
+    count.  P=1 reproduces the reference cadence exactly.
     """
     if precision not in ("f64", "mixed"):
         raise ValueError(f"precision must be 'f64' or 'mixed'; got {precision!r}")
@@ -309,19 +317,31 @@ def device_solve_lp(A, b, c, *, eps=1e-6, max_ipm=200, max_admm=200_000,
             u_avg = u_sum / dom
             v_avg = v_sum / dom
 
-            q_cur = qres_of(u, v)
+            def q_update(_):
+                q_cur = qres_of(u, v)
 
-            def with_avg(_):
-                q_avg = qres_of(u_avg, v_avg)
-                better = q_avg < q_cur
-                return jnp.where(better, q_avg, q_cur), better
+                def with_avg(_):
+                    q_avg = qres_of(u_avg, v_avg)
+                    better = q_avg < q_cur
+                    return jnp.where(better, q_avg, q_cur), better
 
-            def without_avg(_):
-                return q_cur, jnp.zeros((), bool)
+                def without_avg(_):
+                    return q_cur, jnp.zeros((), bool)
 
-            qres, avg_crit = jax.lax.cond(
-                (s.j + 1) % 10 == 0, with_avg, without_avg, None
-            )
+                return jax.lax.cond(
+                    (s.j + 1) % 10 == 0, with_avg, without_avg, None
+                )
+
+            if qres_period == 1:
+                qres, avg_crit = q_update(None)
+            else:
+                # stale qres between checks: the stage overruns by at most
+                # qres_period-1 iterations past the true stopping point
+                do_q = (((s.j + 1) % qres_period == 0)
+                        | ((s.j + 1) % 10 == 0))
+                qres, avg_crit = jax.lax.cond(
+                    do_q, q_update, lambda _: (s.qres, s.avg_crit), None
+                )
 
             u_sel = jnp.where(avg_crit, u_avg, u)
             v_sel = jnp.where(avg_crit, v_avg, v)

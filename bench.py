@@ -170,6 +170,11 @@ def _bench_inner():
 
     base = _load_baseline()
     kw = dict(eps=1e-6, max_ipm=200, max_admm=200_000)
+    # measured-fastest solve options (identical/equivalent trajectories,
+    # solutions oracle-checked vs scipy at 1e-6): explicit-inverse f32
+    # KKT apply + inner-criterion checks every 8th iteration
+    kw["solver"] = os.environ.get("ABIP_BENCH_SOLVER", "inverse")
+    kw["qres_period"] = int(os.environ.get("ABIP_BENCH_QRES", "8"))
 
     if os.environ.get("ABIP_BENCH_SINGLE"):
         import jax.numpy as jnp

@@ -143,6 +143,25 @@ def test_mixed_inverse_solver_matches_cholesky(rng):
     assert abs(float(r1.pobj) - float(r2.pobj)) < 1e-8
 
 
+def test_qres_period_solves_to_tolerance(rng):
+    """Thinned inner-criterion cadence (the bench's qres_period=8 config):
+    trajectories may differ from the every-iteration reference cadence,
+    but the solution contract (eps, scipy oracle) must hold."""
+    from scipy.optimize import linprog
+
+    from abip_tpu.parallel.batched import device_solve_lp
+    from tests.conftest import random_lp
+
+    A, b, c = random_lp(rng, 12, 40)
+    r = device_solve_lp(jnp.asarray(A), jnp.asarray(b), jnp.asarray(c),
+                        eps=1e-6, precision="mixed", solver="inverse",
+                        qres_period=8)
+    assert int(r.status) == 1
+    assert float(r.rel_gap) < 1e-6
+    ref = linprog(c, A_eq=A, b_eq=b, bounds=(0, None), method="highs")
+    assert abs(float(r.pobj) - ref.fun) / max(1.0, abs(ref.fun)) < 1e-5
+
+
 def test_heterogeneous_padded_suite(rng):
     from abip_tpu.parallel.batched import solve_lp_suite
 
