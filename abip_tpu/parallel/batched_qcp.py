@@ -59,7 +59,8 @@ class _AnchorQ(NamedTuple):
 
 def _device_solve_qcp(A, b, c, Q_diag, layout: ConeLayout, *, eps, max_ipm,
                       max_admm, alpha, rho_y, rho_x, rho_tau, psi,
-                      inner_check_period, precision="f64", ir_steps=1):
+                      inner_check_period, precision="f64", ir_steps=1,
+                      inner_crit_period=1):
     """One conic instance entirely on device (no equilibration: callers
     pre-scale, as the reference app configs do).  Dense Schur backend.
 
@@ -180,8 +181,19 @@ def _device_solve_qcp(A, b, c, Q_diag, layout: ConeLayout, *, eps, max_ipm,
                                           layout, alpha, m, n)
         v_origin = rho * v
         k = s.k + 1
-        err_inner = conic_ops.inner_conv_check(u, v_origin, mv, rmv,
-                                               Q_times, b, c, m, n)
+        # the inner HSD-mismatch criterion costs 2 matvecs; the reference
+        # evaluates it every iteration (source/abip.c:1150-1156), and
+        # inner_crit_period=1 reproduces that.  P>1 checks every P-th
+        # iteration (stage overrun <= P-1 iterations) to thin the body.
+        if inner_crit_period == 1:
+            err_inner = conic_ops.inner_conv_check(u, v_origin, mv, rmv,
+                                                   Q_times, b, c, m, n)
+        else:
+            err_inner = jax.lax.cond(
+                (s.j + 1) % inner_crit_period == 0,
+                lambda _: conic_ops.inner_conv_check(u, v_origin, mv, rmv,
+                                                     Q_times, b, c, m, n),
+                lambda _: s.err_inner, None)
         do_check = ((s.j + 1) % inner_check_period == 0) | (
             s.res.error_ratio <= 8.0
         )
@@ -259,12 +271,12 @@ def _device_solve_qcp(A, b, c, Q_diag, layout: ConeLayout, *, eps, max_ipm,
 @partial(jax.jit, static_argnames=("cones", "eps", "max_ipm", "max_admm",
                                    "alpha", "rho_y", "rho_x", "rho_tau",
                                    "psi", "inner_check_period", "precision",
-                                   "ir_steps"))
+                                   "ir_steps", "inner_crit_period"))
 def solve_qcp_batch(As, bs, cs, Q_diags=None, *, cones: ConeSpec,
                     eps=1e-4, max_ipm=200, max_admm=100_000, alpha=1.8,
                     rho_y=1e-6, rho_x=1.0, rho_tau=1.0, psi=1.0,
                     inner_check_period=500, precision="f64",
-                    ir_steps=1) -> ConicDeviceResult:
+                    ir_steps=1, inner_crit_period=1) -> ConicDeviceResult:
     """Solve a stacked batch of same-shape conic programs on device.
 
     As: (B, m, n); bs: (B, m); cs: (B, n); Q_diags: optional (B, n)
@@ -278,6 +290,7 @@ def solve_qcp_batch(As, bs, cs, Q_diags=None, *, cones: ConeSpec,
             max_admm=max_admm, alpha=alpha, rho_y=rho_y, rho_x=rho_x,
             rho_tau=rho_tau, psi=psi, inner_check_period=inner_check_period,
             precision=precision, ir_steps=ir_steps,
+            inner_crit_period=inner_crit_period,
         )
 
     if Q_diags is None:
