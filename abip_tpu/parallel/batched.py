@@ -252,8 +252,6 @@ def device_solve_lp(A, b, c, *, eps=1e-6, max_ipm=200, max_admm=200_000,
         v: jnp.ndarray
         u_sum: jnp.ndarray
         v_sum: jnp.ndarray
-        u_avg: jnp.ndarray
-        v_avg: jnp.ndarray
         avg_crit: jnp.ndarray
         j: jnp.ndarray
         k: jnp.ndarray
@@ -314,14 +312,15 @@ def device_solve_lp(A, b, c, *, eps=1e-6, max_ipm=200, max_admm=200_000,
             u_sum = s.u_sum + u
             v_sum = s.v_sum + v
             dom = (s.j + 1).astype(u.dtype)
-            u_avg = u_sum / dom
-            v_avg = v_sum / dom
+            # the running average is only consumed at check points; the
+            # divides live inside the conds so the common iteration body
+            # stays sums-only
 
             def q_update(_):
                 q_cur = qres_of(u, v)
 
                 def with_avg(_):
-                    q_avg = qres_of(u_avg, v_avg)
+                    q_avg = qres_of(u_sum / dom, v_sum / dom)
                     better = q_avg < q_cur
                     return jnp.where(better, q_avg, q_cur), better
 
@@ -343,10 +342,9 @@ def device_solve_lp(A, b, c, *, eps=1e-6, max_ipm=200, max_admm=200_000,
                     do_q, q_update, lambda _: (s.qres, s.avg_crit), None
                 )
 
-            u_sel = jnp.where(avg_crit, u_avg, u)
-            v_sel = jnp.where(avg_crit, v_avg, v)
-
             def check(_):
+                u_sel = jnp.where(avg_crit, u_sum / dom, u)
+                v_sel = jnp.where(avg_crit, v_sum / dom, v)
                 r = residuals(u_sel, v_sel, mv, rmv)
                 st = hsd.lp_converged_code(r, eps, False,
                                            (carry.i > 0) & (s.k > 0))
@@ -360,12 +358,11 @@ def device_solve_lp(A, b, c, *, eps=1e-6, max_ipm=200, max_admm=200_000,
             do_res = carry.final_check & (((s.j + 1) % 10 == 0) if mixed else True)
             r, st = jax.lax.cond(do_res, check, no_check, None)
             return IC(u=u, v=v, u_sum=u_sum, v_sum=v_sum,
-                      u_avg=u_avg, v_avg=v_avg, avg_crit=avg_crit,
+                      avg_crit=avg_crit,
                       j=s.j + 1, k=s.k + dk, qres=qres, status=st, res=r)
 
         z = jnp.zeros((l,), dtype)
         init = IC(u=carry.u, v=carry.v, u_sum=z, v_sum=z,
-                  u_avg=carry.u, v_avg=carry.v,
                   avg_crit=jnp.zeros((), bool),
                   j=jnp.zeros((), jnp.int32),
                   k=carry.k, qres=jnp.full((), jnp.inf, dtype),
@@ -376,8 +373,9 @@ def device_solve_lp(A, b, c, *, eps=1e-6, max_ipm=200, max_admm=200_000,
         s, mv, rmv = inner(carry)
         # adopt the averaged iterate when it is the better candidate
         # (`abip.c:2125-2129`)
-        u_sel = jnp.where(s.avg_crit, s.u_avg, s.u)
-        v_sel = jnp.where(s.avg_crit, s.v_avg, s.v)
+        dom = jnp.maximum(s.j, 1).astype(s.u.dtype)
+        u_sel = jnp.where(s.avg_crit, s.u_sum / dom, s.u)
+        v_sel = jnp.where(s.avg_crit, s.v_sum / dom, s.v)
         r = residuals(u_sel, v_sel, mv, rmv)
         status = jnp.where(
             s.status != 0,
