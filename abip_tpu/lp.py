@@ -207,20 +207,33 @@ def _run_inner_k(ops: LPOperands, state: InnerState, mu, beta, gamma,
         v_avgcon = v_sum / dom
 
         # inner criterion (`abip.c:1951-2051`): every 10th iteration also
-        # evaluate the averaged iterate and adopt it if better.
-        q_cur = q_norm_resd(u, v)
+        # evaluate the averaged iterate and adopt it if better.  With
+        # qres_period > 1 the criterion (2 matvecs) runs only every P-th
+        # iteration and stays stale in between (stage overrun <= P-1).
+        def q_update(_):
+            q_cur = q_norm_resd(u, v)
 
-        def with_avg(_):
-            q_avg = q_norm_resd(u_avgcon, v_avgcon)
-            better = q_avg < q_cur
-            return jnp.where(better, q_avg, q_cur), better
+            def with_avg(_):
+                q_avg = q_norm_resd(u_avgcon, v_avgcon)
+                better = q_avg < q_cur
+                return jnp.where(better, q_avg, q_cur), better
 
-        def without_avg(_):
-            return q_cur, jnp.zeros((), bool)
+            def without_avg(_):
+                return q_cur, jnp.zeros((), bool)
 
-        qres, avg_crit = jax.lax.cond(
-            (state.j + 1) % 10 == 0, with_avg, without_avg, operand=None
-        )
+            return jax.lax.cond(
+                (state.j + 1) % 10 == 0, with_avg, without_avg, operand=None
+            )
+
+        if stgs.qres_period == 1:
+            qres, avg_crit = q_update(None)
+        else:
+            do_q = (((state.j + 1) % stgs.qres_period == 0)
+                    | ((state.j + 1) % 10 == 0))
+            qres, avg_crit = jax.lax.cond(
+                do_q, q_update,
+                lambda _: (state.qres, state.avg_criterion), operand=None
+            )
 
         # convergence check (CONVERGED_INTERVAL=1) when final_check is on
         u_sel = jnp.where(avg_crit, u_avgcon, u)

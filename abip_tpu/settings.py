@@ -97,6 +97,11 @@ class Settings:
     restart_fre: int = 1000
     restart_thresh: int = 100_000
     avg_criterion: bool = False
+    # inner stopping-criterion cadence: 1 = every iteration (the reference
+    # evaluates `iterate_Q_norm_resd` every iteration); P>1 checks every
+    # P-th iteration (2 matvecs saved per skipped check, stage overrun at
+    # most P-1 iterations)
+    qres_period: int = 1
 
     # -- adaptive penalty (Barzilai-Borwein) ---------------------------------
     adaptive: bool = True
@@ -152,6 +157,8 @@ class Settings:
             raise ValueError(
                 "when using the hybrid mu strategy, dynamic_sigma must be negative"
             )
+        if self.qres_period < 1:
+            raise ValueError("qres_period must be >= 1")
         if self.linsys not in ("auto", "dense", "cg"):
             raise ValueError(f"unknown linsys backend: {self.linsys!r}")
         if self.dense_mode not in ("chol", "inverse_mixed"):
