@@ -83,6 +83,8 @@ class _PDHGState(NamedTuple):
     gap: jnp.ndarray
     pobj: jnp.ndarray
     dobj: jnp.ndarray
+    res_infeas: jnp.ndarray
+    res_unbdd: jnp.ndarray
 
 
 def _kkt_unscaled(A, b, c, E, D, xb, yb, nb, nc):
@@ -180,6 +182,35 @@ def _pdhg_run(Ab, bb, cb, A, b, c, E, D, eta, omega0, eps, max_iters,
         converged = (pres < eps) & (dres < eps) & (gap < eps)
         status = jnp.where(converged, Status.SOLVED, st.status)
 
+        # Infeasibility/unboundedness certificates from the movement
+        # direction since the last restart (PDLP's infimal-displacement
+        # test; the reference classifies via res_infeas/res_unbdd,
+        # `abip.c:1565-1576`).  Unscaled rays: y = yb/D, x = xb/E.
+        eps_inf = jnp.asarray(1e-7, dt)
+        dyu = (y - st.y_rs) / D
+        ny = jnp.linalg.norm(dyu)
+        yhat = dyu / jnp.maximum(ny, 1e-30)
+        by = b @ yhat
+        infeas_err = jnp.linalg.norm(
+            jnp.maximum(A.T @ yhat, 0.0)) / jnp.maximum(by, 1e-30)
+        res_infeas = jnp.where((ny > 1e-30) & (by > 0.0), infeas_err,
+                               jnp.inf)
+
+        dxu = jnp.maximum((x - st.x_rs) / E, 0.0)
+        nx = jnp.linalg.norm(dxu)
+        xhat = dxu / jnp.maximum(nx, 1e-30)
+        cx = c @ xhat
+        unbdd_err = jnp.linalg.norm(A @ xhat) / jnp.maximum(-cx, 1e-30)
+        res_unbdd = jnp.where((nx > 1e-30) & (cx < 0.0), unbdd_err,
+                              jnp.inf)
+
+        status = jnp.where((status == Status.UNFINISHED)
+                           & (res_infeas < eps_inf),
+                           Status.INFEASIBLE, status)
+        status = jnp.where((status == Status.UNFINISHED)
+                           & (res_unbdd < eps_inf),
+                           Status.UNBOUNDED, status)
+
         # Adaptive restart (PDLP's practical rule): restart to the better
         # of {current, average} on sufficient KKT decay since the last
         # restart (beta=0.2), or when the averaging window has grown past
@@ -218,6 +249,7 @@ def _pdhg_run(Ab, bb, cb, A, b, c, E, D, eta, omega0, eps, max_iters,
             err_rs=pick(restart, cand_err, st.err_rs),
             omega=omega, k=k, status=status,
             pres=pres, dres=dres, gap=gap, pobj=pobj, dobj=dobj,
+            res_infeas=res_infeas, res_unbdd=res_unbdd,
         )
 
     zero = jnp.zeros((), dt)
@@ -230,6 +262,7 @@ def _pdhg_run(Ab, bb, cb, A, b, c, E, D, eta, omega0, eps, max_iters,
         status=jnp.asarray(Status.UNFINISHED, jnp.int32),
         pres=zero + jnp.inf, dres=zero + jnp.inf, gap=zero + jnp.inf,
         pobj=zero, dobj=zero,
+        res_infeas=zero + jnp.inf, res_unbdd=zero + jnp.inf,
     )
     return jax.lax.while_loop(cond, body, init)
 
@@ -281,7 +314,7 @@ def solve_lp_pdhg(A, b, c, eps: float = 1e-6, max_iters: int = 200_000,
         x=x, y=y, s=s, status=status, status_name=Status.name(status),
         pobj=float(st.pobj), dobj=float(st.dobj),
         res_pri=float(st.pres), res_dual=float(st.dres),
-        rel_gap=float(st.gap), res_infeas=float("nan"),
-        res_unbdd=float("nan"), ipm_iters=0, admm_iters=int(st.k),
+        rel_gap=float(st.gap), res_infeas=float(st.res_infeas),
+        res_unbdd=float(st.res_unbdd), ipm_iters=0, admm_iters=int(st.k),
         setup_time=setup, solve_time=solve,
     )

@@ -89,3 +89,23 @@ def test_pdhg_mixed_precision_trajectory():
 
     with pytest.raises(ValueError):
         solve_lp_pdhg(A, b, c, precision="f32")
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_pdhg_detects_infeasible(seed):
+    from benchmarks.generate import infeasible_lp
+
+    A, b, c = infeasible_lp(seed=seed)
+    sol = solve_lp_pdhg(A, b, c, eps=1e-6, max_iters=100_000)
+    assert sol.status_name == "Infeasible"
+    assert sol.res_infeas < 1e-7
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_pdhg_detects_unbounded(seed):
+    from benchmarks.generate import unbounded_lp
+
+    A, b, c = unbounded_lp(seed=seed)
+    sol = solve_lp_pdhg(A, b, c, eps=1e-6, max_iters=100_000)
+    assert sol.status_name == "Unbounded"
+    assert sol.res_unbdd < 1e-7
