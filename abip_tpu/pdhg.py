@@ -267,6 +267,41 @@ def _pdhg_run(Ab, bb, cb, A, b, c, E, D, eta, omega0, eps, max_iters,
     return jax.lax.while_loop(cond, body, init)
 
 
+def solve_lp_pdhg_batch(As, bs, cs, eps: float = 1e-6,
+                        max_iters: int = 200_000, check_period: int = 256,
+                        precision: str = "mixed", mesh=None):
+    """Solve a stacked batch of same-shape LPs with restarted PDHG.
+
+    As: (B, m, n); bs: (B, m); cs: (B, n).  One vmapped XLA program --
+    the matvec-only body makes PDHG the natural suite-throughput method
+    on accelerators.  With `mesh` (1-D over axis 'batch') instances
+    shard across devices.  Returns the final `_PDHGState` batch (arrays
+    lead with the batch axis); `status == 1` marks solved lanes.
+    """
+    def one(A, b, c):
+        Ab, sd = equilibrate(A, _ScaleFlags())
+        bb = b / sd.D
+        cb = c / sd.E
+        normA = estimate_spectral_norm(Ab)
+        eta = 0.9 / jnp.maximum(normA, 1e-30)
+        nbb = jnp.linalg.norm(bb)
+        ncb = jnp.linalg.norm(cb)
+        omega0 = jnp.where((nbb > 1e-30) & (ncb > 1e-30), ncb / nbb, 1.0)
+        return _pdhg_run(Ab, bb, cb, A, b, c, sd.E, sd.D, eta, omega0,
+                         eps, max_iters, check_period, precision=precision)
+
+    fn = jax.vmap(one)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        sh = NamedSharding(mesh, P("batch"))
+        As = jax.device_put(jnp.asarray(As), sh)
+        bs = jax.device_put(jnp.asarray(bs), sh)
+        cs = jax.device_put(jnp.asarray(cs), sh)
+        fn = jax.jit(fn, in_shardings=(sh, sh, sh))
+    return fn(jnp.asarray(As), jnp.asarray(bs), jnp.asarray(cs))
+
+
 def solve_lp_pdhg(A, b, c, eps: float = 1e-6, max_iters: int = 200_000,
                   check_period: int = 256, dtype=jnp.float64,
                   precision: str = "f64") -> LPSolution:

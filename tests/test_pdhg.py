@@ -109,3 +109,35 @@ def test_pdhg_detects_unbounded(seed):
     sol = solve_lp_pdhg(A, b, c, eps=1e-6, max_iters=100_000)
     assert sol.status_name == "Unbounded"
     assert sol.res_unbdd < 1e-7
+
+
+def test_pdhg_batch_matches_single_and_shards():
+    import jax
+    import numpy as np
+    from jax.sharding import Mesh
+
+    from abip_tpu.pdhg import solve_lp_pdhg_batch
+
+    B, m, n = 4, 15, 45
+    rng = np.random.default_rng(1)
+    As, bs, cs = [], [], []
+    for _ in range(B):
+        A, b, c = (lambda A, x0: (A, A @ x0,
+                                  A.T @ rng.standard_normal(m)
+                                  + rng.random(n) + 0.5))(
+            rng.standard_normal((m, n)), rng.random(n) + 0.5)
+        As.append(A), bs.append(b), cs.append(c)
+    As, bs, cs = map(np.stack, (As, bs, cs))
+
+    st = solve_lp_pdhg_batch(As, bs, cs, eps=1e-6)
+    assert (np.asarray(st.status) == 1).all()
+
+    mesh = Mesh(np.array(jax.devices()[:4]), ("batch",))
+    st2 = solve_lp_pdhg_batch(As, bs, cs, eps=1e-6, mesh=mesh)
+    # sharded compilation may reorder reductions; agreement to 1e-8 is
+    # the contract (both solve the same instance to eps=1e-6)
+    np.testing.assert_allclose(np.asarray(st.pobj), np.asarray(st2.pobj),
+                               rtol=1e-8)
+
+    s0 = solve_lp_pdhg(As[0], bs[0], cs[0], eps=1e-6, precision="mixed")
+    assert abs(float(np.asarray(st.pobj)[0]) - s0.pobj) < 1e-9
