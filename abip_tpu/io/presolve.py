@@ -158,5 +158,6 @@ def solve_mps(path: str, settings=None, dense: bool = True,
         raise ValueError(f"unknown method {method!r}")
     sol.pobj = std.user_objective(sol.pobj)
     sol.dobj = std.user_objective(sol.dobj)
+    sol.x_std = sol.x            # standard-form iterate (crossover input)
     sol.x = std.recover(sol.x)
     return sol, std

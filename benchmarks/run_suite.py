@@ -48,7 +48,7 @@ def record(name, sol, wall):
     }
 
 
-def run_mps(paths, eps, outdir, **overrides):
+def run_mps(paths, eps, outdir, crossover=False, **overrides):
     from abip_tpu.io.presolve import solve_mps
 
     out = []
@@ -56,8 +56,16 @@ def run_mps(paths, eps, outdir, **overrides):
         name = os.path.splitext(os.path.basename(path))[0]
         t0 = time.perf_counter()
         try:
-            sol, _ = solve_mps(path, eps=eps, **overrides)
+            sol, std = solve_mps(path, eps=eps, **overrides)
             rec = record(name, sol, time.perf_counter() - t0)
+            if crossover and rec["status"].startswith("Solved"):
+                # vertex polish + exact-basis certificate on the
+                # standard form (the `crossover_by_copt.py` role)
+                from abip_tpu.crossover import crossover as _xover
+
+                cr = _xover(std.A.toarray(), std.b, std.c, sol.x_std)
+                rec["crossover_optimal"] = bool(cr.optimal)
+                rec["pobj_vertex"] = std.user_objective(cr.pobj)
         except Exception as e:  # noqa: BLE001 -- a bench run logs failures
             rec = {"name": name, "status": f"Error: {e}",
                    "time": time.perf_counter() - t0}
@@ -286,6 +294,10 @@ def main(argv=None):
                          "linprog, pdhg = restarted PDHG; competitor "
                          "columns for analyze --compare)")
     ap.add_argument("--eps", type=float, default=1e-6)
+    ap.add_argument("--crossover", action="store_true",
+                    help="polish solved --mps instances to a vertex with "
+                         "an exact-basis certificate (crossover_by_copt "
+                         "analogue)")
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
     ap.add_argument("-o", "--outdir", default=None)
     args = ap.parse_args(argv)
@@ -310,7 +322,8 @@ def main(argv=None):
             run_mps_batched(paths, args.eps, args.outdir,
                             precision=args.precision)
         else:
-            run_mps(paths, args.eps, args.outdir)
+            run_mps(paths, args.eps, args.outdir,
+                    crossover=args.crossover)
     elif args.sedumi:
         paths = sorted(glob.glob(os.path.join(args.sedumi, "*.mat")))
         if not paths:
