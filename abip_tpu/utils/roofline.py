@@ -1,0 +1,64 @@
+"""Per-iteration cost model and speed-of-light estimate.
+
+The reference reports a per-ADMM-iteration cost summary (avg linsys
+solve time, nnz in the factor — `src/abip-lp/linsys/direct.c:15-26`).
+The TPU-era analogue is a roofline: each ADMM iteration streams the
+problem matrix a fixed number of times and does a fixed flop count, so
+peak memory bandwidth (the usual bound — these matvecs are far below
+MXU arithmetic intensity) implies a hardware iteration-rate ceiling.
+`bench.py` reports measured/ceiling so regressions in the hot loop show
+up as a falling fraction, independent of problem size.
+
+Chip constants are nominal public specs; override via arguments.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+# nominal public specs
+CHIPS = {
+    "tpu_v5e": {"hbm_gbps": 819.0, "f32_tflops": 98.0},
+    # generic 4-core desktop-class CPU (DDR4-ish): used for the CPU
+    # fallback fraction so the number stays meaningful there
+    "cpu": {"hbm_gbps": 25.0, "f32_tflops": 0.2},
+}
+
+
+@dataclass
+class IterationCost:
+    bytes_moved: float           # per ADMM iteration
+    flops: float
+    ceiling_iters_per_sec_bw: float
+    ceiling_iters_per_sec_flops: float
+
+    @property
+    def ceiling_iters_per_sec(self) -> float:
+        return min(self.ceiling_iters_per_sec_bw,
+                   self.ceiling_iters_per_sec_flops)
+
+
+def lp_iteration_cost(m: int, n: int, precision: str = "mixed",
+                      qres_period: int = 1,
+                      chip: str = "tpu_v5e") -> IterationCost:
+    """Cost of one dense-path ADMM iteration of `device_solve_lp`.
+
+    Counts the dominant terms: the projection streams A twice (forward
+    + transpose apply) and the inner criterion streams it twice every
+    `qres_period`-th iteration; the KKT apply is an m x m matmul-vector;
+    vector work is O(m + n) and negligible against A for n >> m.
+    """
+    itemsize = 4.0 if precision in ("mixed", "f32") else 8.0
+    a_bytes = itemsize * m * n
+    # streams of A per iteration: 2 (projection) + 2/qres_period (criterion)
+    streams = 2.0 + 2.0 / max(1, qres_period)
+    bytes_moved = streams * a_bytes + itemsize * (m * m)   # + KKT apply
+    flops = streams * 2.0 * m * n + 2.0 * m * m
+
+    spec = CHIPS[chip]
+    bw = spec["hbm_gbps"] * 1e9
+    fl = spec["f32_tflops"] * 1e12 * (0.25 if itemsize == 8.0 else 1.0)
+    return IterationCost(
+        bytes_moved=bytes_moved, flops=flops,
+        ceiling_iters_per_sec_bw=bw / bytes_moved,
+        ceiling_iters_per_sec_flops=fl / flops,
+    )

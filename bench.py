@@ -160,6 +160,25 @@ def _device_alive():
     return True
 
 
+def _speed_of_light(shape, kw, B):
+    """Roofline ceiling for the current config: measured/ceiling fraction
+    is the reference-style per-iteration cost report
+    (`direct.c:15-26` analogue; see `abip_tpu/utils/roofline.py`)."""
+    import jax
+
+    from abip_tpu.utils.roofline import lp_iteration_cost
+
+    chip = "cpu" if jax.default_backend() == "cpu" else "tpu_v5e"
+    c = lp_iteration_cost(shape[0], shape[1],
+                          precision=kw.get("precision", "mixed"),
+                          qres_period=kw.get("qres_period", 1), chip=chip)
+    return {
+        "sol_iters_per_sec": round(B * c.ceiling_iters_per_sec, 1),
+        "sol_chip_model": chip,
+        "iter_bytes": int(c.bytes_moved),
+    }
+
+
 def _bench_inner():
     import jax
 
@@ -192,6 +211,7 @@ def _bench_inner():
         jax.block_until_ready(res)
         dt = time.perf_counter() - t0
         iters = int(res.admm_iters)
+        sol = _speed_of_light(A2.shape, kw, 1)
         out = {
             "metric": "admm_iters_per_sec",
             "value": round(iters / dt, 1),
@@ -207,6 +227,7 @@ def _bench_inner():
                             "(BASELINE_MEASURED.json)",
                 "backend": jax.default_backend(),
                 "rel_gap": float(np.asarray(res.rel_gap)),
+                **sol,
             },
         }
         print(json.dumps(out))
@@ -231,6 +252,7 @@ def _bench_inner():
     its = np.asarray(res.admm_iters)
     st = np.asarray(res.status)
     agg = float(its.sum()) / dt
+    sol = _speed_of_light((50, 2000), kw, B)
     out = {
         "metric": "admm_iters_per_sec",
         "value": round(agg, 1),
@@ -249,6 +271,7 @@ def _bench_inner():
                         "(BASELINE_MEASURED.json)",
             "backend": jax.default_backend(),
             "rel_gap_max": float(np.asarray(res.rel_gap).max()),
+            **sol,
         },
     }
     print(json.dumps(out))
