@@ -21,7 +21,7 @@ if not os.environ.get("ABIP_TPU_NO_X64"):
     jax.config.update("jax_enable_x64", True)
 
 from .settings import Settings, Status          # noqa: E402
-from .dispatch import solve                     # noqa: E402
+from .dispatch import solve, solve_general      # noqa: E402
 from .problem import LinearOperator             # noqa: E402
 from .lp import solve_lp, LPWorkspace, LPSolution  # noqa: E402
 from .cones import ConeSpec                     # noqa: E402
@@ -32,6 +32,7 @@ __version__ = "0.1.0"
 
 __all__ = [
     "solve",
+    "solve_general",
     "Settings",
     "Status",
     "LinearOperator",

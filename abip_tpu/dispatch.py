@@ -42,3 +42,47 @@ def _default_lp():
     from .settings import Settings
 
     return Settings()
+
+
+def solve_general(A, c, row_lo=None, row_hi=None, lb=None, ub=None,
+                  objcon=0.0, maximize=False, settings=None, **overrides):
+    """Solve a general-form LP without going through an MPS file:
+
+        min/max c'x + objcon   s.t.  row_lo <= A x <= row_hi,
+                                     lb <= x <= ub.
+
+    The reference reaches this form only via `preprocess.m` on MPS input;
+    here it is a first-class API: the problem is presolved to standard
+    form (`io/presolve.py`, free variables split), solved, and mapped
+    back.  `None` bounds mean unbounded on that side (rows default to
+    equalities when only one of row_lo/row_hi is given as finite pairs).
+    """
+    import numpy as np
+    import scipy.sparse as sp
+
+    from .io.mps import GeneralLP
+    from .io.presolve import presolve_to_standard
+    from .lp import solve_lp
+    from .settings import Settings
+
+    A = sp.csc_matrix(A)
+    m, n = A.shape
+    c = np.asarray(c, float).ravel()
+    full = lambda v, d: np.full(m if d == "m" else n, v, float)
+    row_lo = full(-np.inf, "m") if row_lo is None \
+        else np.asarray(row_lo, float).ravel()
+    row_hi = full(np.inf, "m") if row_hi is None \
+        else np.asarray(row_hi, float).ravel()
+    lb = full(0.0, "n") if lb is None else np.asarray(lb, float).ravel()
+    ub = full(np.inf, "n") if ub is None else np.asarray(ub, float).ravel()
+
+    p = GeneralLP(c=c, A=A, row_lo=row_lo, row_hi=row_hi, lb=lb, ub=ub,
+                  objcon=float(objcon), maximize=bool(maximize))
+    std = presolve_to_standard(p)
+    dense = std.A.toarray() if std.sparsity > 0.25 else std.A
+    sol = solve_lp(dense, std.b, std.c, settings or Settings(), **overrides)
+    sol.pobj = std.user_objective(sol.pobj)
+    sol.dobj = std.user_objective(sol.dobj)
+    sol.x_std = sol.x
+    sol.x = std.recover(sol.x)
+    return sol

@@ -187,3 +187,31 @@ def test_pagerank_generator_oracle():
     assert sol.status_name.startswith("Solved")
     assert sol.pobj == pytest.approx(1.0, abs=1e-5)
     assert np.abs(sol.x - x_star).max() < 1e-6
+
+
+def test_solve_general_two_sided_and_boxed():
+    """First-class general-form API (no MPS file): two-sided rows, boxed
+    variables, maximize + objective constant, vs scipy."""
+    from scipy.optimize import linprog
+
+    from abip_tpu.dispatch import solve_general
+
+    rng = np.random.default_rng(0)
+    m, n = 12, 20
+    A = rng.standard_normal((m, n))
+    row_hi = A @ rng.standard_normal(n) + rng.random(m)
+    lb, ub = np.full(n, -2.0), np.full(n, 3.0)
+    c = rng.standard_normal(n)
+
+    sol = solve_general(A, c, row_hi=row_hi, lb=lb, ub=ub, eps=1e-6)
+    ref = linprog(c, A_ub=A, b_ub=row_hi,
+                  bounds=np.column_stack([lb, ub]), method="highs")
+    assert sol.status_name == "Solved"
+    assert abs(sol.pobj - ref.fun) < 1e-5 * (1 + abs(ref.fun))
+
+    sol2 = solve_general(A, c, row_hi=row_hi, lb=lb, ub=ub,
+                         objcon=5.0, maximize=True, eps=1e-6)
+    ref2 = linprog(-c, A_ub=A, b_ub=row_hi,
+                   bounds=np.column_stack([lb, ub]), method="highs")
+    want = -ref2.fun + 5.0
+    assert abs(sol2.pobj - want) < 1e-5 * (1 + abs(want))
