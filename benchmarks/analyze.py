@@ -86,16 +86,47 @@ def compare(dirs, timeout_penalty=3600.0):
     return sgms
 
 
+def stats(recs):
+    """Distribution table over solved instances (the `analyze_stats.py`
+    role): p50/p90/max of time and ADMM iterations."""
+    solved = [r for r in recs
+              if str(r.get("status", "")).startswith("Solved")]
+    if not solved:
+        print("no solved instances")
+        return {}
+
+    def pct(vals, q):
+        vals = sorted(vals)
+        return vals[min(len(vals) - 1, int(q * (len(vals) - 1) + 0.5))]
+
+    out = {}
+    for key, label in (("time", "time [s]"), ("admm_iter", "admm iters")):
+        vals = [r[key] for r in solved if key in r]
+        if not vals:
+            continue
+        out[key] = {"p50": pct(vals, 0.5), "p90": pct(vals, 0.9),
+                    "max": max(vals),
+                    "mean": sum(vals) / len(vals)}
+        print(f"{label:<12s} p50 {out[key]['p50']:>10.3f}  "
+              f"p90 {out[key]['p90']:>10.3f}  max {out[key]['max']:>10.3f}  "
+              f"mean {out[key]['mean']:>10.3f}")
+    return out
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("dirs", nargs="+")
     ap.add_argument("--timeout-penalty", type=float, default=3600.0)
     ap.add_argument("--compare", action="store_true",
                     help="treat each dir as one method; print side-by-side")
+    ap.add_argument("--stats", action="store_true",
+                    help="print p50/p90/max distribution over solved runs")
     args = ap.parse_args(argv)
 
     if args.compare:
         return compare(args.dirs, args.timeout_penalty)
+    if args.stats:
+        return stats(load(args.dirs))
 
     recs = load(args.dirs)
     if not recs:
