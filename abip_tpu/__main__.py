@@ -16,6 +16,8 @@ def main(argv=None):
     ap.add_argument("--eps", type=float, default=1e-6)
     ap.add_argument("--verbose", action="store_true")
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
+    ap.add_argument("--crossover", action="store_true",
+                    help="polish an MPS solve to a certified vertex")
     ap.add_argument("--json", action="store_true", help="print one JSON line")
     args = ap.parse_args(argv)
 
@@ -31,7 +33,13 @@ def main(argv=None):
     else:
         from .io.presolve import solve_mps
 
-        sol, _ = solve_mps(args.path, eps=args.eps, verbose=args.verbose)
+        sol, std = solve_mps(args.path, eps=args.eps, verbose=args.verbose)
+        if args.crossover and sol.status_name.startswith("Solved"):
+            from .crossover import crossover
+
+            cr = crossover(std.A.toarray(), std.b, std.c, sol.x_std)
+            print(f"crossover: optimal_basis={cr.optimal} "
+                  f"vertex_obj={std.user_objective(cr.pobj):.8f}")
 
     if args.json:
         print(json.dumps({

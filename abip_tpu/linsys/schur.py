@@ -106,16 +106,23 @@ def pcg_tol_ladder(thresholds, coeffs):
     Mirrors the per-app tables of the reference: coefficient is chosen by
     bucketing `error_ratio` over ascending `thresholds` (len(coeffs) must
     be len(thresholds)+1), then tol = max(1e-9, coef*norm_p/(k+1)^2).
+
+    The tables stay host-side numpy here: this runs at import time for
+    the module-level ladders, and creating a device array then would
+    initialize the backend before callers can select a platform (and, on
+    a wedged remote tunnel, hang the import).  jnp ops inside `ladder`
+    promote them when traced.
     """
     import numpy as np
 
-    th = jnp.asarray(np.asarray(thresholds, float))
-    cf = jnp.asarray(np.asarray(coeffs, float))
+    th = np.asarray(thresholds, float)
+    cf = np.asarray(coeffs, float)
     if cf.shape[0] != th.shape[0] + 1:
         raise ValueError("need len(coeffs) == len(thresholds) + 1")
 
     def ladder(k, error_ratio, norm_p):
-        coef = cf[jnp.searchsorted(th, error_ratio, side="left")]
+        coef = jnp.asarray(cf)[jnp.searchsorted(jnp.asarray(th),
+                                                error_ratio, side="left")]
         return jnp.maximum(1e-9, coef * norm_p / (k + 1.0) ** 2)
 
     return ladder
