@@ -132,8 +132,44 @@ def presolve_to_standard(p: GeneralLP) -> StandardFormLP:
     )
 
 
+def pad_standard(std: StandardFormLP, bucket: int) -> StandardFormLP:
+    """Pad a standard-form LP to shape multiples of `bucket`.
+
+    Suite runs recompile the jitted solver per (m, n) shape; bucketing
+    collapses similar instances onto shared shapes so the jit cache is
+    reused (12 netlib-mini shapes -> 5 at bucket=128).  Padding is
+    solution-preserving: each padded row is a singleton `x_pad_i = 0`
+    (keeps A full row rank -- no zero rows), every padded column gets
+    objective +1 so it is driven to 0, and `recover` truncates before
+    mapping back to user variables.
+    """
+    m0, n0 = std.A.shape
+    M = -(-m0 // bucket) * bucket
+    N = -(-n0 // bucket) * bucket
+    if N - n0 < M - m0:          # one singleton column per padded row
+        N += bucket
+    if (M, N) == (m0, n0):
+        return std
+    nr, nc = M - m0, N - n0
+    A = sp.lil_matrix((M, N))
+    A[:m0, :n0] = std.A
+    for i in range(nr):
+        A[m0 + i, n0 + i] = 1.0
+    A = A.tocsc()
+    b = np.concatenate([std.b, np.zeros(nr)])
+    c = np.concatenate([std.c, np.ones(nc)])
+    inner_recover = std.recover
+    return StandardFormLP(
+        A=A, b=b, c=c,
+        objcon_shift=std.objcon_shift, objcon_user=std.objcon_user,
+        n_orig=std.n_orig, maximize=std.maximize,
+        recover=lambda x_std: inner_recover(x_std[:n0]),
+        sparsity=A.nnz / max(1, M * N),
+    )
+
+
 def solve_mps(path: str, settings=None, dense: bool = True,
-              method: str = "abip", **overrides):
+              method: str = "abip", pad_bucket: int = 0, **overrides):
     """Read an MPS file, presolve to standard form, solve, map back.
 
     Returns (solution, standard_form).  The reported objective includes the
@@ -147,6 +183,8 @@ def solve_mps(path: str, settings=None, dense: bool = True,
 
     p = read_mps(path)
     std = presolve_to_standard(p)
+    if pad_bucket:
+        std = pad_standard(std, pad_bucket)
     A = std.A.toarray() if dense else std.A
     if method == "pdhg":
         from ..pdhg import solve_lp_pdhg

@@ -294,6 +294,9 @@ def main(argv=None):
                          "linprog, pdhg = restarted PDHG; competitor "
                          "columns for analyze --compare)")
     ap.add_argument("--eps", type=float, default=1e-6)
+    ap.add_argument("--bucket", type=int, default=0,
+                    help="pad --mps instances to shape multiples of N so "
+                         "similar sizes share one compiled program")
     ap.add_argument("--crossover", action="store_true",
                     help="polish solved --mps instances to a vertex with "
                          "an exact-basis certificate (crossover_by_copt "
@@ -323,7 +326,7 @@ def main(argv=None):
                             precision=args.precision)
         else:
             run_mps(paths, args.eps, args.outdir,
-                    crossover=args.crossover)
+                    crossover=args.crossover, pad_bucket=args.bucket)
     elif args.sedumi:
         paths = sorted(glob.glob(os.path.join(args.sedumi, "*.mat")))
         if not paths:

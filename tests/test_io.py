@@ -157,3 +157,36 @@ def test_bounds_unknown_column_raises(tmp_path):
     f.write_text(mps)
     with pytest.raises(ValueError, match="unknown column"):
         read_mps(str(f))
+
+
+def test_pad_standard_preserves_solution(tmp_path):
+    """Bucket padding (singleton rows, +1-objective columns) leaves the
+    recovered solution and user objective unchanged."""
+    import scipy.sparse as sp
+    from scipy.optimize import linprog
+
+    from abip_tpu.io.mps import GeneralLP
+    from abip_tpu.io.presolve import (pad_standard, presolve_to_standard,
+                                      solve_mps)
+    from abip_tpu.io.mps_write import write_mps
+
+    rng = np.random.default_rng(2)
+    m, n = 11, 30
+    A = rng.standard_normal((m, n))
+    b = A @ (rng.random(n) + 0.5)
+    c = A.T @ rng.standard_normal(m) + rng.random(n) + 0.5
+    p = GeneralLP(c=c, A=sp.csc_matrix(A), row_lo=b, row_hi=b,
+                  lb=np.zeros(n), ub=np.full(n, np.inf))
+    std = presolve_to_standard(p)
+    padded = pad_standard(std, 64)
+    assert padded.A.shape[0] % 64 == 0
+    assert padded.A.shape[0] > std.A.shape[0]
+
+    path = str(tmp_path / "pad.mps")
+    write_mps(p, path)
+    sol, _ = solve_mps(path, eps=1e-6, pad_bucket=64)
+    ref = linprog(c, A_eq=A, b_eq=b, bounds=(0, None), method="highs")
+    assert sol.status_name == "Solved"
+    assert abs(sol.pobj - ref.fun) < 1e-5 * (1 + abs(ref.fun))
+    assert sol.x.shape == (n,)
+    assert np.linalg.norm(A @ sol.x - b) < 1e-5 * (1 + np.linalg.norm(b))
