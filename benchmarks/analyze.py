@@ -121,7 +121,20 @@ def main(argv=None):
                     help="treat each dir as one method; print side-by-side")
     ap.add_argument("--stats", action="store_true",
                     help="print p50/p90/max distribution over solved runs")
+    ap.add_argument("--csv", metavar="PATH",
+                    help="also write the records to a CSV file "
+                         "(`write2csv.m` role)")
     args = ap.parse_args(argv)
+
+    if args.csv:
+        import csv
+
+        recs_all = load(args.dirs)
+        keys = sorted({k for r in recs_all for k in r})
+        with open(args.csv, "w", newline="") as f:
+            w = csv.DictWriter(f, fieldnames=keys)
+            w.writeheader()
+            w.writerows(recs_all)
 
     if args.compare:
         return compare(args.dirs, args.timeout_penalty)
