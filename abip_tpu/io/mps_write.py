@@ -127,5 +127,11 @@ def write_mps(p: GeneralLP, path: str, name: Optional[str] = None) -> None:
         out.extend(blines)
 
     out.append("ENDATA")
-    with open(path, "w") as f:
-        f.write("\n".join(out) + "\n")
+    if str(path).endswith(".gz"):
+        import gzip
+
+        with gzip.open(path, "wt") as f:
+            f.write("\n".join(out) + "\n")
+    else:
+        with open(path, "w") as f:
+            f.write("\n".join(out) + "\n")

@@ -48,12 +48,20 @@ def record(name, sol, wall):
     }
 
 
+def _mps_name(path):
+    name = os.path.basename(path)
+    for ext in (".gz", ".mps"):
+        if name.endswith(ext):
+            name = name[: -len(ext)]
+    return name
+
+
 def run_mps(paths, eps, outdir, crossover=False, **overrides):
     from abip_tpu.io.presolve import solve_mps
 
     out = []
     for path in paths:
-        name = os.path.splitext(os.path.basename(path))[0]
+        name = _mps_name(path)
         t0 = time.perf_counter()
         try:
             sol, std = solve_mps(path, eps=eps, **overrides)
@@ -86,7 +94,7 @@ def run_highs(paths, outdir):
 
     out = []
     for path in paths:
-        name = os.path.splitext(os.path.basename(path))[0]
+        name = _mps_name(path)
         t0 = time.perf_counter()
         try:
             p = read_mps(path)
