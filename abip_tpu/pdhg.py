@@ -75,6 +75,8 @@ class _PDHGState(NamedTuple):
     x_rs: jnp.ndarray           # iterate at the last restart (scaled)
     y_rs: jnp.ndarray
     err_rs: jnp.ndarray         # KKT error at the last restart
+    x_cand: jnp.ndarray         # candidate whose residuals are reported
+    y_cand: jnp.ndarray         # (returned on every exit path)
     omega: jnp.ndarray          # primal weight
     k: jnp.ndarray              # total PDHG iterations
     status: jnp.ndarray
@@ -247,6 +249,7 @@ def _pdhg_run(Ab, bb, cb, A, b, c, E, D, eta, omega0, eps, max_iters,
             x_rs=pick(restart, x_c, st.x_rs),
             y_rs=pick(restart, y_c, st.y_rs),
             err_rs=pick(restart, cand_err, st.err_rs),
+            x_cand=x_c, y_cand=y_c,
             omega=omega, k=k, status=status,
             pres=pres, dres=dres, gap=gap, pobj=pobj, dobj=dobj,
             res_infeas=res_infeas, res_unbdd=res_unbdd,
@@ -258,6 +261,7 @@ def _pdhg_run(Ab, bb, cb, A, b, c, E, D, eta, omega0, eps, max_iters,
         x_sum=jnp.zeros((n,), dt), y_sum=jnp.zeros((m,), dt),
         n_avg=zero, x_rs=jnp.zeros((n,), dt), y_rs=jnp.zeros((m,), dt),
         err_rs=zero + jnp.inf,
+        x_cand=jnp.zeros((n,), dt), y_cand=jnp.zeros((m,), dt),
         omega=jnp.asarray(omega0, dt), k=jnp.zeros((), jnp.int32),
         status=jnp.asarray(Status.UNFINISHED, jnp.int32),
         pres=zero + jnp.inf, dres=zero + jnp.inf, gap=zero + jnp.inf,
@@ -265,6 +269,21 @@ def _pdhg_run(Ab, bb, cb, A, b, c, E, D, eta, omega0, eps, max_iters,
         res_infeas=zero + jnp.inf, res_unbdd=zero + jnp.inf,
     )
     return jax.lax.while_loop(cond, body, init)
+
+
+def _setup(A, b, c):
+    """Shared solve setup: equilibrate, scale b/c, stepsize and primal
+    weight init.  Returns the positional arguments of `_pdhg_run` up to
+    (eta, omega0)."""
+    Ab, sd = equilibrate(A, _ScaleFlags())
+    bb = b / sd.D
+    cb = c / sd.E
+    normA = estimate_spectral_norm(Ab)
+    eta = 0.9 / jnp.maximum(normA, 1e-30)
+    nbb = jnp.linalg.norm(bb)
+    ncb = jnp.linalg.norm(cb)
+    omega0 = jnp.where((nbb > 1e-30) & (ncb > 1e-30), ncb / nbb, 1.0)
+    return Ab, bb, cb, A, b, c, sd.E, sd.D, eta, omega0
 
 
 def solve_lp_pdhg_batch(As, bs, cs, eps: float = 1e-6,
@@ -279,16 +298,8 @@ def solve_lp_pdhg_batch(As, bs, cs, eps: float = 1e-6,
     lead with the batch axis); `status == 1` marks solved lanes.
     """
     def one(A, b, c):
-        Ab, sd = equilibrate(A, _ScaleFlags())
-        bb = b / sd.D
-        cb = c / sd.E
-        normA = estimate_spectral_norm(Ab)
-        eta = 0.9 / jnp.maximum(normA, 1e-30)
-        nbb = jnp.linalg.norm(bb)
-        ncb = jnp.linalg.norm(cb)
-        omega0 = jnp.where((nbb > 1e-30) & (ncb > 1e-30), ncb / nbb, 1.0)
-        return _pdhg_run(Ab, bb, cb, A, b, c, sd.E, sd.D, eta, omega0,
-                         eps, max_iters, check_period, precision=precision)
+        return _pdhg_run(*_setup(A, b, c), eps, max_iters, check_period,
+                         precision=precision)
 
     fn = jax.vmap(one)
     if mesh is not None:
@@ -321,20 +332,13 @@ def solve_lp_pdhg(A, b, c, eps: float = 1e-6, max_iters: int = 200_000,
     b = jnp.asarray(b, dtype)
     c = jnp.asarray(c, dtype)
 
-    Ab, sd = equilibrate(A, _ScaleFlags())
-    bb = b / sd.D
-    cb = c / sd.E
-
-    normA = estimate_spectral_norm(Ab)
-    eta = 0.9 / jnp.maximum(normA, 1e-30)
-    nbb = jnp.linalg.norm(bb)
-    ncb = jnp.linalg.norm(cb)
-    omega0 = jnp.where((nbb > 1e-30) & (ncb > 1e-30), ncb / nbb, 1.0)
+    run_args = _setup(A, b, c)
+    sd_E, sd_D = run_args[6], run_args[7]
 
     setup = time.perf_counter() - t0
     t1 = time.perf_counter()
-    st = _pdhg_run(Ab, bb, cb, A, b, c, sd.E, sd.D, eta, omega0, eps,
-                   max_iters, check_period, precision=precision)
+    st = _pdhg_run(*run_args, eps, max_iters, check_period,
+                   precision=precision)
     st = jax.block_until_ready(st)
     solve = time.perf_counter() - t1
 
@@ -342,9 +346,11 @@ def solve_lp_pdhg(A, b, c, eps: float = 1e-6, max_iters: int = 200_000,
     if status == Status.UNFINISHED:
         worst = max(float(st.pres), float(st.dres), float(st.gap))
         status = Status.SOLVED_INACCURATE if worst < 1e-3 else Status.FAILED
-    x = np.asarray(st.x / sd.E)
-    y = np.asarray(st.y / sd.D)
-    s = np.asarray(c - A.T @ (st.y / sd.D))
+    # return the CANDIDATE iterate -- the point the reported residuals
+    # describe -- on every exit path (converged, max_iters, certificates)
+    x = np.asarray(st.x_cand / sd_E)
+    y = np.asarray(st.y_cand / sd_D)
+    s = np.asarray(c - A.T @ (st.y_cand / sd_D))
     return LPSolution(
         x=x, y=y, s=s, status=status, status_name=Status.name(status),
         pobj=float(st.pobj), dobj=float(st.dobj),

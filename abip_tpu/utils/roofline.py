@@ -47,10 +47,18 @@ def lp_iteration_cost(m: int, n: int, precision: str = "mixed",
     `qres_period`-th iteration; the KKT apply is an m x m matmul-vector;
     vector work is O(m + n) and negligible against A for n >> m.
     """
+    import math
+
     itemsize = 4.0 if precision in ("mixed", "f32") else 8.0
     a_bytes = itemsize * m * n
-    # streams of A per iteration: 2 (projection) + 2/qres_period (criterion)
-    streams = 2.0 + 2.0 / max(1, qres_period)
+    # streams of A per iteration: 2 for the projection, plus the inner
+    # criterion (2) whenever (j % qres_period == 0) OR (j % 10 == 0) --
+    # the solver always evaluates the averaged candidate every 10th
+    # iteration -- plus the averaged-candidate criterion (2) and the
+    # residual check (2) on the every-10th iterations
+    P = max(1, qres_period)
+    freq_q = 1.0 / P + 0.1 - 1.0 / math.lcm(P, 10)
+    streams = 2.0 + 2.0 * freq_q + (2.0 + 2.0) * 0.1
     bytes_moved = streams * a_bytes + itemsize * (m * m)   # + KKT apply
     flops = streams * 2.0 * m * n + 2.0 * m * m
 

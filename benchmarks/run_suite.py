@@ -177,7 +177,7 @@ def run_mps_batched(paths, eps, outdir, precision="f64"):
 
     probs, stds, names = [], [], []
     for path in paths:
-        name = os.path.splitext(os.path.basename(path))[0]
+        name = _mps_name(path)
         std = presolve_to_standard(read_mps(path))
         probs.append((std.A.toarray(), std.b, std.c))
         stds.append(std)
@@ -328,7 +328,8 @@ def main(argv=None):
         if args.method == "highs":
             run_highs(paths, args.outdir)
         elif args.method == "pdhg":
-            run_mps(paths, args.eps, args.outdir, method="pdhg")
+            run_mps(paths, args.eps, args.outdir, method="pdhg",
+                    crossover=args.crossover, pad_bucket=args.bucket)
         elif args.batched:
             run_mps_batched(paths, args.eps, args.outdir,
                             precision=args.precision)

@@ -271,3 +271,30 @@ def test_sharded_dense_replicates_factor(rng):
     assert sh.status_name.startswith("Solved")
     assert sh.admm_iters == base.admm_iters
     assert sh.pobj == pytest.approx(base.pobj, rel=1e-9)
+
+
+def test_qcp_inner_crit_period(rng):
+    """Thinned conic inner-criterion cadence: statuses and objectives
+    match the every-iteration cadence at the solve tolerance."""
+    from abip_tpu import ConeSpec
+    from abip_tpu.parallel.batched_qcp import solve_qcp_batch
+
+    B, m, n = 3, 8, 15
+    cones = ConeSpec(soc=(5,), nonneg=10)
+    As, bs, cs = [], [], []
+    for _ in range(B):
+        A = rng.standard_normal((m, n))
+        x0 = np.concatenate([[2.0], rng.standard_normal(4) * 0.3,
+                             rng.random(10) + 0.5])
+        As.append(A), bs.append(A @ x0), cs.append(rng.random(n) + 0.1)
+    As, bs, cs = map(lambda z: jnp.asarray(np.stack(z)), (As, bs, cs))
+
+    r1 = solve_qcp_batch(As, bs, cs, cones=cones, eps=1e-6)
+    r4 = solve_qcp_batch(As, bs, cs, cones=cones, eps=1e-6,
+                         inner_crit_period=4)
+    assert (np.asarray(r1.status) == np.asarray(r4.status)).all()
+    solved = np.asarray(r1.status) == 1
+    assert solved.any()
+    np.testing.assert_allclose(np.asarray(r4.pobj)[solved],
+                               np.asarray(r1.pobj)[solved],
+                               rtol=1e-5, atol=1e-5)
