@@ -199,3 +199,26 @@ def solve_mps(path: str, settings=None, dense: bool = True,
     sol.x_std = sol.x            # standard-form iterate (crossover input)
     sol.x = std.recover(sol.x)
     return sol, std
+
+
+def save_presolved_mps(in_path: str, out_path: str,
+                       pad_bucket: int = 0) -> "StandardFormLP":
+    """Presolve an MPS file and save the standard form back as MPS.
+
+    The `prepare.m`/`save_abip_mps.m` role in the reference bench layer
+    (presolve once, reuse the standard-form file across solver runs).
+    Returns the StandardFormLP that was written.
+    """
+    from .mps import GeneralLP, read_mps
+    from .mps_write import write_mps
+
+    std = presolve_to_standard(read_mps(in_path))
+    if pad_bucket:
+        std = pad_standard(std, pad_bucket)
+    m, n = std.A.shape
+    p = GeneralLP(c=std.c, A=sp.csc_matrix(std.A),
+                  row_lo=std.b, row_hi=std.b,
+                  lb=np.zeros(n), ub=np.full(n, np.inf),
+                  objcon=0.0, maximize=False, name="PRESOLVED")
+    write_mps(p, out_path)
+    return std
