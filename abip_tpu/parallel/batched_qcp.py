@@ -60,7 +60,7 @@ class _AnchorQ(NamedTuple):
 def _device_solve_qcp(A, b, c, Q_diag, layout: ConeLayout, *, eps, max_ipm,
                       max_admm, alpha, rho_y, rho_x, rho_tau, psi,
                       inner_check_period, precision="f64", ir_steps=1,
-                      inner_crit_period=1):
+                      inner_crit_period=1, solver="cholesky"):
     """One conic instance entirely on device (no equilibration: callers
     pre-scale, as the reference app configs do).  Dense Schur backend.
 
@@ -90,6 +90,18 @@ def _device_solve_qcp(A, b, c, Q_diag, layout: ConeLayout, *, eps, max_ipm,
     S32 = S.astype(f32)
     chol32 = chol.astype(f32)
     ry_inv32 = ry_inv.astype(f32)
+    if solver == "inverse":
+        # explicit inverse: one f32 matmul per apply instead of two
+        # triangular solves (MXU-friendly; same trick as the LP driver,
+        # accuracy restored by the anchored IR against S)
+        Sinv32 = jax.scipy.linalg.cho_solve(
+            (chol, True), jnp.eye(n, dtype=dtype)).astype(f32)
+
+        def solve32(r32):
+            return Sinv32 @ r32
+    else:
+        def solve32(r32):
+            return jax.scipy.linalg.cho_solve((chol32, True), r32)
 
     def solve_fn(w_y, w_x, k, warm):
         rhs = w_x + A.T @ (ry_inv * w_y)
@@ -123,16 +135,14 @@ def _device_solve_qcp(A, b, c, Q_diag, layout: ConeLayout, *, eps, max_ipm,
             dwy32 = (w_y - anc.wy0).astype(f32)
             drhs = (w_x - anc.wx0) + (
                 A32.T @ (ry_inv32 * dwy32)).astype(f64)
-            dzx = jax.scipy.linalg.cho_solve(
-                (chol32, True), drhs.astype(f32)).astype(f64)
+            dzx = solve32(drhs.astype(f32)).astype(f64)
             z_x = anc.zx0 + dzx
             rhs = anc.rhs0 + drhs
             for _ in range(ir_steps):
                 # anchored IR: S z = Szx0 + S32 @ (z - zx0), all f32 matmuls
                 Sz = anc.Szx0 + (S32 @ (z_x - anc.zx0).astype(f32)).astype(f64)
                 resid = rhs - Sz
-                z_x = z_x + jax.scipy.linalg.cho_solve(
-                    (chol32, True), resid.astype(f32)).astype(f64)
+                z_x = z_x + solve32(resid.astype(f32)).astype(f64)
             Az = anc.Azx0 + (A32 @ (z_x - anc.zx0).astype(f32)).astype(f64)
             z_y = ry_inv * (w_y - Az)
             return z_y, z_x, jnp.zeros((), jnp.int32)
@@ -271,12 +281,14 @@ def _device_solve_qcp(A, b, c, Q_diag, layout: ConeLayout, *, eps, max_ipm,
 @partial(jax.jit, static_argnames=("cones", "eps", "max_ipm", "max_admm",
                                    "alpha", "rho_y", "rho_x", "rho_tau",
                                    "psi", "inner_check_period", "precision",
-                                   "ir_steps", "inner_crit_period"))
+                                   "ir_steps", "inner_crit_period",
+                                   "solver"))
 def solve_qcp_batch(As, bs, cs, Q_diags=None, *, cones: ConeSpec,
                     eps=1e-4, max_ipm=200, max_admm=100_000, alpha=1.8,
                     rho_y=1e-6, rho_x=1.0, rho_tau=1.0, psi=1.0,
                     inner_check_period=500, precision="f64",
-                    ir_steps=1, inner_crit_period=1) -> ConicDeviceResult:
+                    ir_steps=1, inner_crit_period=1,
+                    solver="cholesky") -> ConicDeviceResult:
     """Solve a stacked batch of same-shape conic programs on device.
 
     As: (B, m, n); bs: (B, m); cs: (B, n); Q_diags: optional (B, n)
@@ -290,7 +302,7 @@ def solve_qcp_batch(As, bs, cs, Q_diags=None, *, cones: ConeSpec,
             max_admm=max_admm, alpha=alpha, rho_y=rho_y, rho_x=rho_x,
             rho_tau=rho_tau, psi=psi, inner_check_period=inner_check_period,
             precision=precision, ir_steps=ir_steps,
-            inner_crit_period=inner_crit_period,
+            inner_crit_period=inner_crit_period, solver=solver,
         )
 
     if Q_diags is None:

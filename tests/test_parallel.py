@@ -298,3 +298,28 @@ def test_qcp_inner_crit_period(rng):
     np.testing.assert_allclose(np.asarray(r4.pobj)[solved],
                                np.asarray(r1.pobj)[solved],
                                rtol=1e-5, atol=1e-5)
+
+
+def test_qcp_inverse_solver_equivalent():
+    """Conic explicit-inverse Schur apply: same statuses, oracle-accurate
+    objectives (trajectories may differ from trisolves in f32, unlike the
+    LP driver where they are bit-identical)."""
+    from abip_tpu import ConeSpec
+    from abip_tpu.parallel.batched_qcp import solve_qcp_batch
+    from benchmarks.conic_mini import randcone
+
+    cones = ConeSpec(soc=(5,), nonneg=10)
+    As, bs, cs, stars = [], [], [], []
+    for i in (2, 3):                       # well-conditioned seeds
+        _, A, b, c, _, star = randcone("x", 8, cones, seed=100 + i)
+        As.append(A), bs.append(b), cs.append(c), stars.append(star)
+    As, bs, cs = map(lambda z: jnp.asarray(np.stack(z)), (As, bs, cs))
+
+    r1 = solve_qcp_batch(As, bs, cs, cones=cones, eps=1e-6,
+                         precision="mixed")
+    r2 = solve_qcp_batch(As, bs, cs, cones=cones, eps=1e-6,
+                         precision="mixed", solver="inverse")
+    assert (np.asarray(r1.status) == 1).all()
+    assert (np.asarray(r2.status) == 1).all()
+    np.testing.assert_allclose(np.asarray(r2.pobj), stars, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(r1.pobj), stars, atol=1e-5)
