@@ -60,7 +60,8 @@ class _AnchorQ(NamedTuple):
 def _device_solve_qcp(A, b, c, Q_diag, layout: ConeLayout, *, eps, max_ipm,
                       max_admm, alpha, rho_y, rho_x, rho_tau, psi,
                       inner_check_period, precision="f64", ir_steps=1,
-                      inner_crit_period=1, solver="cholesky"):
+                      inner_crit_period=1, solver="cholesky",
+                      normalize=False, anchor_period=100):
     """One conic instance entirely on device (no equilibration: callers
     pre-scale, as the reference app configs do).  Dense Schur backend.
 
@@ -70,6 +71,34 @@ def _device_solve_qcp(A, b, c, Q_diag, layout: ConeLayout, *, eps, max_ipm,
     m, n = A.shape
     l = m + n + 1
     mixed = precision == "mixed"
+
+    # inf-norms of ORIGINAL data (`init_work`, `source/abip.c:873-874`)
+    nm_inf_b0 = jnp.max(jnp.abs(b)) if m else jnp.zeros((), dtype)
+    nm_inf_c0 = jnp.max(jnp.abs(c))
+    if normalize:
+        # same cone-tied equilibration as the host driver (the batched
+        # path previously required callers to pre-scale; unscaled data
+        # can stall the fixed-rho DR iteration)
+        from ..scaling import equilibrate_conic
+
+        class _ConicScaleShim(NamedTuple):
+            pc_ruiz_rescale: bool = True
+            origin_rescale: bool = True
+            qp_rescale: bool = False
+            ruiz_iter: int = 10
+            scale: float = 1.0
+
+        A, _, b, c, scal = equilibrate_conic(A, None, b, c, layout,
+                                             _ConicScaleShim())
+        if Q_diag is not None:
+            Q_diag = Q_diag / (scal.E * scal.E)
+        D_s, E_s = scal.D, scal.E
+        sc_b, sc_c = scal.sc_b, scal.sc_c
+    else:
+        D_s = jnp.ones((m,), dtype)
+        E_s = jnp.ones((n,), dtype)
+        sc_b = jnp.ones((), dtype)
+        sc_c = jnp.ones((), dtype)
 
     rho = jnp.concatenate([
         jnp.full((m,), rho_y, dtype),
@@ -153,15 +182,11 @@ def _device_solve_qcp(A, b, c, Q_diag, layout: ConeLayout, *, eps, max_ipm,
     r_vec = jnp.concatenate([r_y, r_x])
     a_coef = rho_tau + jnp.dot(rho[: m + n] * r_vec, r_vec)
 
-    ones = jnp.ones((), dtype)
-    nm_inf_b = jnp.max(jnp.abs(b)) if m else jnp.zeros((), dtype)
-    nm_inf_c = jnp.max(jnp.abs(c))
-
     def residuals(u, v_origin, prev, mv, rmv):
         return conic_ops.conic_residuals(
             u, v_origin, prev, mv, rmv, Q_times, b, c,
-            jnp.ones((m,), dtype), jnp.ones((n,), dtype), ones, ones, 1.0,
-            nm_inf_b, nm_inf_c, eps, eps, eps, m, n,
+            D_s, E_s, sc_b, sc_c, 1.0,
+            nm_inf_b0, nm_inf_c0, eps, eps, eps, m, n,
         )
 
     def converged(r, total_pos):
@@ -227,9 +252,18 @@ def _device_solve_qcp(A, b, c, Q_diag, layout: ConeLayout, *, eps, max_ipm,
         anc = make_anchor(s.u, s.v)
         mv, rmv, stage_solve = make_ops(anc)
 
+        # mixed mode: cap the per-anchor trip count -- the anchored f32
+        # delta products lose accuracy as iterates drift from the stage
+        # anchor, and a stage can run tens of thousands of iterations
+        # (measured NaN blow-up on an equilibrated SOC instance whose
+        # stage ran >10k iters).  On cap-exit the outer body re-anchors
+        # WITHOUT advancing the barrier.  f64 mode has no anchors: the
+        # cap stays at the stage budget so trajectories are untouched.
+        stage_cap = anchor_period if mixed else max_admm
+
         def icond(s: IC):
             return (
-                (s.j < max_admm)
+                (s.j < stage_cap)
                 & (s.err_inner >= o.tol_inner)
                 & (s.status == 0)
                 & (s.k < max_admm * max_ipm)
@@ -244,8 +278,15 @@ def _device_solve_qcp(A, b, c, Q_diag, layout: ConeLayout, *, eps, max_ipm,
         s = s._replace(res=r, status=st)
         mu, tol = conic_ops.adjust_barrier_device(o.mu, r.error_ratio, eps, psi)
         done = st != 0
-        mu = jnp.where(done, o.mu, mu)
-        return OC(inner=s, mu=mu, tol_inner=tol, i=o.i + 1)
+        # cap-exit (inner criterion not yet met): re-anchor only, keep
+        # the barrier where it is
+        cap_exit = s.err_inner >= o.tol_inner
+        mu = jnp.where(done | cap_exit, o.mu, mu)
+        tol = jnp.where(cap_exit, o.tol_inner, tol)
+        # cap-exits re-anchor without consuming a barrier stage; total
+        # work stays bounded by the k < max_admm*max_ipm guard
+        di = jnp.where(cap_exit, 0, 1).astype(o.i.dtype)
+        return OC(inner=s, mu=mu, tol_inner=tol, i=o.i + di)
 
     def outer_cond(o: OC):
         return (o.inner.status == 0) & (o.i < max_ipm) & (
@@ -270,8 +311,9 @@ def _device_solve_qcp(A, b, c, Q_diag, layout: ConeLayout, *, eps, max_ipm,
     r = s.res
     tau = jnp.maximum(r.tau, conic_ops.EPS_TOL)
     return ConicDeviceResult(
-        x=s.u[m : m + n] / tau, y=s.u[:m] / tau,
-        s=s.v[m : m + n] / tau,
+        x=s.u[m : m + n] / tau / (E_s * sc_b),
+        y=s.u[:m] / tau / (D_s * sc_c),
+        s=s.v[m : m + n] / tau * E_s / sc_c,
         status=s.status, ipm_iters=fin.i, admm_iters=s.k,
         res_pri=r.res_pri, res_dual=r.res_dual, rel_gap=r.rel_gap,
         pobj=r.pobj, dobj=r.dobj,
@@ -282,13 +324,14 @@ def _device_solve_qcp(A, b, c, Q_diag, layout: ConeLayout, *, eps, max_ipm,
                                    "alpha", "rho_y", "rho_x", "rho_tau",
                                    "psi", "inner_check_period", "precision",
                                    "ir_steps", "inner_crit_period",
-                                   "solver"))
+                                   "solver", "normalize", "anchor_period"))
 def solve_qcp_batch(As, bs, cs, Q_diags=None, *, cones: ConeSpec,
                     eps=1e-4, max_ipm=200, max_admm=100_000, alpha=1.8,
                     rho_y=1e-6, rho_x=1.0, rho_tau=1.0, psi=1.0,
                     inner_check_period=500, precision="f64",
                     ir_steps=1, inner_crit_period=1,
-                    solver="cholesky") -> ConicDeviceResult:
+                    solver="cholesky", normalize=False,
+                    anchor_period=100) -> ConicDeviceResult:
     """Solve a stacked batch of same-shape conic programs on device.
 
     As: (B, m, n); bs: (B, m); cs: (B, n); Q_diags: optional (B, n)
@@ -303,6 +346,7 @@ def solve_qcp_batch(As, bs, cs, Q_diags=None, *, cones: ConeSpec,
             rho_tau=rho_tau, psi=psi, inner_check_period=inner_check_period,
             precision=precision, ir_steps=ir_steps,
             inner_crit_period=inner_crit_period, solver=solver,
+            normalize=normalize, anchor_period=anchor_period,
         )
 
     if Q_diags is None:

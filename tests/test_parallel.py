@@ -323,3 +323,28 @@ def test_qcp_inverse_solver_equivalent():
     assert (np.asarray(r2.status) == 1).all()
     np.testing.assert_allclose(np.asarray(r2.pobj), stars, atol=1e-5)
     np.testing.assert_allclose(np.asarray(r1.pobj), stars, atol=1e-5)
+
+
+def test_qcp_mixed_anchor_reanchoring_robustness():
+    """Regression: per-stage-only anchors let the f32 delta products
+    drift to NaN on long stages (an equilibration-sensitive SOC batch
+    previously ran >100k iterations and blew up).  With periodic
+    re-anchoring every lane solves to the exact oracle, with and without
+    built-in equilibration."""
+    from abip_tpu import ConeSpec
+    from abip_tpu.parallel.batched_qcp import solve_qcp_batch
+    from benchmarks.conic_mini import randcone
+
+    cones = ConeSpec(soc=(5,), nonneg=10)
+    As, bs, cs, stars = [], [], [], []
+    for i in range(4):
+        _, A, b, c, _, star = randcone("x", 8, cones, seed=100 + i)
+        As.append(A), bs.append(b), cs.append(c), stars.append(star)
+    As, bs, cs = map(lambda z: jnp.asarray(np.stack(z)), (As, bs, cs))
+
+    for normalize in (False, True):
+        r = solve_qcp_batch(As, bs, cs, cones=cones, eps=1e-6,
+                            precision="mixed", normalize=normalize)
+        assert (np.asarray(r.status) == 1).all(), normalize
+        assert (np.asarray(r.admm_iters) < 5000).all(), normalize
+        np.testing.assert_allclose(np.asarray(r.pobj), stars, atol=2e-5)
