@@ -78,7 +78,7 @@ class _Anchor(NamedTuple):
                                    "shrink_second", "gamma0", "sigma0",
                                    "precision", "ir_steps", "solver",
                                    "engine", "sprint_T", "sprint_mu_switch",
-                                   "qres_period"))
+                                   "qres_period", "anchor_period"))
 def device_solve_lp(A, b, c, *, eps=1e-6, max_ipm=200, max_admm=200_000,
                     alpha=1.8, rho_y=1e-3, normalize=True, scale=1.0,
                     ruiz_iter=10, hybrid_thresh=1000.0, dynamic_x=0.8,
@@ -86,7 +86,7 @@ def device_solve_lp(A, b, c, *, eps=1e-6, max_ipm=200, max_admm=200_000,
                     sigma0=0.3, precision="f64", ir_steps=1,
                     solver="cholesky", engine="steps", sprint_T=32,
                     sprint_mu_switch=1e-3,
-                    qres_period=1) -> DeviceSolveResult:
+                    qres_period=1, anchor_period=1000) -> DeviceSolveResult:
     """Solve one standard-form LP entirely on device.  vmap-able.
 
     engine="sprint" (mixed precision only) runs `sprint_T` whole f32 ADMM
@@ -270,11 +270,18 @@ def device_solve_lp(A, b, c, *, eps=1e-6, max_ipm=200, max_admm=200_000,
         def qres_of(u, v):
             return hsd.q_norm_resd(u, v, mv, rmv, b_s, c_s, m, n)
 
+        # mixed mode: cap per-anchor trips -- anchored f32 deltas lose
+        # accuracy as iterates drift from the stage anchor (see the
+        # conic driver's identical guard; NaN blow-ups measured there on
+        # long stages).  Cap-exit re-anchors without touching mu/reinit.
+        stage_cap = anchor_period if mixed else max_admm
+
         def cond(s: IC):
             return (
                 (s.qres >= gamma0 * mu)
                 & (s.status == 0)
                 & (s.k < max_admm)
+                & (s.j < stage_cap)
             )
 
         def body(s: IC):
@@ -389,10 +396,14 @@ def device_solve_lp(A, b, c, *, eps=1e-6, max_ipm=200, max_admm=200_000,
         u, v = hsd.reinit_rebalance(u_sel, v_sel, sigma0, m)
         # freeze the iterate once finished so vmapped lanes idle cleanly
         done = status != 0
-        u = jnp.where(done, u_sel, u)
-        v = jnp.where(done, v_sel, v)
-        mu = jnp.where(done, carry.mu, mu)
-        return C(u=u, v=v, mu=mu, i=carry.i + 1, k=s.k,
+        # anchor-cap exit (inner criterion unmet): continue the stage
+        # from the raw iterate with mu and the stage counter unchanged
+        cap_exit = (s.qres >= gamma0 * carry.mu) & (status == 0)
+        u = jnp.where(done, u_sel, jnp.where(cap_exit, s.u, u))
+        v = jnp.where(done, v_sel, jnp.where(cap_exit, s.v, v))
+        mu = jnp.where(done | cap_exit, carry.mu, mu)
+        di = jnp.where(cap_exit, 0, 1).astype(carry.i.dtype)
+        return C(u=u, v=v, mu=mu, i=carry.i + di, k=s.k,
                  final_check=final_check, status=status, res=r)
 
     def outer_cond(carry: C):
