@@ -65,6 +65,10 @@ def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--per-class", type=int, default=20)
     ap.add_argument("--eps", type=float, default=1e-6)
+    ap.add_argument("--batched", action="store_true",
+                    help="solve each class as ONE vmapped program "
+                         "(solve_qcp_batch, mixed precision + built-in "
+                         "equilibration)")
     ap.add_argument("-o", "--out", default=None)
     args = ap.parse_args(argv)
 
@@ -81,14 +85,47 @@ def main(argv=None):
     for cls, mk in CLASSES.items():
         cones = mk(ConeSpec)
         m = max(6, cones.dim // 3)
+        insts = []
         for i in range(args.per_class):
             seed = zlib.crc32(f"conic:{cls}:{i}".encode())
-            name, A, b, c, _, pobj_star = randcone(f"{cls}{i}", m, cones,
-                                                   seed)
+            insts.append(randcone(f"{cls}{i}", m, cones, seed))
+        batch_sols = None
+        if args.batched:
+            import jax.numpy as jnp
+
+            from abip_tpu.parallel.batched_qcp import solve_qcp_batch
+
+            As = jnp.asarray(np.stack([t[1] for t in insts]))
+            bs = jnp.asarray(np.stack([t[2] for t in insts]))
+            cs = jnp.asarray(np.stack([t[3] for t in insts]))
             t0 = time.perf_counter()
-            sol = solve_qcp(A, b, c, cones, settings=conic_defaults(),
-                            eps=args.eps)
-            wall = time.perf_counter() - t0
+            # rho_y=1e-3: the mixed f32 Schur factor needs
+            # cond(S) ~ 1/rho_y manageable (see solve_qcp_batch docs)
+            rb = solve_qcp_batch(As, bs, cs, cones=cones, eps=args.eps,
+                                 precision="mixed", normalize=True,
+                                 rho_y=1e-3)
+            batch_wall = time.perf_counter() - t0
+        for i in range(args.per_class):
+            name, A, b, c, _, pobj_star = insts[i]
+            if args.batched:
+                from abip_tpu.settings import Status
+
+                class _S:  # adapt the batch lane to the solution shape
+                    pass
+
+                sol = _S()
+                sol.status_name = Status.name(int(rb.status[i]))
+                sol.admm_iters = int(rb.admm_iters[i])
+                sol.pobj = float(rb.pobj[i])
+                sol.x = np.asarray(rb.x[i])
+                sol.y = np.asarray(rb.y[i])
+                sol.s = np.asarray(rb.s[i])
+                wall = batch_wall / args.per_class
+            else:
+                t0 = time.perf_counter()
+                sol = solve_qcp(A, b, c, cones, settings=conic_defaults(),
+                                eps=args.eps)
+                wall = time.perf_counter() - t0
             rec = {"class": cls, "i": i, "status": sol.status_name,
                    "admm": int(sol.admm_iters), "time": round(wall, 3)}
             ok = sol.status_name.startswith("Solved")
