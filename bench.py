@@ -93,6 +93,11 @@ def main():
             ]
         for extra_env, timeout_s in attempts:
             env = dict(os.environ, ABIP_BENCH_INNER="1", **extra_env)
+            # persistent compile cache across attempts: if a device
+            # attempt times out DURING its (many-minute, B=64) compile,
+            # the next attempt reuses the finished pieces instead of
+            # starting over
+            env.setdefault("ABIP_COMPILE_CACHE", "/tmp/abip_bench_cache")
             try:
                 proc = subprocess.run(
                     [sys.executable, os.path.abspath(__file__)],
