@@ -78,7 +78,8 @@ class _Anchor(NamedTuple):
                                    "shrink_second", "gamma0", "sigma0",
                                    "precision", "ir_steps", "solver",
                                    "engine", "sprint_T", "sprint_mu_switch",
-                                   "qres_period", "anchor_period"))
+                                   "qres_period", "anchor_period",
+                                   "avg_period"))
 def device_solve_lp(A, b, c, *, eps=1e-6, max_ipm=200, max_admm=200_000,
                     alpha=1.8, rho_y=1e-3, normalize=True, scale=1.0,
                     ruiz_iter=10, hybrid_thresh=1000.0, dynamic_x=0.8,
@@ -86,7 +87,8 @@ def device_solve_lp(A, b, c, *, eps=1e-6, max_ipm=200, max_admm=200_000,
                     sigma0=0.3, precision="f64", ir_steps=1,
                     solver="cholesky", engine="steps", sprint_T=32,
                     sprint_mu_switch=1e-3,
-                    qres_period=1, anchor_period=1000) -> DeviceSolveResult:
+                    qres_period=1, anchor_period=1000,
+                    avg_period=10) -> DeviceSolveResult:
     """Solve one standard-form LP entirely on device.  vmap-able.
 
     engine="sprint" (mixed precision only) runs `sprint_T` whole f32 ADMM
@@ -100,6 +102,11 @@ def device_solve_lp(A, b, c, *, eps=1e-6, max_ipm=200, max_admm=200_000,
     there) only every P-th iteration: each stage may overrun by at most
     P-1 iterations, in exchange for cutting the per-iteration matvec
     count.  P=1 reproduces the reference cadence exactly.
+
+    avg_period=Pa evaluates the cumulative-average candidate (2 extra
+    matvecs) and, in mixed mode, the full residual check, every Pa-th
+    iteration (reference cadence: every 10th via `compute_avg`
+    consumers).
     """
     if precision not in ("f64", "mixed"):
         raise ValueError(f"precision must be 'f64' or 'mixed'; got {precision!r}")
@@ -335,7 +342,7 @@ def device_solve_lp(A, b, c, *, eps=1e-6, max_ipm=200, max_admm=200_000,
                     return q_cur, jnp.zeros((), bool)
 
                 return jax.lax.cond(
-                    (s.j + 1) % 10 == 0, with_avg, without_avg, None
+                    (s.j + 1) % avg_period == 0, with_avg, without_avg, None
                 )
 
             if qres_period == 1:
@@ -344,7 +351,7 @@ def device_solve_lp(A, b, c, *, eps=1e-6, max_ipm=200, max_admm=200_000,
                 # stale qres between checks: the stage overruns by at most
                 # qres_period-1 iterations past the true stopping point
                 do_q = (((s.j + 1) % qres_period == 0)
-                        | ((s.j + 1) % 10 == 0))
+                        | ((s.j + 1) % avg_period == 0))
                 qres, avg_crit = jax.lax.cond(
                     do_q, q_update, lambda _: (s.qres, s.avg_crit), None
                 )
@@ -362,7 +369,8 @@ def device_solve_lp(A, b, c, *, eps=1e-6, max_ipm=200, max_admm=200_000,
 
             # in mixed mode residual checks ride the cheap anchored ops, but
             # only every 10th iteration to keep the body lean
-            do_res = carry.final_check & (((s.j + 1) % 10 == 0) if mixed else True)
+            do_res = carry.final_check & (
+                ((s.j + 1) % avg_period == 0) if mixed else True)
             r, st = jax.lax.cond(do_res, check, no_check, None)
             return IC(u=u, v=v, u_sum=u_sum, v_sum=v_sum,
                       avg_crit=avg_crit,

@@ -38,7 +38,7 @@ class IterationCost:
 
 
 def lp_iteration_cost(m: int, n: int, precision: str = "mixed",
-                      qres_period: int = 1,
+                      qres_period: int = 1, avg_period: int = 10,
                       chip: str = "tpu_v5e") -> IterationCost:
     """Cost of one dense-path ADMM iteration of `device_solve_lp`.
 
@@ -52,13 +52,16 @@ def lp_iteration_cost(m: int, n: int, precision: str = "mixed",
     itemsize = 4.0 if precision in ("mixed", "f32") else 8.0
     a_bytes = itemsize * m * n
     # streams of A per iteration: 2 for the projection, plus the inner
-    # criterion (2) whenever (j % qres_period == 0) OR (j % 10 == 0) --
-    # the solver always evaluates the averaged candidate every 10th
-    # iteration -- plus the averaged-candidate criterion (2) and the
-    # residual check (2) on the every-10th iterations
+    # criterion (2) whenever (j % qres_period == 0) OR
+    # (j % avg_period == 0) -- the solver always evaluates the averaged
+    # candidate every avg_period-th iteration -- plus the averaged-
+    # candidate criterion (2) and the residual check (2) on the
+    # every-avg_period-th iterations
     P = max(1, qres_period)
-    freq_q = 1.0 / P + 0.1 - 1.0 / math.lcm(P, 10)
-    streams = 2.0 + 2.0 * freq_q + (2.0 + 2.0) * 0.1
+    Pa = max(1, avg_period)
+    freq_a = 1.0 / Pa
+    freq_q = 1.0 / P + freq_a - 1.0 / math.lcm(P, Pa)
+    streams = 2.0 + 2.0 * freq_q + (2.0 + 2.0) * freq_a
     bytes_moved = streams * a_bytes + itemsize * (m * m)   # + KKT apply
     flops = streams * 2.0 * m * n + 2.0 * m * m
 

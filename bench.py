@@ -66,9 +66,9 @@ def main():
 
         # CPU fallback config: XLA-CPU serializes vmapped lanes AND the
         # B=1 vmap wrapper itself costs ~45% there, so the throughput-
-        # optimal CPU configuration is the direct (un-vmapped) single f64
-        # solve (measured ~1.4x the reference C solver); batching pays
-        # only on TPU.
+        # optimal CPU configuration is the direct (un-vmapped) single
+        # anchored-mixed solve (measured ~3x the reference C solver);
+        # batching pays only on TPU.
         cpu_cfg = ({"ABIP_BENCH_CPU": "1", "ABIP_BENCH_SINGLE": "1"}, 900)
         user_b = os.environ.get("ABIP_BENCH_B")
         if os.environ.get("ABIP_BENCH_CPU"):
@@ -182,7 +182,8 @@ def _speed_of_light(shape, kw, B):
     chip = "cpu" if jax.default_backend() == "cpu" else "tpu_v5e"
     c = lp_iteration_cost(shape[0], shape[1],
                           precision=kw.get("precision", "mixed"),
-                          qres_period=kw.get("qres_period", 1), chip=chip)
+                          qres_period=kw.get("qres_period", 1),
+                          avg_period=kw.get("avg_period", 10), chip=chip)
     return {
         "sol_iters_per_sec": round(B * c.ceiling_iters_per_sec, 1),
         "sol_chip_model": chip,
@@ -203,8 +204,12 @@ def _bench_inner():
     # measured-fastest solve options (identical/equivalent trajectories,
     # solutions oracle-checked vs scipy at 1e-6): explicit-inverse f32
     # KKT apply + inner-criterion checks every 8th iteration
+    # measured on this host (oracle-checked, wall-time-optimal — see
+    # /tmp sweep in session log): criterion every 16th, average candidate
+    # every 20th iteration
     kw["solver"] = os.environ.get("ABIP_BENCH_SOLVER", "inverse")
-    kw["qres_period"] = int(os.environ.get("ABIP_BENCH_QRES", "8"))
+    kw["qres_period"] = int(os.environ.get("ABIP_BENCH_QRES", "16"))
+    kw["avg_period"] = int(os.environ.get("ABIP_BENCH_AVG", "20"))
 
     if os.environ.get("ABIP_BENCH_SINGLE"):
         import jax.numpy as jnp
