@@ -216,9 +216,16 @@ def save_presolved_mps(in_path: str, out_path: str,
     if pad_bucket:
         std = pad_standard(std, pad_bucket)
     m, n = std.A.shape
-    p = GeneralLP(c=std.c, A=sp.csc_matrix(std.A),
+    # preserve the user objective across the round-trip: write the
+    # UNSIGNED cost with the original OBJSENSE and fold the presolve
+    # shift + original constant into the file's objective constant, so
+    # re-parsing yields user_objective identical to the original file's
+    # (std.c is the signed minimize cost; sign*(std+shift)+objcon_user)
+    sign = -1.0 if std.maximize else 1.0
+    p = GeneralLP(c=sign * std.c, A=sp.csc_matrix(std.A),
                   row_lo=std.b, row_hi=std.b,
                   lb=np.zeros(n), ub=np.full(n, np.inf),
-                  objcon=0.0, maximize=False, name="PRESOLVED")
+                  objcon=sign * std.objcon_shift + std.objcon_user,
+                  maximize=std.maximize, name="PRESOLVED")
     write_mps(p, out_path)
     return std

@@ -114,6 +114,14 @@ def device_solve_lp(A, b, c, *, eps=1e-6, max_ipm=200, max_admm=200_000,
         raise ValueError(f"engine must be 'steps' or 'sprint'; got {engine!r}")
     if engine == "sprint" and precision != "mixed":
         raise ValueError("engine='sprint' requires precision='mixed'")
+    # cadence knobs must be >= 1: anchor_period < 1 in mixed mode makes the
+    # jitted outer loop non-terminating (stage_cap=0 => j stays 0, cap_exit
+    # re-anchors forever without advancing k), and period 0 is a traced
+    # modulo-by-zero
+    if qres_period < 1 or avg_period < 1 or anchor_period < 1:
+        raise ValueError(
+            "qres_period, avg_period, and anchor_period must be >= 1; got "
+            f"{qres_period}, {avg_period}, {anchor_period}")
     sprint = engine == "sprint"
     A = A.astype(f64)
     b = b.astype(f64)

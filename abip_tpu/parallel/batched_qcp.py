@@ -67,6 +67,14 @@ def _device_solve_qcp(A, b, c, Q_diag, layout: ConeLayout, *, eps, max_ipm,
 
     precision="mixed": per-stage anchored f32 matvecs/solves with f64
     state, as in `batched.device_solve_lp`."""
+    # cadence knobs must be >= 1: anchor_period < 1 in mixed mode makes the
+    # jitted outer loop non-terminating (stage_cap=0 => cap_exit re-anchors
+    # forever without advancing k), and period 0 is a traced modulo-by-zero
+    if anchor_period < 1 or inner_crit_period < 1 or inner_check_period < 1:
+        raise ValueError(
+            "anchor_period, inner_crit_period, and inner_check_period must "
+            f"be >= 1; got {anchor_period}, {inner_crit_period}, "
+            f"{inner_check_period}")
     dtype = A.dtype
     m, n = A.shape
     l = m + n + 1
@@ -79,17 +87,11 @@ def _device_solve_qcp(A, b, c, Q_diag, layout: ConeLayout, *, eps, max_ipm,
         # same cone-tied equilibration as the host driver (the batched
         # path previously required callers to pre-scale; unscaled data
         # can stall the fixed-rho DR iteration)
+        from ..qcp import conic_defaults
         from ..scaling import equilibrate_conic
 
-        class _ConicScaleShim(NamedTuple):
-            pc_ruiz_rescale: bool = True
-            origin_rescale: bool = True
-            qp_rescale: bool = False
-            ruiz_iter: int = 10
-            scale: float = 1.0
-
         A, _, b, c, scal = equilibrate_conic(A, None, b, c, layout,
-                                             _ConicScaleShim())
+                                             conic_defaults())
         if Q_diag is not None:
             Q_diag = Q_diag / (scal.E * scal.E)
         D_s, E_s = scal.D, scal.E
@@ -284,7 +286,8 @@ def _device_solve_qcp(A, b, c, Q_diag, layout: ConeLayout, *, eps, max_ipm,
         mu = jnp.where(done | cap_exit, o.mu, mu)
         tol = jnp.where(cap_exit, o.tol_inner, tol)
         # cap-exits re-anchor without consuming a barrier stage; total
-        # work stays bounded by the k < max_admm*max_ipm guard
+        # work stays bounded by the k < max_admm guard (max_admm is the
+        # TOTAL ADMM budget here -- see the solve_qcp_batch docstring)
         di = jnp.where(cap_exit, 0, 1).astype(o.i.dtype)
         return OC(inner=s, mu=mu, tol_inner=tol, i=o.i + di)
 
@@ -337,6 +340,13 @@ def solve_qcp_batch(As, bs, cs, Q_diags=None, *, cones: ConeSpec,
     As: (B, m, n); bs: (B, m); cs: (B, n); Q_diags: optional (B, n)
     diagonal quadratic terms.  normalize=True applies the host driver's
     cone-tied equilibration on device; otherwise pre-scale the data.
+
+    max_admm is the TOTAL ADMM iteration budget across all barrier stages
+    (instances hitting it return status UNFINISHED).  Note this differs
+    from the host driver, where the total budget is
+    max_admm_iters * max_ipm_iters (`qcp.py` k_cap) -- the device path
+    needs a single hard bound because the jitted loop cannot be
+    interrupted.
 
     precision="mixed" note: the f32 Schur factor degrades with
     cond(S) ~ 1/rho_y.  The conic reference default rho_y=1e-6 makes

@@ -190,3 +190,25 @@ def test_pad_standard_preserves_solution(tmp_path):
     assert abs(sol.pobj - ref.fun) < 1e-5 * (1 + abs(ref.fun))
     assert sol.x.shape == (n,)
     assert np.linalg.norm(A @ sol.x - b) < 1e-5 * (1 + np.linalg.norm(b))
+
+
+def test_save_presolved_mps_preserves_user_objective(tmp_path):
+    """The saved standard-form file must report the same user objective as
+    the original: OBJSENSE and the presolve shift/objective constant are
+    folded into the written file's cost/objcon (review round 2)."""
+    from abip_tpu.io.presolve import save_presolved_mps
+
+    mps = SAMPLE_MPS.replace("NAME          SAMPLE",
+                             "NAME          SAMPLE\nOBJSENSE\n    MAX")
+    # RHS on the objective row: objcon = -3.0
+    mps = mps.replace("    RHS  R1  4.0", "    RHS  COST  3.0   R1  4.0")
+    f = tmp_path / "orig.mps"
+    f.write_text(mps)
+    p = read_mps(str(f))
+    assert p.maximize and p.objcon == -3.0
+    ref = scipy_solve(p)
+    out = tmp_path / "presolved.mps"
+    save_presolved_mps(str(f), str(out))
+    sol, _ = solve_mps(str(out), eps=1e-6)
+    assert sol.status_name in ("Solved", "Solved/Inaccurate")
+    assert sol.pobj == pytest.approx(ref, abs=1e-3 * (1 + abs(ref)))

@@ -31,8 +31,13 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def cone_violation(v, cones):
-    """Max violation of membership v in K = soc x rsoc x free x nonneg."""
+def cone_violation(v, cones, dual=False):
+    """Max violation of membership v in K (dual=False) or K* (dual=True).
+
+    soc/rsoc/nonneg are self-dual; the free block is unconstrained in K
+    but must be 0 in K* (dual of a subspace), and the zero block must be
+    0 in K but is unconstrained in K*.
+    """
     viol = 0.0
     o = 0
     for d in cones.soc:
@@ -46,7 +51,12 @@ def cone_violation(v, cones):
                          - 2.0 * max(blk[0], 0.0) * max(blk[1], 0.0)),
                    float(-blk[0]), float(-blk[1]))
         o += d
-    o += cones.free + cones.zero
+    if cones.free and dual:
+        viol = max(viol, float(np.abs(v[o:o + cones.free]).max()))
+    o += cones.free
+    if cones.zero and not dual:
+        viol = max(viol, float(np.abs(v[o:o + cones.zero]).max()))
+    o += cones.zero
     if cones.nonneg:
         viol = max(viol, float(-(v[o:]).min()) if v[o:].size else 0.0)
     return viol
@@ -89,7 +99,6 @@ def main(argv=None):
         for i in range(args.per_class):
             seed = zlib.crc32(f"conic:{cls}:{i}".encode())
             insts.append(randcone(f"{cls}{i}", m, cones, seed))
-        batch_sols = None
         if args.batched:
             import jax.numpy as jnp
 
@@ -137,7 +146,8 @@ def main(argv=None):
                 comp = abs(float(x @ s)) / (1 + abs(sol.pobj))
                 rec["kkt"] = float(max(pres, comp))
                 rec["cone_viol_x"] = float(cone_violation(x, cones))
-                rec["cone_viol_s"] = float(cone_violation(s, cones))
+                rec["cone_viol_s"] = float(cone_violation(s, cones,
+                                                          dual=True))
                 tol = 50 * args.eps
                 ok = (rec["obj_err"] < tol and rec["kkt"] < tol
                       and rec["cone_viol_x"] < tol
