@@ -11,9 +11,13 @@ TPU these become first-class:
   * `sharded`: block-row sharding of A across a mesh axis with
     `shard_map`; SpMV partials and CG/residual reductions ride `psum` over
     ICI (SURVEY.md section 3.4's "would-be distributed boundary").
+  * `host_pool`: thread-parallel suite driver for host backends (the
+    reference's xargs batch-runner role, in-process with a shared jit
+    cache).
 """
 from .batched import device_solve_lp, solve_lp_batch, solve_lp_suite
 from .batched_qcp import solve_qcp_batch
+from .host_pool import pool_map, solve_lp_pool
 from .sharded import sharded_normal_matvec, sharded_pcg
 
 __all__ = [
@@ -21,6 +25,8 @@ __all__ = [
     "solve_lp_batch",
     "solve_lp_suite",
     "solve_qcp_batch",
+    "pool_map",
+    "solve_lp_pool",
     "sharded_normal_matvec",
     "sharded_pcg",
 ]

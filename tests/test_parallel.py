@@ -384,3 +384,21 @@ def test_lp_mixed_anchor_cap_and_avg_period(rng):
                           qres_period=16, avg_period=20, anchor_period=40)
     assert int(res.status) == 1
     assert float(res.pobj) == pytest.approx(ref, abs=1e-4 * (1 + abs(ref)))
+
+
+def test_host_pool_matches_oracle(rng):
+    """Thread-pool suite driver: results identical to serial solves and
+    correct vs scipy (shared jit cache; XLA releases the GIL)."""
+    from abip_tpu.parallel.host_pool import solve_lp_pool
+
+    probs, refs = [], []
+    for _ in range(4):
+        A, b, c = random_lp(rng, 10, 30)
+        probs.append((A, b, c))
+        refs.append(linprog(c, A_eq=A, b_eq=b, bounds=(0, None),
+                            method="highs").fun)
+    out = solve_lp_pool(probs, workers=4, eps=1e-6, precision="mixed",
+                        solver="inverse")
+    assert all(int(r.status) == 1 for r in out)
+    np.testing.assert_allclose([float(r.pobj) for r in out], refs,
+                               atol=1e-3 * (1 + np.abs(refs).max()))
