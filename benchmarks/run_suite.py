@@ -56,11 +56,14 @@ def _mps_name(path):
     return name
 
 
-def run_mps(paths, eps, outdir, crossover=False, **overrides):
+def run_mps(paths, eps, outdir, crossover=False, threads=1, **overrides):
+    """threads>1 solves suite instances concurrently (host_pool; suite
+    wall-clock drops ~cores-fold on CPU, but per-instance times then
+    include contention -- keep threads=1 for SGM-comparable timings."""
     from abip_tpu.io.presolve import solve_mps
+    from abip_tpu.parallel.host_pool import pool_map
 
-    out = []
-    for path in paths:
+    def one(path):
         name = _mps_name(path)
         t0 = time.perf_counter()
         try:
@@ -77,6 +80,10 @@ def run_mps(paths, eps, outdir, crossover=False, **overrides):
         except Exception as e:  # noqa: BLE001 -- a bench run logs failures
             rec = {"name": name, "status": f"Error: {e}",
                    "time": time.perf_counter() - t0}
+        return name, rec
+
+    out = []
+    for name, rec in pool_map(one, paths, threads):
         out.append(rec)
         _write(outdir, name, rec)
         print(json.dumps(rec))
@@ -137,14 +144,15 @@ def run_highs(paths, outdir):
     return out
 
 
-def run_sedumi(paths, eps, outdir, **overrides):
+def run_sedumi(paths, eps, outdir, threads=1, **overrides):
     """Conic suite runner on SeDuMi .mat files -- the `test_cblib.m:60-76`
     analogue.  If the .mat carries a `pobj_star` oracle field (conic_mini
-    instances), the record includes the absolute objective error."""
+    instances), the record includes the absolute objective error.
+    threads: see `run_mps`."""
     from abip_tpu.io.sedumi import solve_sedumi
+    from abip_tpu.parallel.host_pool import pool_map
 
-    out = []
-    for path in paths:
+    def one(path):
         name = os.path.splitext(os.path.basename(path))[0]
         t0 = time.perf_counter()
         try:
@@ -160,6 +168,10 @@ def run_sedumi(paths, eps, outdir, **overrides):
         except Exception as e:  # noqa: BLE001 -- a bench run logs failures
             rec = {"name": name, "status": f"Error: {e}",
                    "time": time.perf_counter() - t0}
+        return name, rec
+
+    out = []
+    for name, rec in pool_map(one, paths, threads):
         out.append(rec)
         _write(outdir, name, rec)
         print(json.dumps(rec))
@@ -310,6 +322,11 @@ def main(argv=None):
                          "an exact-basis certificate (crossover_by_copt "
                          "analogue)")
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
+    ap.add_argument("--threads", type=int, default=1,
+                    help="solve suite instances concurrently with a host "
+                         "thread pool (suite wall-clock drops ~cores-fold "
+                         "on CPU; per-instance times then include "
+                         "contention, so keep 1 for SGM comparisons)")
     ap.add_argument("-o", "--outdir", default=None)
     args = ap.parse_args(argv)
 
@@ -329,18 +346,20 @@ def main(argv=None):
             run_highs(paths, args.outdir)
         elif args.method == "pdhg":
             run_mps(paths, args.eps, args.outdir, method="pdhg",
-                    crossover=args.crossover, pad_bucket=args.bucket)
+                    crossover=args.crossover, pad_bucket=args.bucket,
+                    threads=args.threads)
         elif args.batched:
             run_mps_batched(paths, args.eps, args.outdir,
                             precision=args.precision)
         else:
             run_mps(paths, args.eps, args.outdir,
-                    crossover=args.crossover, pad_bucket=args.bucket)
+                    crossover=args.crossover, pad_bucket=args.bucket,
+                    threads=args.threads)
     elif args.sedumi:
         paths = sorted(glob.glob(os.path.join(args.sedumi, "*.mat")))
         if not paths:
             raise SystemExit(f"no .mat files under {args.sedumi}")
-        run_sedumi(paths, args.eps, args.outdir)
+        run_sedumi(paths, args.eps, args.outdir, threads=args.threads)
     elif args.generated:
         run_generated(args.generated, args.eps, args.outdir,
                       batched=args.batched, precision=args.precision)
