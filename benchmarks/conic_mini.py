@@ -42,9 +42,11 @@ def _complementary_pair(cones: ConeSpec, rng):
     """Boundary x*, s* in K, K* (self-dual blocks) with x*'s* = 0.
 
     Block order matches `cones.ConeLayout`: [soc..., rsoc..., free,
-    zero(=0), nonneg].  SOC: x=(||v||,v), s=a(||v||,-v).  RSOC
+    zero, nonneg].  SOC: x=(||v||,v), s=a(||v||,-v).  RSOC
     (t1,t2,z): x=(p, ||z||^2/(2p), z), s=b(x2, x1, -z).  free: s=0.
-    nonneg: complementary support partition.
+    zero: x=0, s free (dual of {0}).  nonneg: complementary support
+    partition.  Note the SeDuMi WRITER rejects zero cones (the K struct
+    has no primal zero field); zero-cone instances stay in-memory.
     """
     xs, ss = [], []
     for d in cones.soc:
@@ -62,7 +64,8 @@ def _complementary_pair(cones: ConeSpec, rng):
         xs.append(rng.standard_normal(cones.free))
         ss.append(np.zeros(cones.free))
     if cones.zero:
-        raise ValueError("zero cone not representable in SeDuMi output")
+        xs.append(np.zeros(cones.zero))
+        ss.append(rng.standard_normal(cones.zero))
     if cones.nonneg:
         mask = rng.random(cones.nonneg) < 0.5
         pos = rng.random(cones.nonneg) + 0.5

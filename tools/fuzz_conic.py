@@ -68,6 +68,7 @@ CLASSES = {
     "rsoc": lambda C: C(rsoc=(7, 4), nonneg=8),
     "free_mixed": lambda C: C(soc=(6,), free=4, nonneg=12),
     "mixed": lambda C: C(soc=(5,), rsoc=(4,), free=3, nonneg=9),
+    "zero_mixed": lambda C: C(soc=(6,), free=2, zero=3, nonneg=10),
 }
 
 
