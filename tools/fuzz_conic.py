@@ -110,10 +110,14 @@ def main(argv=None):
             cs = jnp.asarray(np.stack([t[3] for t in insts]))
             t0 = time.perf_counter()
             # rho_y=1e-3: the mixed f32 Schur factor needs
-            # cond(S) ~ 1/rho_y manageable (see solve_qcp_batch docs)
+            # cond(S) ~ 1/rho_y manageable (see solve_qcp_batch docs).
+            # max_admm is the TOTAL budget in the device driver (host
+            # total is max_admm*max_ipm); hard instances can need
+            # hundreds of thousands of iterations (nonneg:10 solves at
+            # ~300k where the host driver took 270k).
             rb = solve_qcp_batch(As, bs, cs, cones=cones, eps=args.eps,
                                  precision="mixed", normalize=True,
-                                 rho_y=1e-3)
+                                 rho_y=1e-3, max_admm=1_000_000)
             batch_wall = time.perf_counter() - t0
         for i in range(args.per_class):
             name, A, b, c, _, pobj_star = insts[i]
