@@ -55,3 +55,29 @@ def test_crossover_suite_flag(tmp_path):
     recs = run_mps([str(tmp_path / "x.mps")], 1e-6, None, crossover=True)
     assert recs[0]["crossover_optimal"] is True
     assert abs(recs[0]["pobj_vertex"] - recs[0]["pobj"]) < 1e-4
+
+
+def test_run_mps_threads(tmp_path):
+    """run_suite --threads: concurrent instances keep record order and
+    correctness (host_pool under the suite runner)."""
+    import scipy.sparse as sp
+
+    from abip_tpu.io.mps import GeneralLP
+    from abip_tpu.io.mps_write import write_mps
+    from benchmarks.run_suite import run_mps
+
+    paths, refs = [], []
+    for i in range(3):
+        A, b, c = random_lp(20 + i, 8, 24)
+        p = GeneralLP(c=c, A=sp.csc_matrix(A), row_lo=b, row_hi=b,
+                      lb=np.zeros(24), ub=np.full(24, np.inf))
+        path = str(tmp_path / f"t{i}.mps")
+        write_mps(p, path)
+        paths.append(path)
+        refs.append(linprog(c, A_eq=A, b_eq=b, bounds=(0, None),
+                            method="highs").fun)
+    recs = run_mps(paths, 1e-6, None, threads=3)
+    assert [r["name"] for r in recs] == [f"t{i}" for i in range(3)]
+    for r, ref in zip(recs, refs):
+        assert r["status"].startswith("Solved")
+        assert abs(r["pobj"] - ref) < 1e-3 * (1 + abs(ref))
