@@ -20,6 +20,7 @@ from __future__ import annotations
 import dataclasses
 import time
 from dataclasses import dataclass
+from functools import partial
 from typing import NamedTuple, Optional
 
 import jax
@@ -78,6 +79,158 @@ class ConicSolution:
     setup_time: float
     solve_time: float
     avg_cg_iters: float = 0.0
+
+
+def _step_fns(A_op, solver, Q, Q_diag, b, c, rho, r_vec, a_coef, layout,
+              D, E, sc_b, sc_c, nm_inf_b, nm_inf_c, stgs):
+    """Build the per-stage step functions from explicit data.
+
+    Called in two ways: (a) by the module-level shape-shared jitted
+    drivers below with all arrays as traced ARGUMENTS (dense path -- one
+    compile per shape, shared across instances), and (b) by
+    `ConicWorkspace._build_kernels` with workspace closures for the
+    matrix-free / CG path (where custom operators cannot be jit inputs).
+    """
+    m = b.shape[0]
+    n = c.shape[0]
+    alpha = stgs.alpha
+    rho_tail = rho[m:]  # (n+1,): x block + tau
+
+    def Q_times(x):
+        if Q is not None:
+            return Q @ x
+        if Q_diag is not None:
+            return Q_diag * x
+        return jnp.zeros_like(x)
+
+    def solve_fn(w_y, w_x, k, warm, err):
+        return solver.solve(w_y, w_x, iter_count=k, warm_start=warm,
+                            tol_hint=err)
+
+    def projection(u, v, k, err):
+        return conic_ops.projection(u, v, solve_fn, rho, r_vec, a_coef,
+                                    Q_times, m, n, k, err_ratio=err)
+
+    def barrier_and_dual(u, v, u_t, lam):
+        return conic_ops.barrier_and_dual(u, v, u_t, lam, rho_tail,
+                                          layout, alpha, m, n)
+
+    def inner_conv_check(u, v_origin):
+        return conic_ops.inner_conv_check(u, v_origin, A_op.matvec,
+                                          A_op.rmatvec, Q_times, b, c,
+                                          m, n)
+
+    obj_scale = (stgs.scale if stgs.normalize else 1.0)
+
+    def calc_residuals(u, v_origin, prev: ConicResiduals):
+        return conic_ops.conic_residuals(
+            u, v_origin, prev, A_op.matvec, A_op.rmatvec, Q_times, b, c,
+            D, E, sc_b, sc_c, obj_scale, nm_inf_b, nm_inf_c,
+            stgs.eps_p, stgs.eps_d, stgs.eps_g, m, n,
+        )
+
+    def has_converged(r: ConicResiduals, total_pos):
+        return conic_ops.conic_converged_code(
+            r, stgs.eps_p, stgs.eps_d, stgs.eps_g, stgs.eps_inf,
+            stgs.eps_unb, stgs.err_dif, total_pos,
+        )
+
+    def inner_body(state: ConicInnerState, mu, beta, tol_inner, ipm_i, k_cap):
+        u_t, its = projection(state.u, state.v, state.k,
+                              state.res.error_ratio)
+        lam = mu / beta
+        u, v = barrier_and_dual(state.u, state.v, u_t, lam)
+        v_origin = rho * v
+        k = state.k + 1
+        err_inner = inner_conv_check(u, v_origin)
+
+        # cadenced residual check (`source/abip.c:1170-1207`)
+        do_check = ((state.j + 1) % stgs.inner_check_period == 0) | (
+            state.res.error_ratio <= 8.0
+        )
+
+        def check(_):
+            r = calc_residuals(u, v_origin, state.res)
+            st = has_converged(r, (ipm_i > 0) & (k > 0))
+            return r, st
+
+        def no_check(_):
+            return state.res, jnp.zeros((), jnp.int32)
+
+        res, status = jax.lax.cond(do_check, check, no_check, operand=None)
+        return ConicInnerState(
+            u=u, v=v, v_origin=v_origin, j=state.j + 1, k=k,
+            err_inner=err_inner, status=status, res=res,
+            cg_iters=state.cg_iters + its,
+        )
+
+    def run_inner(state: ConicInnerState, mu, beta, tol_inner, ipm_i,
+                  k_cap, j_cap):
+        # j_cap is traced: the host runs one stage as several bounded
+        # sprints so SIGINT and max_time are checked between sprints
+        # (the reference checks time inline each iteration,
+        # `source/abip.c:1152,1182`)
+        def cond(s: ConicInnerState):
+            return (
+                (s.j < j_cap)
+                & (s.err_inner >= tol_inner)
+                & (s.status == 0)
+                & (s.k < k_cap)
+            )
+
+        def body(s):
+            return inner_body(s, mu, beta, tol_inner, ipm_i, k_cap)
+
+        return jax.lax.while_loop(cond, body, state)
+
+    return run_inner, calc_residuals, has_converged
+
+
+class _SharedData(NamedTuple):
+    """Instance arrays for the shape-shared jitted drivers (a pytree)."""
+
+    solver: object            # DenseSchurSolver (registered pytree)
+    Q: Optional[jnp.ndarray]
+    Q_diag: Optional[jnp.ndarray]
+    b: jnp.ndarray
+    c: jnp.ndarray
+    rho: jnp.ndarray
+    r_vec: jnp.ndarray
+    a_coef: jnp.ndarray
+    D: jnp.ndarray
+    E: jnp.ndarray
+    sc_b: jnp.ndarray
+    sc_c: jnp.ndarray
+    nm_inf_b: jnp.ndarray
+    nm_inf_c: jnp.ndarray
+
+
+def _shared_fns(data: _SharedData, cones, stgs):
+    return _step_fns(LinearOperator.from_dense(data.solver.A), data.solver,
+                     data.Q, data.Q_diag, data.b, data.c, data.rho,
+                     data.r_vec, data.a_coef, ConeLayout(cones),
+                     data.D, data.E, data.sc_b, data.sc_c,
+                     data.nm_inf_b, data.nm_inf_c, stgs)
+
+
+@partial(jax.jit, static_argnames=("cones", "stgs"))
+def _run_inner_shared(data: _SharedData, state, mu, beta, tol_inner, ipm_i,
+                      k_cap, j_cap, *, cones, stgs):
+    """One barrier-stage sprint, compiled ONCE PER SHAPE.
+
+    Instance data enters as pytree arguments (not closure constants), so
+    every same-shape instance with the same settings reuses the compiled
+    executable -- the per-instance closure-jit pattern paid ~0.8s of XLA
+    compile per conic solve on suites of identical shapes (measured)."""
+    run_inner, _, _ = _shared_fns(data, cones, stgs)
+    return run_inner(state, mu, beta, tol_inner, ipm_i, k_cap, j_cap)
+
+
+@partial(jax.jit, static_argnames=("cones", "stgs"))
+def _calc_residuals_shared(data: _SharedData, u, v_origin, prev, *,
+                           cones, stgs):
+    _, calc_residuals, _ = _shared_fns(data, cones, stgs)
+    return calc_residuals(u, v_origin, prev)
 
 
 class ConicWorkspace:
@@ -217,110 +370,37 @@ class ConicWorkspace:
 
     # ------------------------------------------------------------------ #
     def _build_kernels(self):
-        m, n, l = self.m, self.n, self.l
         stgs = self.stgs
-        A_op, solver = self.A_op, self.solver
-        Q, b, c = self.Q, self.b, self.c
-        rho, r_vec, a_coef = self.rho, self.r_vec, self.a_coef
-        layout = self.layout
-        D, E = self.scal.D, self.scal.E
-        sc_b, sc_c = self.scal.sc_b, self.scal.sc_c
-        nm_inf_b, nm_inf_c = self.nm_inf_b, self.nm_inf_c
-        alpha = stgs.alpha
-        dtype = self.dtype
-        rho_head = rho[: m + n]
-        rho_tau = rho[l - 1]
-        rho_tail = rho[m:]  # (n+1,): x block + tau
 
-        Q_diag = self.Q_diag
-
-        def Q_times(x):
-            if Q is not None:
-                return Q @ x
-            if Q_diag is not None:
-                return Q_diag * x
-            return jnp.zeros_like(x)
-
-        def solve_fn(w_y, w_x, k, warm, err):
-            return solver.solve(w_y, w_x, iter_count=k, warm_start=warm,
-                                tol_hint=err)
-
-        def projection(u, v, k, err):
-            return conic_ops.projection(u, v, solve_fn, rho, r_vec, a_coef,
-                                        Q_times, m, n, k, err_ratio=err)
-
-        def barrier_and_dual(u, v, u_t, lam):
-            return conic_ops.barrier_and_dual(u, v, u_t, lam, rho_tail,
-                                              layout, alpha, m, n)
-
-        def inner_conv_check(u, v_origin):
-            return conic_ops.inner_conv_check(u, v_origin, A_op.matvec,
-                                              A_op.rmatvec, Q_times, b, c,
-                                              m, n)
-
-        obj_scale = (stgs.scale if stgs.normalize else 1.0)
-
-        def calc_residuals(u, v_origin, prev: ConicResiduals):
-            return conic_ops.conic_residuals(
-                u, v_origin, prev, A_op.matvec, A_op.rmatvec, Q_times, b, c,
-                D, E, sc_b, sc_c, obj_scale, nm_inf_b, nm_inf_c,
-                stgs.eps_p, stgs.eps_d, stgs.eps_g, m, n,
+        if isinstance(self.solver, DenseSchurSolver):
+            # shape-shared path: data rides as pytree arguments into the
+            # module-level jitted drivers, so same-shape instances reuse
+            # one compiled executable (see `_run_inner_shared`)
+            data = _SharedData(
+                solver=self.solver, Q=self.Q, Q_diag=self.Q_diag,
+                b=self.b, c=self.c, rho=self.rho, r_vec=self.r_vec,
+                a_coef=self.a_coef, D=self.scal.D, E=self.scal.E,
+                sc_b=self.scal.sc_b, sc_c=self.scal.sc_c,
+                nm_inf_b=self.nm_inf_b, nm_inf_c=self.nm_inf_c,
             )
+            cones = self.layout.spec
 
-        def has_converged(r: ConicResiduals, total_pos):
-            return conic_ops.conic_converged_code(
-                r, stgs.eps_p, stgs.eps_d, stgs.eps_g, stgs.eps_inf,
-                stgs.eps_unb, stgs.err_dif, total_pos,
-            )
+            self._run_inner = lambda *args: _run_inner_shared(
+                data, *args, cones=cones, stgs=stgs)
+            self._calc_residuals = lambda u, vo, prev: _calc_residuals_shared(
+                data, u, vo, prev, cones=cones, stgs=stgs)
+            _, _, self._has_converged = _shared_fns(data, cones, stgs)
+            return
 
-        def inner_body(state: ConicInnerState, mu, beta, tol_inner, ipm_i, k_cap):
-            u_t, its = projection(state.u, state.v, state.k,
-                                  state.res.error_ratio)
-            lam = mu / beta
-            u, v = barrier_and_dual(state.u, state.v, u_t, lam)
-            v_origin = rho * v
-            k = state.k + 1
-            err_inner = inner_conv_check(u, v_origin)
-
-            # cadenced residual check (`source/abip.c:1170-1207`)
-            do_check = ((state.j + 1) % stgs.inner_check_period == 0) | (
-                state.res.error_ratio <= 8.0
-            )
-
-            def check(_):
-                r = calc_residuals(u, v_origin, state.res)
-                st = has_converged(r, (ipm_i > 0) & (k > 0))
-                return r, st
-
-            def no_check(_):
-                return state.res, jnp.zeros((), jnp.int32)
-
-            res, status = jax.lax.cond(do_check, check, no_check, operand=None)
-            return ConicInnerState(
-                u=u, v=v, v_origin=v_origin, j=state.j + 1, k=k,
-                err_inner=err_inner, status=status, res=res,
-                cg_iters=state.cg_iters + its,
-            )
-
-        def run_inner(state: ConicInnerState, mu, beta, tol_inner, ipm_i,
-                      k_cap, j_cap):
-            # j_cap is traced: the host runs one stage as several bounded
-            # sprints so SIGINT and max_time are checked between sprints
-            # (the reference checks time inline each iteration,
-            # `source/abip.c:1152,1182`)
-            def cond(s: ConicInnerState):
-                return (
-                    (s.j < j_cap)
-                    & (s.err_inner >= tol_inner)
-                    & (s.status == 0)
-                    & (s.k < k_cap)
-                )
-
-            def body(s):
-                return inner_body(s, mu, beta, tol_inner, ipm_i, k_cap)
-
-            return jax.lax.while_loop(cond, body, state)
-
+        # matrix-free / CG path: custom operators cannot be jit inputs,
+        # so the kernels stay per-instance closures (compiled per
+        # instance, as before)
+        run_inner, calc_residuals, has_converged = _step_fns(
+            self.A_op, self.solver, self.Q, self.Q_diag, self.b, self.c,
+            self.rho, self.r_vec, self.a_coef, self.layout,
+            self.scal.D, self.scal.E, self.scal.sc_b, self.scal.sc_c,
+            self.nm_inf_b, self.nm_inf_c, stgs,
+        )
         self._run_inner = jax.jit(run_inner)
         self._calc_residuals = jax.jit(
             lambda u, v_origin, prev: calc_residuals(u, v_origin, prev)

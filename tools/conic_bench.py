@@ -1,0 +1,165 @@
+"""Conic throughput head-to-head: reference ABIP-QCP binary vs abip_tpu.
+
+The LP-side benchmark (`bench.py`) has a measured reference rate
+(`BASELINE_MEASURED.json`); this records the conic analogue on a family
+of medium random cone programs (exact-complementary-pair construction,
+`benchmarks/conic_mini.randcone`): aggregate ADMM iterations/second for
+
+  * the stub-built reference ABIP-QCP driver (QDLDL backend, recipe in
+    `tools/reference_qcp_driver_notes.md`) run per instance,
+  * our host conic driver, serial and under the thread pool, and
+  * the fully-on-device batched driver (`solve_qcp_batch`, anchored
+    mixed precision) -- ONE program for the whole suite.
+
+Parity context: iteration counts are identical between the two solvers
+on this construction (BASELINE_MEASURED.json conic_parity_head_to_head),
+so aggregate iterations/s is an apples-to-apples rate.
+
+Usage::
+
+    python tools/conic_bench.py --ref-bin /tmp/qcpbench/qcpref \
+        --n 16 --eps 1e-6 -o benchmarks/results/r02_conic_throughput.json
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from tools.parity_qcp import export_conic  # noqa: E402
+
+
+def family(n_inst, seed0=7_000):
+    """Medium mixed-cone instances (dim 204, m=68)."""
+    from abip_tpu import ConeSpec
+
+    from benchmarks.conic_mini import randcone
+
+    cones = ConeSpec(soc=(25, 25), rsoc=(4,), nonneg=150)
+    m = cones.dim // 3
+    return [randcone(f"cb{i}", m, cones, seed0 + i)
+            for i in range(n_inst)], cones
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--ref-bin", default="/tmp/qcpbench/qcpref")
+    ap.add_argument("--n", type=int, default=16)
+    ap.add_argument("--eps", type=float, default=1e-6)
+    ap.add_argument("--cpu", action="store_true", default=True)
+    ap.add_argument("-o", "--out", default=None)
+    args = ap.parse_args(argv)
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    import abip_tpu
+    from abip_tpu.parallel.batched_qcp import solve_qcp_batch
+    from abip_tpu.parallel.host_pool import pool_map
+
+    insts, cones = family(args.n)
+    out = {"eps": args.eps, "n_instances": args.n,
+           "shape": f"m={insts[0][1].shape[0]} n={insts[0][1].shape[1]}",
+           "cones": "soc=(25,25) rsoc=(4,) nonneg=150"}
+
+    # -- reference binary, per instance -----------------------------------
+    if os.path.exists(args.ref_bin):
+        it_ref = t_ref = 0.0
+        statuses = []
+        for name, A, b, c, cn, _ in insts:
+            with tempfile.NamedTemporaryFile(suffix=".bin",
+                                             delete=False) as f:
+                export_conic(f.name, A, b, c, cn)
+                path = f.name
+            r = json.loads(subprocess.run(
+                [args.ref_bin, path, str(args.eps)], capture_output=True,
+                text=True, check=True).stdout.strip().splitlines()[-1])
+            os.unlink(path)
+            it_ref += r["admm"]
+            t_ref += r["time_sec"]
+            statuses.append(r["status"])
+        out["reference"] = {
+            "agg_iters_per_sec": round(it_ref / t_ref, 1),
+            "total_admm": int(it_ref), "total_sec": round(t_ref, 4),
+            "all_solved": all(s.startswith("Solved") for s in statuses),
+        }
+    else:
+        out["reference"] = {"error": f"{args.ref_bin} not found "
+                            "(build recipe: reference_qcp_driver_notes.md)"}
+
+    # -- ours: host driver serial and pooled ------------------------------
+    def solve_host(inst):
+        name, A, b, c, cn, _ = inst
+        t0 = time.perf_counter()
+        sol = abip_tpu.solve_qcp(A, b, c, cn, eps=args.eps)
+        return sol.admm_iters, time.perf_counter() - t0, sol.status_name
+
+    solve_host(insts[0])  # warm the jit cache off the clock
+    t0 = time.perf_counter()
+    rs = [solve_host(i) for i in insts]
+    dt = time.perf_counter() - t0
+    out["host_serial"] = {
+        "agg_iters_per_sec": round(sum(r[0] for r in rs) / dt, 1),
+        "total_admm": int(sum(r[0] for r in rs)), "total_sec": round(dt, 4),
+        "all_solved": all(r[2].startswith("Solved") for r in rs),
+    }
+
+    t0 = time.perf_counter()
+    rs = pool_map(solve_host, insts)
+    dt = time.perf_counter() - t0
+    out["host_pool"] = {
+        "workers": os.cpu_count(),
+        "agg_iters_per_sec": round(sum(r[0] for r in rs) / dt, 1),
+        "total_sec": round(dt, 4),
+        "all_solved": all(r[2].startswith("Solved") for r in rs),
+    }
+
+    # -- ours: batched device driver (one program) ------------------------
+    As = jnp.asarray(np.stack([t[1] for t in insts]))
+    bs = jnp.asarray(np.stack([t[2] for t in insts]))
+    cs = jnp.asarray(np.stack([t[3] for t in insts]))
+    kw = dict(cones=cones, eps=args.eps, precision="mixed", normalize=True,
+              rho_y=1e-3, max_admm=1_000_000, solver="inverse",
+              inner_crit_period=8)
+    rb = solve_qcp_batch(As, bs, cs, **kw)
+    jax.block_until_ready(rb)          # compile + warm run off the clock
+    insts2, _ = family(args.n, seed0=8_000)  # FRESH data for the timed run
+    As2 = jnp.asarray(np.stack([t[1] for t in insts2]))
+    bs2 = jnp.asarray(np.stack([t[2] for t in insts2]))
+    cs2 = jnp.asarray(np.stack([t[3] for t in insts2]))
+    t0 = time.perf_counter()
+    rb = solve_qcp_batch(As2, bs2, cs2, **kw)
+    jax.block_until_ready(rb)
+    dt = time.perf_counter() - t0
+    its = np.asarray(rb.admm_iters)
+    out["batched_mixed"] = {
+        "agg_iters_per_sec": round(float(its.sum()) / dt, 1),
+        "total_admm": int(its.sum()), "total_sec": round(dt, 4),
+        "all_solved": bool((np.asarray(rb.status) == 1).all()),
+    }
+
+    ref_rate = out["reference"].get("agg_iters_per_sec")
+    if ref_rate:
+        for k in ("host_serial", "host_pool", "batched_mixed"):
+            out[k]["vs_reference"] = round(
+                out[k]["agg_iters_per_sec"] / ref_rate, 3)
+    print(json.dumps(out, indent=1))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(out, f, indent=1)
+    return out
+
+
+if __name__ == "__main__":
+    main()
