@@ -113,32 +113,86 @@ def _device_solve_qcp(A, b, c, Q_diag, layout: ConeLayout, *, eps, max_ipm,
     def Q_times(x):
         return Q_diag * x if Q_diag is not None else jnp.zeros_like(x)
 
-    S = (A * ry_inv[:, None]).T @ A + rho_x * jnp.eye(n, dtype=dtype)
-    if Q_diag is not None:
-        S = S + jnp.diag(Q_diag)
-    chol = jax.lax.linalg.cholesky(S)
     A32 = A.astype(f32)
-    S32 = S.astype(f32)
-    chol32 = chol.astype(f32)
     ry_inv32 = ry_inv.astype(f32)
-    if solver == "inverse":
-        # explicit inverse: one f32 matmul per apply instead of two
-        # triangular solves (MXU-friendly; same trick as the LP driver,
-        # accuracy restored by the anchored IR against S)
-        Sinv32 = jax.scipy.linalg.cho_solve(
-            (chol, True), jnp.eye(n, dtype=dtype)).astype(f32)
+    # Dual (Woodbury) form when m < n: H = rho_x + Q_diag is diagonal
+    # here by construction, so factor the m x m  G = rho_y I + A H^-1 A'
+    # instead of the n x n Schur complement S (same per-shape dispatch as
+    # the host `DenseSchurSolver`; reference analogue lasso_config.c:507-565).
+    # Solutions are identical up to roundoff; setup drops from O(n^3/3)
+    # to O(m^2 n + m^3/3) and the f64 stage-anchor solves shrink 9x at
+    # m = n/3 (f64 trisolves are the emulated-precision hot spot on v5e).
+    woodbury = m < n
+    if woodbury:
+        H = rho_x + (Q_diag if Q_diag is not None else 0.0)
+        H = jnp.broadcast_to(jnp.asarray(H, dtype), (n,))
+        H_inv = 1.0 / H
+        H_inv32 = H_inv.astype(f32)
+        G = rho_y * jnp.eye(m, dtype=dtype) + (A * H_inv[None, :]) @ A.T
+        cholG = jax.lax.linalg.cholesky(G)
+        cholG32 = cholG.astype(f32)
+        if solver == "inverse":
+            Ginv32 = jax.scipy.linalg.cho_solve(
+                (cholG, True), jnp.eye(m, dtype=dtype)).astype(f32)
+
+            def gsolve32(r32):
+                return Ginv32 @ r32
+        else:
+            def gsolve32(r32):
+                return jax.scipy.linalg.cho_solve((cholG32, True), r32)
 
         def solve32(r32):
-            return Sinv32 @ r32
+            """f32 S^-1 apply via the dual factor (delta systems)."""
+            t = H_inv32 * r32
+            u = gsolve32(A32 @ t)
+            return t - H_inv32 * (A32.T @ u)
+
+        def solve_fn(w_y, w_x, k, warm):
+            rhs = w_x + A.T @ (ry_inv * w_y)
+            t = H_inv * rhs
+            u = jax.scipy.linalg.cho_solve((cholG, True), A @ t)
+            z_x = t - H_inv * (A.T @ u)
+            # A z_x = rho_y o u exactly (G u = A t), so z_y simplifies
+            z_y = ry_inv * w_y - u
+            return z_y, z_x, jnp.zeros((), jnp.int32)
+
+        def S_times32(dz32):
+            """f32 S @ dz matrix-free (for anchored IR): S = H + A'Ry^-1 A."""
+            return H * (dz32.astype(f64)) + (
+                A32.T @ (ry_inv32 * (A32 @ dz32))).astype(f64)
     else:
-        def solve32(r32):
-            return jax.scipy.linalg.cho_solve((chol32, True), r32)
+        S = (A * ry_inv[:, None]).T @ A + rho_x * jnp.eye(n, dtype=dtype)
+        if Q_diag is not None:
+            S = S + jnp.diag(Q_diag)
+        chol = jax.lax.linalg.cholesky(S)
+        S32 = S.astype(f32)
+        chol32 = chol.astype(f32)
+        if solver == "inverse":
+            # explicit inverse: one f32 matmul per apply instead of two
+            # triangular solves (MXU-friendly; same trick as the LP driver,
+            # accuracy restored by the anchored IR against S)
+            Sinv32 = jax.scipy.linalg.cho_solve(
+                (chol, True), jnp.eye(n, dtype=dtype)).astype(f32)
 
-    def solve_fn(w_y, w_x, k, warm):
-        rhs = w_x + A.T @ (ry_inv * w_y)
-        z_x = jax.scipy.linalg.cho_solve((chol, True), rhs)
-        z_y = ry_inv * (w_y - A @ z_x)
-        return z_y, z_x, jnp.zeros((), jnp.int32)
+            def solve32(r32):
+                return Sinv32 @ r32
+        else:
+            def solve32(r32):
+                return jax.scipy.linalg.cho_solve((chol32, True), r32)
+
+        def solve_fn(w_y, w_x, k, warm):
+            rhs = w_x + A.T @ (ry_inv * w_y)
+            z_x = jax.scipy.linalg.cho_solve((chol, True), rhs)
+            z_y = ry_inv * (w_y - A @ z_x)
+            return z_y, z_x, jnp.zeros((), jnp.int32)
+
+        def S_times32(dz32):
+            return (S32 @ dz32).astype(f64)
+
+    def S_times64(z):
+        """f64 S @ z matrix-free (anchor setup only, once per stage)."""
+        return (rho_x * z + (Q_diag * z if Q_diag is not None else 0.0)
+                + A.T @ (ry_inv * (A @ z)))
 
     def make_anchor(u, v) -> _AnchorQ:
         """One f64-quality pass per barrier stage."""
@@ -146,11 +200,11 @@ def _device_solve_qcp(A, b, c, Q_diag, layout: ConeLayout, *, eps, max_ipm,
         y0 = u[:m]
         w = rho[: m + n] * (u[: m + n] + v[: m + n])
         wy0, wx0 = w[:m], w[m:]
+        _, zx0, _ = solve_fn(wy0, wx0, -1, None)
         rhs0 = wx0 + A.T @ (ry_inv * wy0)
-        zx0 = jax.scipy.linalg.cho_solve((chol, True), rhs0)
         return _AnchorQ(x0=x0, y0=y0, Ax0=A @ x0, ATy0=A.T @ y0,
                         wy0=wy0, wx0=wx0, rhs0=rhs0, zx0=zx0,
-                        Azx0=A @ zx0, Szx0=S @ zx0)
+                        Azx0=A @ zx0, Szx0=S_times64(zx0))
 
     def make_ops(anc: _AnchorQ):
         if not mixed:
@@ -170,8 +224,9 @@ def _device_solve_qcp(A, b, c, Q_diag, layout: ConeLayout, *, eps, max_ipm,
             z_x = anc.zx0 + dzx
             rhs = anc.rhs0 + drhs
             for _ in range(ir_steps):
-                # anchored IR: S z = Szx0 + S32 @ (z - zx0), all f32 matmuls
-                Sz = anc.Szx0 + (S32 @ (z_x - anc.zx0).astype(f32)).astype(f64)
+                # anchored IR: S z = Szx0 + S32(z - zx0), all f32 matmuls
+                # (S32 applied matrix-free in the Woodbury form)
+                Sz = anc.Szx0 + S_times32((z_x - anc.zx0).astype(f32))
                 resid = rhs - Sz
                 z_x = z_x + solve32(resid.astype(f32)).astype(f64)
             Az = anc.Azx0 + (A32 @ (z_x - anc.zx0).astype(f32)).astype(f64)

@@ -37,13 +37,18 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from tools.parity_qcp import export_conic  # noqa: E402
 
 
-def family(n_inst, seed0=7_000):
-    """Medium mixed-cone instances (dim 204, m=68)."""
+def family(n_inst, seed0=7_000, scale=1):
+    """Mixed-cone instances: dim 204*scale, m = dim//3.
+
+    scale=1 is the QDLDL-friendly tiny class (dim 204); scale=5 is the
+    dim-1020 class where the dense-factor/MXU design point crosses over.
+    """
     from abip_tpu import ConeSpec
 
     from benchmarks.conic_mini import randcone
 
-    cones = ConeSpec(soc=(25, 25), rsoc=(4,), nonneg=150)
+    cones = ConeSpec(soc=(25 * scale, 25 * scale), rsoc=(4 * scale,),
+                     nonneg=150 * scale)
     m = cones.dim // 3
     return [randcone(f"cb{i}", m, cones, seed0 + i)
             for i in range(n_inst)], cones
@@ -54,6 +59,8 @@ def main(argv=None):
     ap.add_argument("--ref-bin", default="/tmp/qcpbench/qcpref")
     ap.add_argument("--n", type=int, default=16)
     ap.add_argument("--eps", type=float, default=1e-6)
+    ap.add_argument("--scale", type=int, default=1,
+                    help="family size multiplier (dim = 204*scale)")
     ap.add_argument("--cpu", action="store_true", default=True)
     ap.add_argument("-o", "--out", default=None)
     args = ap.parse_args(argv)
@@ -68,10 +75,10 @@ def main(argv=None):
     from abip_tpu.parallel.batched_qcp import solve_qcp_batch
     from abip_tpu.parallel.host_pool import pool_map
 
-    insts, cones = family(args.n)
+    insts, cones = family(args.n, scale=args.scale)
     out = {"eps": args.eps, "n_instances": args.n,
            "shape": f"m={insts[0][1].shape[0]} n={insts[0][1].shape[1]}",
-           "cones": "soc=(25,25) rsoc=(4,) nonneg=150"}
+           "cones": repr(cones)}
 
     # -- reference binary, per instance -----------------------------------
     if os.path.exists(args.ref_bin):
@@ -134,7 +141,8 @@ def main(argv=None):
               inner_crit_period=8)
     rb = solve_qcp_batch(As, bs, cs, **kw)
     jax.block_until_ready(rb)          # compile + warm run off the clock
-    insts2, _ = family(args.n, seed0=8_000)  # FRESH data for the timed run
+    insts2, _ = family(args.n, seed0=8_000,  # FRESH data for the timed run
+                       scale=args.scale)
     As2 = jnp.asarray(np.stack([t[1] for t in insts2]))
     bs2 = jnp.asarray(np.stack([t[2] for t in insts2]))
     cs2 = jnp.asarray(np.stack([t[3] for t in insts2]))
