@@ -233,6 +233,49 @@ def _calc_residuals_shared(data: _SharedData, u, v_origin, prev, *,
     return calc_residuals(u, v_origin, prev)
 
 
+@partial(jax.jit, static_argnames=("cones", "stgs"))
+def _dense_setup_shared(A, b, c, Q, Q_diag, *, cones, stgs):
+    """Compiled-per-shape dense workspace setup.
+
+    Equilibration, Schur factorization, and the r-vector solve
+    (`pre_calculate`, `source/abip.c:886-910`) were previously ~50
+    eager dispatches totalling ~50ms per tiny instance (45% of wall on
+    the dim-204 suite class) -- as one jitted function they fuse and
+    compile once per shape, like the inner-loop drivers."""
+    dtype = A.dtype
+    m, n = A.shape
+    layout = ConeLayout(cones)
+
+    nm_inf_b = jnp.max(jnp.abs(b)) if m else jnp.zeros((), dtype)
+    nm_inf_c = jnp.max(jnp.abs(c))
+
+    if stgs.normalize:
+        A, Q, b, c, scal = equilibrate_conic(A, Q, b, c, layout, stgs)
+        if Q_diag is not None:
+            # diagonal Q transforms as E^-1 Q E^-1 (`qcp_config.c:239-248`)
+            Q_diag = Q_diag / (scal.E * scal.E)
+    else:
+        scal = ConicScalingData(
+            D=jnp.ones((m,), dtype), E=jnp.ones((n,), dtype),
+            sc_b=jnp.ones((), dtype), sc_c=jnp.ones((), dtype))
+
+    rho = jnp.concatenate([
+        jnp.full((m,), stgs.rho_y, dtype),
+        jnp.full((n,), stgs.rho_x, dtype),
+        jnp.full((1,), stgs.rho_tau, dtype),
+    ])
+    # 1-D Q_diag passes through so DenseSchurSolver can take its
+    # Woodbury (m x m) form; dense Q keeps the primal (n x n) form
+    solver = DenseSchurSolver(A, Q if Q is not None else Q_diag,
+                              rho[:m], rho[m : m + n],
+                              mode=stgs.dense_mode)
+    r_y, r_x, _ = solver.solve(-b, c, iter_count=-1)
+    r_vec = jnp.concatenate([r_y, r_x])
+    a_coef = stgs.rho_tau + jnp.dot(rho[: m + n] * r_vec, r_vec)
+    return (A, Q, Q_diag, b, c, scal, rho, solver, r_vec, a_coef,
+            nm_inf_b, nm_inf_c)
+
+
 class ConicWorkspace:
     """Setup-once conic workspace (`ABIP(init)`, `source/abip.c:1271-1311`)."""
 
@@ -287,6 +330,23 @@ class ConicWorkspace:
         self.layout = ConeLayout(cones)
         self.has_Q = Q is not None or self.Q_diag is not None
 
+        use_cg = (
+            matrix_free
+            or settings.linsys == "cg"
+            or (settings.linsys == "auto" and n > 4096)
+        )
+        if not use_cg:
+            # dense path: one compiled-per-shape setup program
+            (self.A, self.Q, self.Q_diag, self.b, self.c, self.scal,
+             self.rho, self.solver, self.r_vec, self.a_coef,
+             self.nm_inf_b, self.nm_inf_c) = _dense_setup_shared(
+                A_dense, b, c, Q, self.Q_diag,
+                cones=self.layout.spec, stgs=settings)
+            self.A_op = LinearOperator.from_dense(self.A)
+            self._build_kernels()
+            self.setup_time = time.perf_counter() - t0
+            return
+
         # inf-norms of ORIGINAL data (`init_work`, `source/abip.c:873-874`)
         self.nm_inf_b = jnp.max(jnp.abs(b)) if m else jnp.zeros((), dtype)
         self.nm_inf_c = jnp.max(jnp.abs(c))
@@ -319,43 +379,32 @@ class ConicWorkspace:
 
         ry = self.rho[:m]
         rx = self.rho[m : m + n]
-        use_cg = (
-            matrix_free
-            or settings.linsys == "cg"
-            or (settings.linsys == "auto" and n > 4096)
-        )
-        if use_cg:
-            # Jacobi preconditioner diag(S) (`init_qcp_precon`,
-            # `qcp_config.c:754-780`); matrix-free operators may supply
-            # their column norms (`col_norms_sq`), like the custom
-            # preconditioners of `lasso_config.c:571-587`.
-            if matrix_free:
-                col_sq = getattr(self.A_op, "col_norms_sq", None)
-                diag_S = rx + (
-                    jnp.asarray(col_sq) / settings.rho_y
-                    if col_sq is not None else jnp.zeros((n,), dtype)
-                )
-            else:
-                diag_S = rx + jnp.sum(A_dense * A_dense / ry[:, None], axis=0)
-            if Q is not None:
-                diag_S = diag_S + jnp.diag(Q)
-            elif self.Q_diag is not None:
-                diag_S = diag_S + self.Q_diag
-            if Q is not None:
-                Q_op = lambda x: Q @ x  # noqa: E731
-            elif self.Q_diag is not None:
-                qd = self.Q_diag
-                Q_op = lambda x: qd * x  # noqa: E731
-            else:
-                Q_op = None
-            self.solver = CGSchurSolver(self.A_op, Q_op, ry, rx, diag_S,
-                                        max_iters=settings.cg_max_iters,
-                                        tol_ladder=tol_ladder)
+        # Jacobi preconditioner diag(S) (`init_qcp_precon`,
+        # `qcp_config.c:754-780`); matrix-free operators may supply
+        # their column norms (`col_norms_sq`), like the custom
+        # preconditioners of `lasso_config.c:571-587`.
+        if matrix_free:
+            col_sq = getattr(self.A_op, "col_norms_sq", None)
+            diag_S = rx + (
+                jnp.asarray(col_sq) / settings.rho_y
+                if col_sq is not None else jnp.zeros((n,), dtype)
+            )
         else:
-            Q_dense = Q if Q is not None else (
-                jnp.diag(self.Q_diag) if self.Q_diag is not None else None)
-            self.solver = DenseSchurSolver(A_dense, Q_dense, ry, rx,
-                                           mode=settings.dense_mode)
+            diag_S = rx + jnp.sum(A_dense * A_dense / ry[:, None], axis=0)
+        if Q is not None:
+            diag_S = diag_S + jnp.diag(Q)
+        elif self.Q_diag is not None:
+            diag_S = diag_S + self.Q_diag
+        if Q is not None:
+            Q_op = lambda x: Q @ x  # noqa: E731
+        elif self.Q_diag is not None:
+            qd = self.Q_diag
+            Q_op = lambda x: qd * x  # noqa: E731
+        else:
+            Q_op = None
+        self.solver = CGSchurSolver(self.A_op, Q_op, ry, rx, diag_S,
+                                    max_iters=settings.cg_max_iters,
+                                    tol_ladder=tol_ladder)
 
         # r = Ktilde^-1 (-b; c), a = rho_tau + <rho . r, r>
         # (`pre_calculate`, `source/abip.c:886-910`)
