@@ -308,6 +308,69 @@ class LPSolution:
     avg_cg_iters: float = 0.0
 
 
+@partial(jax.jit, static_argnames=("stgs",))
+def _lp_dense_setup_shared(A, b, c, *, stgs):
+    """Compiled-per-shape dense LP setup.
+
+    Equilibration, b/c normalization (`normalize.c:11-40`), the normal
+    matrix + Cholesky (`direct.c:218-270`), and the rank-1 HSD data
+    g = K^-1 h (`abip.c:1917-1924`) as ONE jitted program: previously
+    ~260ms of eager dispatches per bench-shape instance (18% of wall),
+    now ~2ms warm.  Returns (scal, sc_b, sc_c, ops, nm_b, nm_c)."""
+    dtype = A.dtype
+    m, n = A.shape
+    nm_b = jnp.linalg.norm(b)
+    nm_c = jnp.linalg.norm(c)
+
+    if stgs.normalize:
+        A_s, scal = equilibrate(A, stgs)
+        c_s = c / scal.E
+        sc_c = scal.mean_norm_row / jnp.maximum(jnp.linalg.norm(c_s), 1e-3)
+        b_s = b / scal.D
+        sc_b = scal.mean_norm_col / jnp.maximum(jnp.linalg.norm(b_s), 1e-3)
+        c_s = c_s * sc_c * stgs.scale
+        b_s = b_s * sc_b * stgs.scale
+    else:
+        A_s, b_s, c_s = A, b, c
+        scal = ScalingData(
+            D=jnp.ones((m,), dtype), E=jnp.ones((n,), dtype),
+            mean_norm_row=jnp.ones((), dtype),
+            mean_norm_col=jnp.ones((), dtype),
+        )
+        sc_b = jnp.ones((), dtype)
+        sc_c = jnp.ones((), dtype)
+
+    direct = stgs.linsys == "dense" or (
+        stgs.linsys == "auto" and m <= 4096 and float(m) * float(n) <= 5e7
+    )
+    chol = M = None
+    if direct:
+        N = stgs.rho_y * jnp.eye(m, dtype=dtype) + A_s @ A_s.T
+        chol = jax.lax.linalg.cholesky(N)
+    else:
+        M = 1.0 / (stgs.rho_y + jnp.sum(A_s * A_s, axis=1))
+
+    normalize = stgs.normalize
+    pr_scale = (scal.D / (sc_b * stgs.scale)) if normalize \
+        else jnp.ones((m,), dtype)
+    dr_scale = (scal.E / (sc_c * stgs.scale)) if normalize \
+        else jnp.ones((n,), dtype)
+    obj_scale = (stgs.scale * sc_c * sc_b) if normalize \
+        else jnp.ones((), dtype)
+
+    h = jnp.concatenate([-b_s, c_s])
+    ops = LPOperands(
+        A=A_s, bcsr=None, bcsr_T=None, ell=None, ell_T=None,
+        chol=chol, M=M, h=h, g=h, g_th=jnp.zeros((), dtype),
+        b=b_s, c=c_s, pr_scale=pr_scale, dr_scale=dr_scale,
+        obj_scale=obj_scale, nm_b=nm_b, nm_c=nm_c,
+    )
+    g_y, g_x, _ = _ops_solve(ops, stgs, h[:m], h[m:], -1, None)
+    g = jnp.concatenate([g_y, -g_x])
+    ops = ops._replace(g=g, g_th=jnp.dot(h, g))
+    return scal, sc_b, sc_c, ops, nm_b, nm_c
+
+
 class LPWorkspace:
     """Setup-once state: scaled data, cached factorization, jitted kernels.
 
@@ -344,18 +407,30 @@ class LPWorkspace:
         nnz = int(A.nnz) if is_sparse else int(jnp.sum(A != 0))
         self.sp = nnz / (m * n)
 
+        if not is_sparse:
+            # dense path: one compiled-per-shape setup program (see
+            # `_lp_dense_setup_shared`)
+            (self.scal, self.sc_b, self.sc_c, ops,
+             self.nm_b, self.nm_c) = _lp_dense_setup_shared(
+                A, b, c, stgs=settings)
+            self.b, self.c = ops.b, ops.c
+            self.A_op = LinearOperator.from_dense(ops.A, nnz=nnz)
+            self.linsys_kind = "dense" if ops.chol is not None else "cg"
+            self.h, self.g, self.g_th = ops.h, ops.g, ops.g_th
+            self.ops = ops
+            self._build_kernels()
+            self.setup_time = time.perf_counter() - t0
+            return
+
         # norms of the ORIGINAL data (used by certificates, `abip.c:1855-1856`)
         self.nm_b = jnp.linalg.norm(b)
         self.nm_c = jnp.linalg.norm(c)
 
         # -- equilibration (`linsys/common.c:150-565`) -----------------------
         if settings.normalize:
-            if is_sparse:
-                from .scaling import equilibrate_sparse
+            from .scaling import equilibrate_sparse
 
-                A_s, scal = equilibrate_sparse(A, settings)
-            else:
-                A_s, scal = equilibrate(A, settings)
+            A_s, scal = equilibrate_sparse(A, settings)
             # b/c normalization (`normalize.c:11-40`)
             c_s = c / scal.E
             sc_c = scal.mean_norm_row / jnp.maximum(jnp.linalg.norm(c_s), 1e-3)
@@ -389,28 +464,19 @@ class LPWorkspace:
             and float(m) * float(n) <= 5e7
         )
         A_dense = bcsr = bcsr_T = ell = ell_T = chol = M = None
-        if is_sparse:
-            self.A_op = LinearOperator.from_scipy_sparse(A_s, dtype=dtype)
-            if hasattr(self.A_op, "ell"):
-                ell, ell_T = self.A_op.ell, self.A_op.ell_T
-            else:
-                bcsr, bcsr_T = self.A_op.bcsr, self.A_op.bcsr_T
-            if direct:
-                # normal matrix assembled host-side (the sparse-A analogue
-                # of the one-time factorization, `direct.c:218-270`)
-                N = (A_s @ A_s.T).toarray()
-                N[np.diag_indices(m)] += settings.rho_y
-                chol = jax.lax.linalg.cholesky(jnp.asarray(N, dtype))
-            else:
-                M = 1.0 / (settings.rho_y + self.A_op.row_norms_sq)
+        self.A_op = LinearOperator.from_scipy_sparse(A_s, dtype=dtype)
+        if hasattr(self.A_op, "ell"):
+            ell, ell_T = self.A_op.ell, self.A_op.ell_T
         else:
-            self.A_op = LinearOperator.from_dense(A_s, nnz=nnz)
-            A_dense = A_s
-            if direct:
-                N = settings.rho_y * jnp.eye(m, dtype=dtype) + A_s @ A_s.T
-                chol = jax.lax.linalg.cholesky(N)
-            else:
-                M = 1.0 / (settings.rho_y + jnp.sum(A_s * A_s, axis=1))
+            bcsr, bcsr_T = self.A_op.bcsr, self.A_op.bcsr_T
+        if direct:
+            # normal matrix assembled host-side (the sparse-A analogue
+            # of the one-time factorization, `direct.c:218-270`)
+            N = (A_s @ A_s.T).toarray()
+            N[np.diag_indices(m)] += settings.rho_y
+            chol = jax.lax.linalg.cholesky(jnp.asarray(N, dtype))
+        else:
+            M = 1.0 / (settings.rho_y + self.A_op.row_norms_sq)
         self.linsys_kind = "dense" if direct else "cg"
 
         normalize = settings.normalize
