@@ -61,7 +61,7 @@ def _device_solve_qcp(A, b, c, Q_diag, layout: ConeLayout, *, eps, max_ipm,
                       max_admm, alpha, rho_y, rho_x, rho_tau, psi,
                       inner_check_period, precision="f64", ir_steps=1,
                       inner_crit_period=1, solver="cholesky",
-                      normalize=False, anchor_period=100):
+                      normalize=False, anchor_period=100, form="auto"):
     """One conic instance entirely on device (no equilibration: callers
     pre-scale, as the reference app configs do).  Dense Schur backend.
 
@@ -122,7 +122,16 @@ def _device_solve_qcp(A, b, c, Q_diag, layout: ConeLayout, *, eps, max_ipm,
     # Solutions are identical up to roundoff; setup drops from O(n^3/3)
     # to O(m^2 n + m^3/3) and the f64 stage-anchor solves shrink 9x at
     # m = n/3 (f64 trisolves are the emulated-precision hot spot on v5e).
-    woodbury = m < n
+    if form == "auto":
+        # Woodbury's extra per-apply products are cheaper than the n^2
+        # primal apply only when m is well under n; on equal footing the
+        # primal form has fewer ops in the loop body (matters on CPU,
+        # where per-op dispatch overhead dominates tiny matmuls)
+        woodbury = 2 * m <= n
+    else:
+        woodbury = form == "woodbury"
+    if woodbury and m >= n:
+        raise ValueError("form='woodbury' requires m < n")
     if woodbury:
         H = rho_x + (Q_diag if Q_diag is not None else 0.0)
         H = jnp.broadcast_to(jnp.asarray(H, dtype), (n,))
@@ -382,14 +391,15 @@ def _device_solve_qcp(A, b, c, Q_diag, layout: ConeLayout, *, eps, max_ipm,
                                    "alpha", "rho_y", "rho_x", "rho_tau",
                                    "psi", "inner_check_period", "precision",
                                    "ir_steps", "inner_crit_period",
-                                   "solver", "normalize", "anchor_period"))
+                                   "solver", "normalize", "anchor_period",
+                                   "form"))
 def solve_qcp_batch(As, bs, cs, Q_diags=None, *, cones: ConeSpec,
                     eps=1e-4, max_ipm=200, max_admm=100_000, alpha=1.8,
                     rho_y=1e-6, rho_x=1.0, rho_tau=1.0, psi=1.0,
                     inner_check_period=500, precision="f64",
                     ir_steps=1, inner_crit_period=1,
                     solver="cholesky", normalize=False,
-                    anchor_period=100) -> ConicDeviceResult:
+                    anchor_period=100, form="auto") -> ConicDeviceResult:
     """Solve a stacked batch of same-shape conic programs on device.
 
     As: (B, m, n); bs: (B, m); cs: (B, n); Q_diags: optional (B, n)
@@ -419,9 +429,41 @@ def solve_qcp_batch(As, bs, cs, Q_diags=None, *, cones: ConeSpec,
             rho_tau=rho_tau, psi=psi, inner_check_period=inner_check_period,
             precision=precision, ir_steps=ir_steps,
             inner_crit_period=inner_crit_period, solver=solver,
-            normalize=normalize, anchor_period=anchor_period,
+            normalize=normalize, anchor_period=anchor_period, form=form,
         )
 
     if Q_diags is None:
         return jax.vmap(lambda A, b, c: one(A, b, c, None))(As, bs, cs)
     return jax.vmap(one)(As, bs, cs, Q_diags)
+
+
+@partial(jax.jit, static_argnames=("cones", "eps", "max_ipm", "max_admm",
+                                   "alpha", "rho_y", "rho_x", "rho_tau",
+                                   "psi", "inner_check_period", "precision",
+                                   "ir_steps", "inner_crit_period",
+                                   "solver", "normalize", "anchor_period",
+                                   "form"))
+def solve_qcp_device(A, b, c, Q_diag=None, *, cones: ConeSpec,
+                     eps=1e-4, max_ipm=200, max_admm=100_000, alpha=1.8,
+                     rho_y=1e-6, rho_x=1.0, rho_tau=1.0, psi=1.0,
+                     inner_check_period=500, precision="f64",
+                     ir_steps=1, inner_crit_period=1,
+                     solver="cholesky", normalize=False,
+                     anchor_period=100, form="auto") -> ConicDeviceResult:
+    """Single-instance, whole-solve-in-one-program conic solve (B=1,
+    un-vmapped).
+
+    The host-pool conic analogue of `batched.device_solve_lp`: the host
+    driver's sprint cadence costs several dispatches + scalar syncs per
+    barrier stage, which serialize on the GIL when a thread pool runs
+    many instances (measured: pooled host solves SLOWER than serial on
+    the dim-204 class).  One dispatch per solve releases the GIL for the
+    whole solve, so suite-level host parallelism scales."""
+    return _device_solve_qcp(
+        A, b, c, Q_diag, ConeLayout(cones), eps=eps, max_ipm=max_ipm,
+        max_admm=max_admm, alpha=alpha, rho_y=rho_y, rho_x=rho_x,
+        rho_tau=rho_tau, psi=psi, inner_check_period=inner_check_period,
+        precision=precision, ir_steps=ir_steps,
+        inner_crit_period=inner_crit_period, solver=solver,
+        normalize=normalize, anchor_period=anchor_period, form=form,
+    )

@@ -115,6 +115,37 @@ def test_batched_qcp_soc_toys(rng):
     np.testing.assert_allclose(np.asarray(res.pobj), refs, atol=1e-3)
 
 
+def test_qcp_device_single_and_forms(rng):
+    """solve_qcp_device (B=1 whole-solve program) matches the known
+    optimum, and the primal and Woodbury Schur forms agree (same
+    system, factored n x n vs m x m)."""
+    from abip_tpu import ConeSpec
+    from abip_tpu.parallel.batched_qcp import solve_qcp_device
+    from benchmarks.conic_mini import randcone
+
+    cones = ConeSpec(soc=(8,), nonneg=22)
+    name, A, b, c, cn, star = randcone("dev", 10, cones, 4_321)
+    kw = dict(cones=cn, eps=1e-6, precision="mixed", normalize=True,
+              rho_y=1e-3, max_admm=200_000, solver="inverse",
+              inner_crit_period=8)
+    results = {}
+    for form in ("primal", "woodbury", "auto"):
+        r = solve_qcp_device(jnp.asarray(A), jnp.asarray(b),
+                             jnp.asarray(c), form=form, **kw)
+        assert int(r.status) == 1, form
+        np.testing.assert_allclose(float(r.pobj), star, atol=1e-4)
+        results[form] = int(r.admm_iters)
+    # the two factor forms solve the SAME system: trajectories agree to
+    # roundoff-induced wobble (a few iterations at most)
+    assert abs(results["primal"] - results["woodbury"]) <= 3
+
+    with pytest.raises(ValueError):
+        # m >= n rejects the explicit woodbury request
+        solve_qcp_device(jnp.ones((5, 3)), jnp.ones((5,)),
+                         jnp.ones((3,)), cones=ConeSpec(nonneg=3),
+                         form="woodbury")
+
+
 def test_lasso_sweep_batch(rng):
     from abip_tpu.problems.lasso import solve_lasso_batch, solve_lasso
 

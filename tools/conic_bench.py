@@ -61,6 +61,14 @@ def main(argv=None):
     ap.add_argument("--eps", type=float, default=1e-6)
     ap.add_argument("--scale", type=int, default=1,
                     help="family size multiplier (dim = 204*scale)")
+    ap.add_argument("--no-batched", action="store_true",
+                    help="skip the batched device driver (its lockstep "
+                    "whole-suite program targets the TPU; on CPU at "
+                    "large dims its compile+run dominates the artifact)")
+    ap.add_argument("--repeats", type=int, default=3,
+                    help="run each timed section N times, record the "
+                    "fastest (this VM has noisy CPU steal; best-of-N "
+                    "gives each side its clean-run rate)")
     ap.add_argument("--cpu", action="store_true", default=True)
     ap.add_argument("-o", "--out", default=None)
     args = ap.parse_args(argv)
@@ -80,26 +88,41 @@ def main(argv=None):
            "shape": f"m={insts[0][1].shape[0]} n={insts[0][1].shape[1]}",
            "cones": repr(cones)}
 
+    def best_of(run):
+        """Fastest of --repeats runs: (iters, wall_sec, all_ok)."""
+        best = None
+        for _ in range(max(1, args.repeats)):
+            r = run()
+            if best is None or r[1] < best[1]:
+                best = r
+        return best
+
     # -- reference binary, per instance -----------------------------------
     if os.path.exists(args.ref_bin):
-        it_ref = t_ref = 0.0
-        statuses = []
-        for name, A, b, c, cn, _ in insts:
-            with tempfile.NamedTemporaryFile(suffix=".bin",
-                                             delete=False) as f:
-                export_conic(f.name, A, b, c, cn)
-                path = f.name
-            r = json.loads(subprocess.run(
-                [args.ref_bin, path, str(args.eps)], capture_output=True,
-                text=True, check=True).stdout.strip().splitlines()[-1])
-            os.unlink(path)
-            it_ref += r["admm"]
-            t_ref += r["time_sec"]
-            statuses.append(r["status"])
+        def run_ref():
+            it_ref = t_ref = 0.0
+            statuses = []
+            for name, A, b, c, cn, _ in insts:
+                with tempfile.NamedTemporaryFile(suffix=".bin",
+                                                 delete=False) as f:
+                    export_conic(f.name, A, b, c, cn)
+                    path = f.name
+                r = json.loads(subprocess.run(
+                    [args.ref_bin, path, str(args.eps)],
+                    capture_output=True,
+                    text=True, check=True).stdout.strip().splitlines()[-1])
+                os.unlink(path)
+                it_ref += r["admm"]
+                t_ref += r["time_sec"]
+                statuses.append(r["status"])
+            return it_ref, t_ref, all(
+                s.startswith("Solved") for s in statuses)
+
+        it_ref, t_ref, ok = best_of(run_ref)
         out["reference"] = {
             "agg_iters_per_sec": round(it_ref / t_ref, 1),
             "total_admm": int(it_ref), "total_sec": round(t_ref, 4),
-            "all_solved": all(s.startswith("Solved") for s in statuses),
+            "all_solved": ok,
         }
     else:
         out["reference"] = {"error": f"{args.ref_bin} not found "
@@ -113,24 +136,86 @@ def main(argv=None):
         return sol.admm_iters, time.perf_counter() - t0, sol.status_name
 
     solve_host(insts[0])  # warm the jit cache off the clock
-    t0 = time.perf_counter()
-    rs = [solve_host(i) for i in insts]
-    dt = time.perf_counter() - t0
+
+    def run_host_serial():
+        t0 = time.perf_counter()
+        rs = [solve_host(i) for i in insts]
+        dt = time.perf_counter() - t0
+        return (sum(r[0] for r in rs), dt,
+                all(r[2].startswith("Solved") for r in rs))
+
+    its, dt, ok = best_of(run_host_serial)
     out["host_serial"] = {
-        "agg_iters_per_sec": round(sum(r[0] for r in rs) / dt, 1),
-        "total_admm": int(sum(r[0] for r in rs)), "total_sec": round(dt, 4),
-        "all_solved": all(r[2].startswith("Solved") for r in rs),
+        "agg_iters_per_sec": round(its / dt, 1),
+        "total_admm": int(its), "total_sec": round(dt, 4),
+        "all_solved": ok,
     }
 
-    t0 = time.perf_counter()
-    rs = pool_map(solve_host, insts)
-    dt = time.perf_counter() - t0
+    def run_host_pool():
+        t0 = time.perf_counter()
+        rs = pool_map(solve_host, insts)
+        dt = time.perf_counter() - t0
+        return (sum(r[0] for r in rs), dt,
+                all(r[2].startswith("Solved") for r in rs))
+
+    its, dt, ok = best_of(run_host_pool)
     out["host_pool"] = {
         "workers": os.cpu_count(),
-        "agg_iters_per_sec": round(sum(r[0] for r in rs) / dt, 1),
+        "agg_iters_per_sec": round(its / dt, 1),
         "total_sec": round(dt, 4),
-        "all_solved": all(r[2].startswith("Solved") for r in rs),
+        "all_solved": ok,
     }
+
+    # -- ours: single-instance device programs, serial + pooled -----------
+    # one dispatch per solve (whole solve in one jitted program) releases
+    # the GIL for the full solve, so the host pool actually scales --
+    # unlike the host driver's sprint cadence (see solve_qcp_device)
+    from abip_tpu.parallel.batched_qcp import solve_qcp_device
+
+    dkw = dict(cones=cones, eps=args.eps, precision="mixed",
+               normalize=True, rho_y=1e-3, max_admm=1_000_000,
+               solver="inverse", inner_crit_period=8)
+
+    def solve_device(inst):
+        name, A, b, c, cn, _ = inst
+        r = solve_qcp_device(jnp.asarray(A), jnp.asarray(b),
+                             jnp.asarray(c), **dkw)
+        jax.block_until_ready(r)
+        return int(r.admm_iters), int(r.status)
+
+    solve_device(insts[0])  # warm the jit cache off the clock
+
+    def run_device_serial():
+        t0 = time.perf_counter()
+        rs = [solve_device(i) for i in insts]
+        dt = time.perf_counter() - t0
+        return sum(r[0] for r in rs), dt, all(r[1] == 1 for r in rs)
+
+    its, dt, ok = best_of(run_device_serial)
+    out["device_serial"] = {
+        "agg_iters_per_sec": round(its / dt, 1),
+        "total_admm": int(its), "total_sec": round(dt, 4),
+        "all_solved": ok,
+    }
+    insts_dp, _ = family(args.n, seed0=9_500, scale=args.scale)
+
+    def run_device_pool():
+        t0 = time.perf_counter()
+        rs = pool_map(solve_device, insts_dp)
+        dt = time.perf_counter() - t0
+        return sum(r[0] for r in rs), dt, all(r[1] == 1 for r in rs)
+
+    its, dt, ok = best_of(run_device_pool)
+    out["device_pool"] = {
+        "workers": os.cpu_count(),
+        "agg_iters_per_sec": round(its / dt, 1),
+        "total_admm": int(its), "total_sec": round(dt, 4),
+        "all_solved": ok,
+    }
+
+    if args.no_batched:
+        _finish(out, args)
+        return out
 
     # -- ours: batched device driver (one program) ------------------------
     As = jnp.asarray(np.stack([t[1] for t in insts]))
@@ -146,27 +231,39 @@ def main(argv=None):
     As2 = jnp.asarray(np.stack([t[1] for t in insts2]))
     bs2 = jnp.asarray(np.stack([t[2] for t in insts2]))
     cs2 = jnp.asarray(np.stack([t[3] for t in insts2]))
-    t0 = time.perf_counter()
-    rb = solve_qcp_batch(As2, bs2, cs2, **kw)
-    jax.block_until_ready(rb)
-    dt = time.perf_counter() - t0
-    its = np.asarray(rb.admm_iters)
+
+    def run_batched():
+        t0 = time.perf_counter()
+        rb = solve_qcp_batch(As2, bs2, cs2, **kw)
+        jax.block_until_ready(rb)
+        dt = time.perf_counter() - t0
+        its = np.asarray(rb.admm_iters)
+        return (int(its.sum()), dt,
+                bool((np.asarray(rb.status) == 1).all()))
+
+    its, dt, ok = best_of(run_batched)
     out["batched_mixed"] = {
-        "agg_iters_per_sec": round(float(its.sum()) / dt, 1),
-        "total_admm": int(its.sum()), "total_sec": round(dt, 4),
-        "all_solved": bool((np.asarray(rb.status) == 1).all()),
+        "agg_iters_per_sec": round(its / dt, 1),
+        "total_admm": its, "total_sec": round(dt, 4),
+        "all_solved": ok,
     }
 
+    _finish(out, args)
+    return out
+
+
+def _finish(out, args):
     ref_rate = out["reference"].get("agg_iters_per_sec")
     if ref_rate:
-        for k in ("host_serial", "host_pool", "batched_mixed"):
-            out[k]["vs_reference"] = round(
-                out[k]["agg_iters_per_sec"] / ref_rate, 3)
+        for k, v in out.items():
+            if isinstance(v, dict) and "agg_iters_per_sec" in v \
+                    and k != "reference":
+                v["vs_reference"] = round(
+                    v["agg_iters_per_sec"] / ref_rate, 3)
     print(json.dumps(out, indent=1))
     if args.out:
         with open(args.out, "w") as f:
             json.dump(out, f, indent=1)
-    return out
 
 
 if __name__ == "__main__":
