@@ -16,7 +16,7 @@ TPU these become first-class:
     cache).
 """
 from .batched import device_solve_lp, solve_lp_batch, solve_lp_suite
-from .batched_qcp import solve_qcp_batch
+from .batched_qcp import solve_qcp_batch, solve_qcp_device
 from .host_pool import pool_map, solve_lp_pool
 from .sharded import sharded_normal_matvec, sharded_pcg
 
@@ -25,6 +25,7 @@ __all__ = [
     "solve_lp_batch",
     "solve_lp_suite",
     "solve_qcp_batch",
+    "solve_qcp_device",
     "pool_map",
     "solve_lp_pool",
     "sharded_normal_matvec",

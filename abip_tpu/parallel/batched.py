@@ -367,7 +367,14 @@ def device_solve_lp(A, b, c, *, eps=1e-6, max_ipm=200, max_admm=200_000,
             def check(_):
                 u_sel = jnp.where(avg_crit, u_sum / dom, u)
                 v_sel = jnp.where(avg_crit, v_sum / dom, v)
-                r = residuals(u_sel, v_sel, mv, rmv)
+                # TRUE f64 products for the residual CHECK, never the
+                # anchored f32 deltas: f32 matmul accumulation error
+                # (~sqrt(n)*eps32) floors the measured residual near
+                # 1e-6 at n ~ 1000+, stalling the solve even when the
+                # iterate is long converged (measured on the conic
+                # driver: reported pres 1.4e-6 vs true 6e-13).  The
+                # avg_period cadence amortizes the f64 cost.
+                r = residuals(u_sel, v_sel, matvec64, rmatvec64)
                 st = hsd.lp_converged_code(r, eps, False,
                                            (carry.i > 0) & (s.k > 0))
                 return r, st
@@ -375,8 +382,8 @@ def device_solve_lp(A, b, c, *, eps=1e-6, max_ipm=200, max_admm=200_000,
             def no_check(_):
                 return s.res, jnp.zeros((), jnp.int32)
 
-            # in mixed mode residual checks ride the cheap anchored ops, but
-            # only every 10th iteration to keep the body lean
+            # mixed mode checks only every avg_period-th iteration to
+            # keep the body lean (bounded overshoot of avg_period-1)
             do_res = carry.final_check & (
                 ((s.j + 1) % avg_period == 0) if mixed else True)
             r, st = jax.lax.cond(do_res, check, no_check, None)
@@ -399,7 +406,7 @@ def device_solve_lp(A, b, c, *, eps=1e-6, max_ipm=200, max_admm=200_000,
         dom = jnp.maximum(s.j, 1).astype(s.u.dtype)
         u_sel = jnp.where(s.avg_crit, s.u_sum / dom, s.u)
         v_sel = jnp.where(s.avg_crit, s.v_sum / dom, s.v)
-        r = residuals(u_sel, v_sel, mv, rmv)
+        r = residuals(u_sel, v_sel, matvec64, rmatvec64)
         status = jnp.where(
             s.status != 0,
             s.status,

@@ -275,6 +275,12 @@ def _device_solve_qcp(A, b, c, Q_diag, layout: ConeLayout, *, eps, max_ipm,
         tol_inner: jnp.ndarray
         i: jnp.ndarray
 
+    def mv64(x):
+        return A @ x
+
+    def rmv64(y):
+        return A.T @ y
+
     def inner_body(s: IC, mu, ipm_i, mv, rmv, stage_solve):
         u_t, _ = conic_ops.projection(s.u, s.v, stage_solve, rho, r_vec,
                                       a_coef, Q_times, m, n, s.k)
@@ -295,12 +301,24 @@ def _device_solve_qcp(A, b, c, Q_diag, layout: ConeLayout, *, eps, max_ipm,
                 lambda _: conic_ops.inner_conv_check(u, v_origin, mv, rmv,
                                                      Q_times, b, c, m, n),
                 lambda _: s.err_inner, None)
+        # Residual checks use TRUE f64 products (mv64/rmv64), never the
+        # stage-anchored f32 deltas: an f32 matmul's accumulation error
+        # (~sqrt(n)*eps32) floors the MEASURED residual around 1e-6 at
+        # dim ~1000 even when the iterate is converged to 1e-13
+        # (measured: reported pres 1.4e-6 vs true 6e-13 -> permanent
+        # stall at eps=1e-6).  The cadence amortizes the f64 cost; in
+        # mixed mode the endgame cadence (error_ratio <= 8 means the
+        # crossing is near) is thinned to every inner_crit_period-th
+        # iteration, bounding overrun at P-1 iterations -- on TPU f64
+        # products are ~30x f32, so per-iteration f64 checks would
+        # otherwise dominate the endgame.
+        endgame_p = inner_crit_period if mixed else 1
         do_check = ((s.j + 1) % inner_check_period == 0) | (
-            s.res.error_ratio <= 8.0
+            (s.res.error_ratio <= 8.0) & ((s.j + 1) % endgame_p == 0)
         )
 
         def check(_):
-            r = residuals(u, v_origin, s.res, mv, rmv)
+            r = residuals(u, v_origin, s.res, mv64, rmv64)
             return r, converged(r, (ipm_i > 0) & (k > 0))
 
         r, st = jax.lax.cond(do_check, check,
@@ -338,7 +356,7 @@ def _device_solve_qcp(A, b, c, Q_diag, layout: ConeLayout, *, eps, max_ipm,
         s = jax.lax.while_loop(
             icond, lambda ss: inner_body(ss, o.mu, o.i, mv, rmv, stage_solve), s
         )
-        r = residuals(s.u, s.v_origin, s.res, mv, rmv)
+        r = residuals(s.u, s.v_origin, s.res, mv64, rmv64)
         st = jnp.where(s.status != 0, s.status,
                        converged(r, (o.i > 0) & (s.k > 0)))
         s = s._replace(res=r, status=st)

@@ -144,13 +144,56 @@ def run_highs(paths, outdir):
     return out
 
 
-def run_sedumi(paths, eps, outdir, threads=1, **overrides):
+def run_sedumi(paths, eps, outdir, threads=1, device=False, **overrides):
     """Conic suite runner on SeDuMi .mat files -- the `test_cblib.m:60-76`
     analogue.  If the .mat carries a `pobj_star` oracle field (conic_mini
     instances), the record includes the absolute objective error.
-    threads: see `run_mps`."""
+    threads: see `run_mps`.
+
+    device=True routes each instance through `solve_qcp_device` (whole
+    solve as ONE jitted program, anchored mixed precision): one dispatch
+    per solve releases the GIL for the full solve, so --threads scales
+    on the host too (the host driver's sprint cadence serializes there;
+    measured 2.4x the reference binary at W=4 on the dim-204 class)."""
     from abip_tpu.io.sedumi import solve_sedumi
     from abip_tpu.parallel.host_pool import pool_map
+
+    def one_device(path):
+        import jax
+        import jax.numpy as jnp
+
+        from abip_tpu.io.sedumi import _convert_mat_dict, _read_mat
+        from abip_tpu.parallel.batched_qcp import solve_qcp_device
+        from abip_tpu.settings import Status
+
+        name = os.path.splitext(os.path.basename(path))[0]
+        t0 = time.perf_counter()
+        try:
+            d = _read_mat(path)
+            A, b, c, cones, _perm = _convert_mat_dict(d)
+            A = A.toarray() if hasattr(A, "toarray") else np.asarray(A)
+            r = solve_qcp_device(
+                jnp.asarray(A), jnp.asarray(b), jnp.asarray(c),
+                cones=cones, eps=eps, precision="mixed", normalize=True,
+                rho_y=1e-3, max_admm=1_000_000, solver="inverse",
+                inner_crit_period=8, **overrides)
+            jax.block_until_ready(r)
+            rec = {
+                "name": name, "status": Status.name(int(r.status)),
+                "ipm_iter": int(r.ipm_iters), "admm_iter": int(r.admm_iters),
+                "pres": float(r.res_pri), "dres": float(r.res_dual),
+                "gap": float(r.rel_gap), "pobj": float(r.pobj),
+                "dobj": float(r.dobj), "time": time.perf_counter() - t0,
+            }
+            star = d.get("pobj_star")
+            if star is not None and np.asarray(star).size:
+                star = float(np.asarray(star).ravel()[0])
+                rec["pobj_star"] = star
+                rec["obj_err"] = abs(rec["pobj"] - star) / max(1.0, abs(star))
+        except Exception as e:  # noqa: BLE001 -- a bench run logs failures
+            rec = {"name": name, "status": f"Error: {e}",
+                   "time": time.perf_counter() - t0}
+        return name, rec
 
     def one(path):
         name = os.path.splitext(os.path.basename(path))[0]
@@ -169,6 +212,9 @@ def run_sedumi(paths, eps, outdir, threads=1, **overrides):
             rec = {"name": name, "status": f"Error: {e}",
                    "time": time.perf_counter() - t0}
         return name, rec
+
+    if device:
+        one = one_device
 
     out = []
     for name, rec in pool_map(one, paths, threads):
@@ -307,6 +353,9 @@ def main(argv=None):
     ap.add_argument("--generated", help="generator spec, e.g. smoke:8")
     ap.add_argument("--batched", action="store_true",
                     help="solve generated instances as one vmapped program")
+    ap.add_argument("--device", action="store_true",
+                    help="(--sedumi) whole-solve-per-program conic path "
+                    "(solve_qcp_device); scales with --threads")
     ap.add_argument("--precision", default="f64", choices=["f64", "mixed"])
     ap.add_argument("--method", default="abip",
                     choices=["abip", "highs", "pdhg"],
@@ -359,7 +408,8 @@ def main(argv=None):
         paths = sorted(glob.glob(os.path.join(args.sedumi, "*.mat")))
         if not paths:
             raise SystemExit(f"no .mat files under {args.sedumi}")
-        run_sedumi(paths, args.eps, args.outdir, threads=args.threads)
+        run_sedumi(paths, args.eps, args.outdir, threads=args.threads,
+                   device=args.device)
     elif args.generated:
         run_generated(args.generated, args.eps, args.outdir,
                       batched=args.batched, precision=args.precision)
