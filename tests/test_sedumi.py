@@ -65,3 +65,23 @@ def test_conic_unbounded_detected():
     c = np.array([-1.0, 0.0])
     sol = abip_tpu.solve_qcp(A, b, c, ConeSpec.lp(2), eps=1e-5)
     assert "Unbounded" in sol.status_name
+
+
+def test_sedumi_device_suite_route():
+    """run_sedumi(device=True) routes .mat instances through
+    solve_qcp_device (whole-solve-per-program) and matches the stored
+    pobj_star oracle (the `--sedumi --device --threads` CLI path)."""
+    import glob
+    import os
+
+    from benchmarks.run_suite import run_sedumi
+
+    paths = sorted(glob.glob(os.path.join(
+        os.path.dirname(__file__), "..", "benchmarks", "suites",
+        "conic_mini", "nnlsq*.mat")))[:2]
+    assert paths, "conic_mini suite files missing"
+    recs = run_sedumi(paths, eps=1e-6, outdir=None, threads=2, device=True)
+    assert len(recs) == 2
+    for r in recs:
+        assert r["status"] == "Solved", r
+        assert r["obj_err"] <= 5e-6, r
