@@ -190,6 +190,39 @@ def solve_mps(path: str, settings=None, dense: bool = True,
         from ..pdhg import solve_lp_pdhg
 
         sol = solve_lp_pdhg(A, std.b, std.c, **overrides)
+    elif method == "device":
+        # whole solve as ONE jitted program (`device_solve_lp`): one
+        # dispatch per solve releases the GIL for the full solve, so
+        # threaded suite runs scale on the host (same rationale as
+        # `solve_qcp_device`); also the TPU-fast path.
+        import time as _time
+
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from ..lp import LPSolution
+        from ..parallel.batched import device_solve_lp
+        from ..settings import Status
+
+        dkw = dict(precision="mixed", solver="inverse", qres_period=16,
+                   avg_period=20)
+        dkw.update(overrides)
+        t0 = _time.perf_counter()
+        r = device_solve_lp(jnp.asarray(np.asarray(A)),
+                            jnp.asarray(std.b), jnp.asarray(std.c), **dkw)
+        jax.block_until_ready(r)
+        code = int(r.status)
+        sol = LPSolution(
+            x=np.asarray(r.x), y=np.asarray(r.y), s=np.asarray(r.s),
+            status=code, status_name=Status.name(code),
+            pobj=float(r.pobj), dobj=float(r.dobj),
+            res_pri=float(r.res_pri), res_dual=float(r.res_dual),
+            rel_gap=float(r.rel_gap), res_infeas=float("nan"),
+            res_unbdd=float("nan"), ipm_iters=int(r.ipm_iters),
+            admm_iters=int(r.admm_iters), setup_time=0.0,
+            solve_time=_time.perf_counter() - t0,
+        )
     elif method == "abip":
         sol = solve_lp(A, std.b, std.c, settings or Settings(), **overrides)
     else:

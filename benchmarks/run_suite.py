@@ -358,10 +358,12 @@ def main(argv=None):
                     "(solve_qcp_device); scales with --threads")
     ap.add_argument("--precision", default="f64", choices=["f64", "mixed"])
     ap.add_argument("--method", default="abip",
-                    choices=["abip", "highs", "pdhg"],
+                    choices=["abip", "highs", "pdhg", "device"],
                     help="solver to run on --mps files (highs = scipy "
                          "linprog, pdhg = restarted PDHG; competitor "
-                         "columns for analyze --compare)")
+                         "columns for analyze --compare; device = "
+                         "whole-solve-per-program device_solve_lp, "
+                         "scales with --threads)")
     ap.add_argument("--eps", type=float, default=1e-6)
     ap.add_argument("--bucket", type=int, default=0,
                     help="pad --mps instances to shape multiples of N so "
@@ -395,6 +397,12 @@ def main(argv=None):
             run_highs(paths, args.outdir)
         elif args.method == "pdhg":
             run_mps(paths, args.eps, args.outdir, method="pdhg",
+                    crossover=args.crossover, pad_bucket=args.bucket,
+                    threads=args.threads)
+        elif args.method == "device" or args.device:
+            # --bucket pads shapes so same-bucket instances share one
+            # compiled whole-solve program
+            run_mps(paths, args.eps, args.outdir, method="device",
                     crossover=args.crossover, pad_bucket=args.bucket,
                     threads=args.threads)
         elif args.batched:

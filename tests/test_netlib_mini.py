@@ -59,3 +59,17 @@ def test_solve_to_1e6(name, tmp_path):
     sol, _ = solve_mps(path, eps=1e-6)
     assert sol.status_name.startswith("Solved"), (name, sol.status_name)
     assert sol.pobj == pytest.approx(ref, abs=1e-4 * (1 + abs(ref))), name
+
+
+def test_solve_device_route(tmp_path):
+    """solve_mps(method='device') routes through device_solve_lp (whole
+    solve as one program; the `run_suite --mps --method device` path)
+    and matches the scipy-HiGHS oracle."""
+    for name in ("prod01", "tran01"):
+        p = MANIFEST[name]()
+        ref = scipy_solve(p)
+        path = str(tmp_path / f"{name}.mps")
+        write_mps(p, path)
+        sol, _ = solve_mps(path, eps=1e-6, method="device")
+        assert sol.status_name.startswith("Solved"), (name, sol.status_name)
+        assert sol.pobj == pytest.approx(ref, abs=1e-4 * (1 + abs(ref))), name
