@@ -16,12 +16,18 @@ Two-sided rows (RANGES) are split into their <= and >= parts first.
 from __future__ import annotations
 
 import dataclasses
+import threading
 from typing import Callable
 
 import numpy as np
 import scipy.sparse as sp
 
 from .mps import GeneralLP
+
+# serialize first-per-shape device compiles under thread pools
+# (see solve_mps method="device")
+_device_compile_lock = threading.Lock()
+_device_seen_shapes: set = set()
 
 BIG_LB = 1e8   # `preprocess.m:34-36` (documented, not used: we free-split)
 
@@ -209,9 +215,25 @@ def solve_mps(path: str, settings=None, dense: bool = True,
                    avg_period=20)
         dkw.update(overrides)
         t0 = _time.perf_counter()
-        r = device_solve_lp(jnp.asarray(np.asarray(A)),
-                            jnp.asarray(std.b), jnp.asarray(std.c), **dkw)
-        jax.block_until_ready(r)
+
+        def _run():
+            r = device_solve_lp(jnp.asarray(np.asarray(A)),
+                                jnp.asarray(std.b), jnp.asarray(std.c),
+                                **dkw)
+            jax.block_until_ready(r)
+            return r
+
+        # concurrent FIRST-TIME pjit compiles from pool threads can
+        # crash jaxlib (observed segfault); serialize the
+        # compile-triggering call per distinct shape+options, let
+        # warm-cache solves run fully concurrent (run_suite --threads)
+        sig = (A.shape, tuple(sorted(dkw.items())))
+        if sig not in _device_seen_shapes:
+            with _device_compile_lock:
+                r = _run()
+                _device_seen_shapes.add(sig)
+        else:
+            r = _run()
         code = int(r.status)
         sol = LPSolution(
             x=np.asarray(r.x), y=np.asarray(r.y), s=np.asarray(r.s),

@@ -335,6 +335,21 @@ class ConicWorkspace:
             or settings.linsys == "cg"
             or (settings.linsys == "auto" and n > 4096)
         )
+        if (not use_cg and settings.dense_mode == "inverse_mixed"
+                and settings.rho_y < 1e-4 and n >= 500):
+            # measured: inverse_mixed at conic defaults (rho_y=1e-6)
+            # stalled a dim-1020 instance for 85k iterations --
+            # cond(S) ~ 1/rho_y exceeds what the mode's 3 IR steps
+            # against the f32 inverse can recover at this size
+            import warnings
+
+            warnings.warn(
+                "dense_mode='inverse_mixed' with rho_y < 1e-4 on a "
+                f"dim-{n} system may stall (cond(S) ~ "
+                f"{1 / settings.rho_y:.0e} exceeds the f32-inverse IR "
+                "budget); prefer dense_mode='chol' or rho_y >= 1e-3",
+                stacklevel=2)
+
         if not use_cg:
             # dense path: one compiled-per-shape setup program
             (self.A, self.Q, self.Q_diag, self.b, self.c, self.scal,
@@ -617,8 +632,9 @@ class ConicWorkspace:
             )
             # one barrier stage = several bounded sprints, so SIGINT and
             # max_time stay responsive inside long stages
+            j_host = 0
             while True:
-                j_cap = min(stgs.max_admm_iters, int(state.j) + chunk)
+                j_cap = min(stgs.max_admm_iters, j_host + chunk)
                 with timers.phase("inner_admm"):
                     state = self._run_inner(
                         state,
@@ -629,21 +645,27 @@ class ConicWorkspace:
                         jnp.asarray(k_cap, jnp.int32),
                         jnp.asarray(j_cap, jnp.int32),
                     )
-                    jax.block_until_ready(state.u)
+                    # ONE gathered transfer per sprint (each separate
+                    # int()/float() costs a device->host round-trip --
+                    # ~ms each through the TPU tunnel)
+                    j_host, err_host, st_host, k_host = (
+                        x.item() for x in jax.device_get(
+                            (state.j, state.err_inner,
+                             state.status, state.k)))
                 timed_out = time.perf_counter() - t0 > stgs.max_time
                 if (
                     interrupted
                     or timed_out
-                    or float(state.err_inner) < tol_inner
-                    or int(state.status) != 0
-                    or int(state.j) >= stgs.max_admm_iters
-                    or int(state.k) >= k_cap
+                    or err_host < tol_inner
+                    or st_host != 0
+                    or j_host >= stgs.max_admm_iters
+                    or k_host >= k_cap
                 ):
                     break
             if interrupted:
                 status = Status.SIGINT
                 break
-            inner_status = int(state.status)
+            inner_status = st_host
             if inner_status != 0:
                 status = inner_status
                 res_np = jax.tree.map(float, state.res)._asdict()
@@ -654,13 +676,13 @@ class ConicWorkspace:
                 r = self._calc_residuals(state.u, state.v_origin, state.res)
                 res_np = jax.tree.map(float, r)._asdict()
             state = state._replace(res=r)
-            log.row(i, int(state.k), mu, res_np,
+            log.row(i, k_host, mu, res_np,
                     res_np["pobj"], res_np["dobj"])
             status = int(self._has_converged(
-                r, jnp.asarray((i > 0) and int(state.k) > 0)))
+                r, jnp.asarray((i > 0) and k_host > 0)))
             if (
                 status != 0
-                or int(state.k) + 1 >= k_cap
+                or k_host + 1 >= k_cap
                 or timed_out
             ):
                 break

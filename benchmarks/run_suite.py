@@ -82,8 +82,40 @@ def run_mps(paths, eps, outdir, crossover=False, threads=1, **overrides):
                    "time": time.perf_counter() - t0}
         return name, rec
 
+    serial_first = []
+    if overrides.get("method") == "device" and threads > 1:
+        # XLA compiles MUST happen on the main thread (worker-thread
+        # compiles can segfault jaxlib -- see run_sedumi): presolve to
+        # find the first path of each distinct standard-form shape and
+        # solve those serially; the pool then hits only warm caches.
+        # --bucket makes shapes repeat, which is what makes the pool
+        # phase worthwhile.
+        from abip_tpu.io.mps import read_mps
+        from abip_tpu.io.presolve import pad_standard, presolve_to_standard
+
+        seen = set()
+        for p in paths:
+            try:
+                std = presolve_to_standard(read_mps(p))
+                if overrides.get("pad_bucket"):
+                    std = pad_standard(std, overrides["pad_bucket"])
+                sig = std.A.shape
+            except Exception:  # noqa: BLE001 -- let one() log the failure
+                continue
+            if sig not in seen:
+                seen.add(sig)
+                serial_first.append(p)
+
+    recs = {}
+    for p in serial_first:
+        recs[p] = one(p)
+    pooled = [p for p in paths if p not in recs]
+    for p, res in zip(pooled, pool_map(one, pooled, threads)):
+        recs[p] = res
+
     out = []
-    for name, rec in pool_map(one, paths, threads):
+    for p in paths:        # emit in input order regardless of phase
+        name, rec = recs[p]
         out.append(rec)
         _write(outdir, name, rec)
         print(json.dumps(rec))
@@ -174,9 +206,9 @@ def run_sedumi(paths, eps, outdir, threads=1, device=False, **overrides):
             A = A.toarray() if hasattr(A, "toarray") else np.asarray(A)
             r = solve_qcp_device(
                 jnp.asarray(A), jnp.asarray(b), jnp.asarray(c),
-                cones=cones, eps=eps, precision="mixed", normalize=True,
-                rho_y=1e-3, max_admm=1_000_000, solver="inverse",
-                inner_crit_period=8, **overrides)
+                cones=cones, eps=eps, precision="mixed",
+                normalize=True, rho_y=1e-3, max_admm=1_000_000,
+                solver="inverse", inner_crit_period=8, **overrides)
             jax.block_until_ready(r)
             rec = {
                 "name": name, "status": Status.name(int(r.status)),
@@ -216,8 +248,34 @@ def run_sedumi(paths, eps, outdir, threads=1, device=False, **overrides):
     if device:
         one = one_device
 
+    serial_first = []
+    if device and threads > 1:
+        # XLA compilation MUST happen on the main thread: a worker
+        # thread triggering a compile can segfault jaxlib (observed,
+        # reproducibly, late in long processes).  Solve the first
+        # instance of each distinct shape serially here (compiling it);
+        # the pool then runs only warm-cache solves.
+        from abip_tpu.io.sedumi import _convert_mat_dict, _read_mat
+
+        seen = set()
+        for p in paths:
+            A, _b, _c, cones, _ = _convert_mat_dict(_read_mat(p))
+            sig = (A.shape, cones)
+            if sig not in seen:
+                seen.add(sig)
+                serial_first.append(p)
+
+    recs = {}
+    for p in serial_first:
+        name, rec = one(p)
+        recs[p] = (name, rec)
+    pooled = [p for p in paths if p not in recs]
+    for p, res in zip(pooled, pool_map(one, pooled, threads)):
+        recs[p] = res
+
     out = []
-    for name, rec in pool_map(one, paths, threads):
+    for p in paths:        # emit in input order regardless of phase
+        name, rec = recs[p]
         out.append(rec)
         _write(outdir, name, rec)
         print(json.dumps(rec))
