@@ -201,6 +201,11 @@ def solve_mps(path: str, settings=None, dense: bool = True,
         # dispatch per solve releases the GIL for the full solve, so
         # threaded suite runs scale on the host (same rationale as
         # `solve_qcp_device`); also the TPU-fast path.
+        if settings is not None:
+            raise ValueError(
+                "method='device' does not take a Settings object "
+                "(device_solve_lp has its own keyword set); pass its "
+                "options as keyword overrides instead")
         import time as _time
 
         import jax

@@ -36,10 +36,13 @@ class DenseSchurSolver:
     software-emulated (~30x slower) on TPU v5e.
     """
 
-    def __init__(self, A, Q, rho_y_vec, rho_x_vec, mode="chol"):
+    def __init__(self, A, Q, rho_y_vec, rho_x_vec, mode="chol",
+                 form="auto"):
         # A: (m, n) dense; Q: (n, n) dense, (n,) diagonal, or None
         if mode not in ("chol", "inverse_mixed"):
             raise ValueError(f"unknown dense mode: {mode!r}")
+        if form not in ("auto", "primal", "woodbury"):
+            raise ValueError(f"unknown form: {form!r}")
         self.A = A
         self.Q = Q
         self.mode = mode
@@ -47,20 +50,35 @@ class DenseSchurSolver:
         m, n = A.shape
         q_diag = Q if (Q is not None and Q.ndim == 1) else None
 
-        # Dual (Woodbury) form: when H = Q + R_x is DIAGONAL and m < n,
-        # factor the m x m  G = R_y + A H^-1 A'  instead of the n x n S.
-        # This is the reference's per-shape KKT dispatch
-        # (`lasso_config.c:507-565` chooses (1/2 I + A'D^-1 A) vs
-        # (D + 2AA') by shape) generalized to the generic config: with
-        # u = G^-1 A H^-1 rhs the solution collapses to
+        # Dual (Woodbury) form: when H = Q + R_x is DIAGONAL, factor the
+        # m x m  G = R_y + A H^-1 A'  instead of the n x n S.  This is
+        # the reference's per-shape KKT dispatch (`lasso_config.c:507-565`
+        # chooses (1/2 I + A'D^-1 A) vs (D + 2AA') by shape) generalized
+        # to the generic config: with u = G^-1 A H^-1 rhs the solution
+        # collapses to
         #   z_x = H^-1 (rhs - A'u),   z_y = R_y^-1 w_y - u,
-        # i.e. 3 A-products + one m^2 trisolve per apply versus
-        # 2 A-products + n^2 trisolves -- strictly fewer flops for m < n
-        # (measured 2.8x on dim-1000 mixed-cone instances).
+        # i.e. 3 A-products + 2 m^2 trisolves per apply versus
+        # 2 A-products + 2 n^2 trisolves.  Flop crossover: Woodbury wins
+        # when 2m^2 + mn < 2n^2, i.e. m < 0.78n; form="auto" uses the
+        # slightly conservative 4m <= 3n (measured 2.8x per-apply on
+        # dim-1000 mixed-cone instances at m = n/3).  The batched device
+        # driver's mixed-precision auto rule is tighter (2m <= n) because
+        # its anchored IR adds two more A-products per apply.
         # mode="inverse_mixed" keeps the primal form (its equilibrated
         # f32 inverse is defined on S).
+        diagonal_H = Q is None or q_diag is not None
+        if form == "woodbury" and not diagonal_H:
+            raise ValueError("form='woodbury' requires Q diagonal or None")
+        if form == "woodbury" and mode == "inverse_mixed":
+            raise ValueError("mode='inverse_mixed' is defined on the "
+                             "primal Schur complement S")
+        use_woodbury = (
+            form == "woodbury"
+            or (form == "auto" and mode == "chol" and diagonal_H
+                and 4 * m <= 3 * n)
+        )
         self.form = "primal"
-        if mode == "chol" and m < n and (Q is None or q_diag is not None):
+        if use_woodbury:
             self.form = "woodbury"
             H = rho_x_vec + (q_diag if q_diag is not None else 0.0)
             self.H_inv = 1.0 / H

@@ -27,7 +27,7 @@ import numpy as np
 
 from .problem import LinearOperator
 from .linsys import make_solver  # noqa: F401  (public seam, used by conic path)
-from .scaling import equilibrate, ScalingData
+from .scaling import equilibrate, normalize_bc, ScalingData
 from .settings import Settings, Status
 from . import schedules
 from . import hsd
@@ -324,12 +324,7 @@ def _lp_dense_setup_shared(A, b, c, *, stgs):
 
     if stgs.normalize:
         A_s, scal = equilibrate(A, stgs)
-        c_s = c / scal.E
-        sc_c = scal.mean_norm_row / jnp.maximum(jnp.linalg.norm(c_s), 1e-3)
-        b_s = b / scal.D
-        sc_b = scal.mean_norm_col / jnp.maximum(jnp.linalg.norm(b_s), 1e-3)
-        c_s = c_s * sc_c * stgs.scale
-        b_s = b_s * sc_b * stgs.scale
+        b_s, c_s, sc_b, sc_c = normalize_bc(scal, b, c, stgs.scale)
     else:
         A_s, b_s, c_s = A, b, c
         scal = ScalingData(
@@ -431,13 +426,7 @@ class LPWorkspace:
             from .scaling import equilibrate_sparse
 
             A_s, scal = equilibrate_sparse(A, settings)
-            # b/c normalization (`normalize.c:11-40`)
-            c_s = c / scal.E
-            sc_c = scal.mean_norm_row / jnp.maximum(jnp.linalg.norm(c_s), 1e-3)
-            b_s = b / scal.D
-            sc_b = scal.mean_norm_col / jnp.maximum(jnp.linalg.norm(b_s), 1e-3)
-            c_s = c_s * sc_c * settings.scale
-            b_s = b_s * sc_b * settings.scale
+            b_s, c_s, sc_b, sc_c = normalize_bc(scal, b, c, settings.scale)
         else:
             A_s, b_s, c_s = A, b, c
             scal = ScalingData(

@@ -37,7 +37,7 @@ import jax
 import jax.numpy as jnp
 
 from .. import hsd
-from ..scaling import equilibrate
+from ..scaling import equilibrate, normalize_bc
 from ..settings import Settings
 
 f32 = jnp.float32
@@ -138,12 +138,7 @@ def device_solve_lp(A, b, c, *, eps=1e-6, max_ipm=200, max_admm=200_000,
         stg = Settings(pc_ruiz_rescale=True, origin_rescale=False,
                        qp_rescale=False, ruiz_iter=ruiz_iter, scale=scale)
         A_s, scal = equilibrate(A, stg)
-        c_s = c / scal.E
-        sc_c = scal.mean_norm_row / jnp.maximum(jnp.linalg.norm(c_s), 1e-3)
-        b_s = b / scal.D
-        sc_b = scal.mean_norm_col / jnp.maximum(jnp.linalg.norm(b_s), 1e-3)
-        c_s = c_s * sc_c * scale
-        b_s = b_s * sc_b * scale
+        b_s, c_s, sc_b, sc_c = normalize_bc(scal, b, c, scale)
         D, E = scal.D, scal.E
     else:
         A_s, b_s, c_s = A, b, c

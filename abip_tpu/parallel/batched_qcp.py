@@ -20,6 +20,7 @@ import jax.numpy as jnp
 
 from .. import conic_ops
 from ..cones import ConeLayout, ConeSpec
+from ..linsys.schur import DenseSchurSolver
 
 
 class ConicDeviceResult(NamedTuple):
@@ -132,17 +133,24 @@ def _device_solve_qcp(A, b, c, Q_diag, layout: ConeLayout, *, eps, max_ipm,
         woodbury = form == "woodbury"
     if woodbury and m >= n:
         raise ValueError("form='woodbury' requires m < n")
+    # The f64 factor + solve algebra lives ONCE in DenseSchurSolver
+    # (registered pytree, safe to close over in the jitted program); the
+    # driver only adds the f32/anchored variants around its factors.
+    dss = DenseSchurSolver(A, Q_diag, rho[:m], rho[m : m + n],
+                           mode="chol",
+                           form="woodbury" if woodbury else "primal")
+
+    def solve_fn(w_y, w_x, k, warm):
+        return dss.solve(w_y, w_x)
+
     if woodbury:
-        H = rho_x + (Q_diag if Q_diag is not None else 0.0)
-        H = jnp.broadcast_to(jnp.asarray(H, dtype), (n,))
-        H_inv = 1.0 / H
+        H_inv = dss.H_inv
+        H = 1.0 / H_inv
         H_inv32 = H_inv.astype(f32)
-        G = rho_y * jnp.eye(m, dtype=dtype) + (A * H_inv[None, :]) @ A.T
-        cholG = jax.lax.linalg.cholesky(G)
-        cholG32 = cholG.astype(f32)
+        cholG32 = dss.cholG.astype(f32)
         if solver == "inverse":
             Ginv32 = jax.scipy.linalg.cho_solve(
-                (cholG, True), jnp.eye(m, dtype=dtype)).astype(f32)
+                (dss.cholG, True), jnp.eye(m, dtype=dtype)).astype(f32)
 
             def gsolve32(r32):
                 return Ginv32 @ r32
@@ -156,15 +164,6 @@ def _device_solve_qcp(A, b, c, Q_diag, layout: ConeLayout, *, eps, max_ipm,
             u = gsolve32(A32 @ t)
             return t - H_inv32 * (A32.T @ u)
 
-        def solve_fn(w_y, w_x, k, warm):
-            rhs = w_x + A.T @ (ry_inv * w_y)
-            t = H_inv * rhs
-            u = jax.scipy.linalg.cho_solve((cholG, True), A @ t)
-            z_x = t - H_inv * (A.T @ u)
-            # A z_x = rho_y o u exactly (G u = A t), so z_y simplifies
-            z_y = ry_inv * w_y - u
-            return z_y, z_x, jnp.zeros((), jnp.int32)
-
         def S_times32(dz32):
             """f32 S @ dz matrix-free (for anchored IR): S = H + A'Ry^-1 A."""
             return H * (dz32.astype(f64)) + (
@@ -173,27 +172,20 @@ def _device_solve_qcp(A, b, c, Q_diag, layout: ConeLayout, *, eps, max_ipm,
         S = (A * ry_inv[:, None]).T @ A + rho_x * jnp.eye(n, dtype=dtype)
         if Q_diag is not None:
             S = S + jnp.diag(Q_diag)
-        chol = jax.lax.linalg.cholesky(S)
         S32 = S.astype(f32)
-        chol32 = chol.astype(f32)
+        chol32 = dss.chol.astype(f32)
         if solver == "inverse":
             # explicit inverse: one f32 matmul per apply instead of two
             # triangular solves (MXU-friendly; same trick as the LP driver,
             # accuracy restored by the anchored IR against S)
             Sinv32 = jax.scipy.linalg.cho_solve(
-                (chol, True), jnp.eye(n, dtype=dtype)).astype(f32)
+                (dss.chol, True), jnp.eye(n, dtype=dtype)).astype(f32)
 
             def solve32(r32):
                 return Sinv32 @ r32
         else:
             def solve32(r32):
                 return jax.scipy.linalg.cho_solve((chol32, True), r32)
-
-        def solve_fn(w_y, w_x, k, warm):
-            rhs = w_x + A.T @ (ry_inv * w_y)
-            z_x = jax.scipy.linalg.cho_solve((chol, True), rhs)
-            z_y = ry_inv * (w_y - A @ z_x)
-            return z_y, z_x, jnp.zeros((), jnp.int32)
 
         def S_times32(dz32):
             return (S32 @ dz32).astype(f64)

@@ -231,6 +231,21 @@ def equilibrate_sparse(A, settings):
     )
 
 
+def normalize_bc(scal: ScalingData, b, c, scale):
+    """b/c normalization after equilibration (`normalize.c:11-40`).
+
+    Jit-safe; the single source for the sequence shared by the LP
+    workspace (dense and sparse setup) and the device driver:
+    scale each vector by the equilibration diagonals, then by
+    mean-norm / max(||.||, 1e-3), then by the global `scale`.
+    Returns (b_s, c_s, sc_b, sc_c)."""
+    c_s = c / scal.E
+    sc_c = scal.mean_norm_row / jnp.maximum(jnp.linalg.norm(c_s), 1e-3)
+    b_s = b / scal.D
+    sc_b = scal.mean_norm_col / jnp.maximum(jnp.linalg.norm(b_s), 1e-3)
+    return b_s * sc_b * scale, c_s * sc_c * scale, sc_b, sc_c
+
+
 def equilibrate(A: jnp.ndarray, settings) -> tuple[jnp.ndarray, ScalingData]:
     """Full pipeline (`common.c:150-565`): pc -> origin -> ruiz -> qp.
 

@@ -56,12 +56,47 @@ def _mps_name(path):
     return name
 
 
+def _pool_ordered(paths, one, threads, outdir, sig_fn=None):
+    """Run one(path) over paths with a thread pool; emit in input order.
+
+    sig_fn(path) -> hashable shape signature (or None on parse failure)
+    enables the device-route compile discipline: XLA compiles MUST
+    happen on the main thread (a worker thread triggering a compile can
+    segfault jaxlib), so the first path of each distinct signature is
+    solved serially here and the pool runs only warm-cache solves.
+    """
+    from abip_tpu.parallel.host_pool import pool_map
+
+    serial_first = []
+    if sig_fn is not None and threads > 1:
+        seen = set()
+        for p in paths:
+            sig = sig_fn(p)
+            if sig is not None and sig not in seen:
+                seen.add(sig)
+                serial_first.append(p)
+
+    recs = {}
+    for p in serial_first:
+        recs[p] = one(p)
+    pooled = [p for p in paths if p not in recs]
+    for p, res in zip(pooled, pool_map(one, pooled, threads)):
+        recs[p] = res
+
+    out = []
+    for p in paths:        # emit in input order regardless of phase
+        name, rec = recs[p]
+        out.append(rec)
+        _write(outdir, name, rec)
+        print(json.dumps(rec))
+    return out
+
+
 def run_mps(paths, eps, outdir, crossover=False, threads=1, **overrides):
     """threads>1 solves suite instances concurrently (host_pool; suite
     wall-clock drops ~cores-fold on CPU, but per-instance times then
     include contention -- keep threads=1 for SGM-comparable timings."""
     from abip_tpu.io.presolve import solve_mps
-    from abip_tpu.parallel.host_pool import pool_map
 
     def one(path):
         name = _mps_name(path)
@@ -82,44 +117,26 @@ def run_mps(paths, eps, outdir, crossover=False, threads=1, **overrides):
                    "time": time.perf_counter() - t0}
         return name, rec
 
-    serial_first = []
-    if overrides.get("method") == "device" and threads > 1:
-        # XLA compiles MUST happen on the main thread (worker-thread
-        # compiles can segfault jaxlib -- see run_sedumi): presolve to
-        # find the first path of each distinct standard-form shape and
-        # solve those serially; the pool then hits only warm caches.
+    sig_fn = None
+    if overrides.get("method") == "device":
+        # shape signature = presolved (padded) standard form; this
+        # re-parses each file once (the shape is unknowable without
+        # presolve), acceptable host-side cost next to the solves.
         # --bucket makes shapes repeat, which is what makes the pool
         # phase worthwhile.
         from abip_tpu.io.mps import read_mps
         from abip_tpu.io.presolve import pad_standard, presolve_to_standard
 
-        seen = set()
-        for p in paths:
+        def sig_fn(p):
             try:
                 std = presolve_to_standard(read_mps(p))
                 if overrides.get("pad_bucket"):
                     std = pad_standard(std, overrides["pad_bucket"])
-                sig = std.A.shape
+                return std.A.shape
             except Exception:  # noqa: BLE001 -- let one() log the failure
-                continue
-            if sig not in seen:
-                seen.add(sig)
-                serial_first.append(p)
+                return None
 
-    recs = {}
-    for p in serial_first:
-        recs[p] = one(p)
-    pooled = [p for p in paths if p not in recs]
-    for p, res in zip(pooled, pool_map(one, pooled, threads)):
-        recs[p] = res
-
-    out = []
-    for p in paths:        # emit in input order regardless of phase
-        name, rec = recs[p]
-        out.append(rec)
-        _write(outdir, name, rec)
-        print(json.dumps(rec))
-    return out
+    return _pool_ordered(paths, one, threads, outdir, sig_fn)
 
 
 def run_highs(paths, outdir):
@@ -188,7 +205,6 @@ def run_sedumi(paths, eps, outdir, threads=1, device=False, **overrides):
     on the host too (the host driver's sprint cadence serializes there;
     measured 2.4x the reference binary at W=4 on the dim-204 class)."""
     from abip_tpu.io.sedumi import solve_sedumi
-    from abip_tpu.parallel.host_pool import pool_map
 
     def one_device(path):
         import jax
@@ -245,41 +261,19 @@ def run_sedumi(paths, eps, outdir, threads=1, device=False, **overrides):
                    "time": time.perf_counter() - t0}
         return name, rec
 
+    sig_fn = None
     if device:
         one = one_device
-
-    serial_first = []
-    if device and threads > 1:
-        # XLA compilation MUST happen on the main thread: a worker
-        # thread triggering a compile can segfault jaxlib (observed,
-        # reproducibly, late in long processes).  Solve the first
-        # instance of each distinct shape serially here (compiling it);
-        # the pool then runs only warm-cache solves.
         from abip_tpu.io.sedumi import _convert_mat_dict, _read_mat
 
-        seen = set()
-        for p in paths:
-            A, _b, _c, cones, _ = _convert_mat_dict(_read_mat(p))
-            sig = (A.shape, cones)
-            if sig not in seen:
-                seen.add(sig)
-                serial_first.append(p)
+        def sig_fn(p):
+            try:
+                A, _b, _c, cones, _ = _convert_mat_dict(_read_mat(p))
+                return (A.shape, cones)
+            except Exception:  # noqa: BLE001 -- let one() log the failure
+                return None
 
-    recs = {}
-    for p in serial_first:
-        name, rec = one(p)
-        recs[p] = (name, rec)
-    pooled = [p for p in paths if p not in recs]
-    for p, res in zip(pooled, pool_map(one, pooled, threads)):
-        recs[p] = res
-
-    out = []
-    for p in paths:        # emit in input order regardless of phase
-        name, rec = recs[p]
-        out.append(rec)
-        _write(outdir, name, rec)
-        print(json.dumps(rec))
-    return out
+    return _pool_ordered(paths, one, threads, outdir, sig_fn)
 
 
 def run_mps_batched(paths, eps, outdir, precision="f64"):

@@ -69,7 +69,10 @@ def main(argv=None):
                     help="run each timed section N times, record the "
                     "fastest (this VM has noisy CPU steal; best-of-N "
                     "gives each side its clean-run rate)")
-    ap.add_argument("--cpu", action="store_true", default=True)
+    ap.add_argument("--cpu", action=argparse.BooleanOptionalAction,
+                    default=True,
+                    help="force the CPU backend (default; --no-cpu "
+                    "leaves the accelerator backend active)")
     ap.add_argument("-o", "--out", default=None)
     args = ap.parse_args(argv)
 
