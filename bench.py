@@ -176,6 +176,36 @@ def _device_alive():
     return True
 
 
+def _emit(out):
+    """Print the bench line, attaching recorded cross-suite context.
+
+    The driver records ONE line; the conic and at-scale head-to-heads
+    live as committed artifacts -- surface their headline ratios here so
+    the single line carries the round's full measured picture."""
+    recorded = {}
+    here = os.path.dirname(os.path.abspath(__file__))
+    for key, path, field in (
+        ("conic_dim204_device_pool_vs_ref",
+         "benchmarks/results/r02_conic_throughput.json",
+         ("device_pool", "vs_reference")),
+        ("conic_dim1020_device_pool_vs_ref",
+         "benchmarks/results/r02_conic_throughput_dim1020.json",
+         ("device_pool", "vs_reference")),
+        ("lp_m500_n5000_device_pool_wall_vs_ref",
+         "benchmarks/results/r02_lp_throughput_m500.json",
+         ("device_pool", "wall_speedup_vs_reference")),
+    ):
+        try:
+            with open(os.path.join(here, path)) as f:
+                d = json.load(f)
+            recorded[key] = d[field[0]][field[1]]
+        except Exception:  # noqa: BLE001 -- context only, never fail bench
+            pass
+    if recorded:
+        out.setdefault("detail", {})["recorded_artifacts"] = recorded
+    print(json.dumps(out))
+
+
 def _speed_of_light(shape, kw, B):
     """Roofline ceiling for the current config: measured/ceiling fraction
     is the reference-style per-iteration cost report
@@ -268,7 +298,7 @@ def _bench_inner():
                 **sol,
             },
         }
-        print(json.dumps(out))
+        _emit(out)
         return
 
     if os.environ.get("ABIP_BENCH_SINGLE"):
@@ -306,7 +336,7 @@ def _bench_inner():
                 **sol,
             },
         }
-        print(json.dumps(out))
+        _emit(out)
         return
 
     B = int(os.environ.get("ABIP_BENCH_B", "16"))
@@ -350,7 +380,7 @@ def _bench_inner():
             **sol,
         },
     }
-    print(json.dumps(out))
+    _emit(out)
 
 
 if __name__ == "__main__":
