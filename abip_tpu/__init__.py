@@ -38,6 +38,8 @@ from .lp import solve_lp, LPWorkspace, LPSolution  # noqa: E402
 from .cones import ConeSpec                     # noqa: E402
 from .qcp import solve_qcp, ConicWorkspace, ConicSolution, conic_defaults  # noqa: E402
 from .pdhg import solve_lp_pdhg                 # noqa: E402
+from .diff import (solve_lp_grad, solve_qcp_grad, solve_lasso_grad,  # noqa: E402
+                   solve_svm_grad)
 
 __version__ = "0.1.0"
 
@@ -56,5 +58,9 @@ __all__ = [
     "ConicSolution",
     "conic_defaults",
     "solve_lp_pdhg",
+    "solve_lp_grad",
+    "solve_qcp_grad",
+    "solve_lasso_grad",
+    "solve_svm_grad",
     "__version__",
 ]
