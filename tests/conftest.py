@@ -10,6 +10,14 @@ import os
 # backend, so the JAX_PLATFORMS env var alone cannot switch to CPU -- use
 # the config API, which wins over the plugin registration.
 os.environ["JAX_PLATFORMS"] = "cpu"
+
+# Persistent compilation cache by default: the suite compiles hundreds of
+# distinct programs per process, and this jaxlib's LLVM codegen can
+# (rarely, flakily) SEGFAULT on a late-process compile -- warm cache hits
+# skip codegen entirely, which both speeds re-runs up ~2x and shrinks the
+# crash surface to the first cold run.  Opt out with ABIP_TEST_NO_CACHE=1.
+if not os.environ.get("ABIP_TEST_NO_CACHE"):
+    os.environ.setdefault("ABIP_COMPILE_CACHE", "/tmp/abip_test_cache")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -22,6 +30,23 @@ jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _bound_compile_accumulation():
+    """Drop in-memory compiled executables between test modules.
+
+    This image's jaxlib flakily SEGFAULTS in executable handling
+    (backend_compile / cache serialize / cache deserialize) once a long
+    process has accumulated several hundred live compiled programs; the
+    same programs compile, serialize, and load fine in a short process.
+    Clearing per module keeps the accumulation bounded, and the
+    persistent disk cache (above) makes the re-loads cheap.
+    """
+    yield
+    import jax
+
+    jax.clear_caches()
 
 
 @pytest.fixture
