@@ -1,0 +1,263 @@
+"""One-shot TPU measurement battery: run the moment the axon tunnel is up.
+
+The tunnel in this image is single-client and historically fragile
+(wedges if a client dies mid-remote-compile), so a recovery window may be
+brief.  This script converts one window into the round's full TPU
+evidence in a single process, writing results INCREMENTALLY after every
+stage to ``benchmarks/results/r02_tpu_session.json`` -- a wedge mid-way
+still leaves everything measured so far on disk.
+
+Stages (each independently try/except'd):
+
+  1. backend enumeration + first-compile latency
+  2. compiled-Pallas validation vs the identical-math XLA fallbacks
+     (BCSR SpMV, fused barrier step, fused ADMM sprint) -- the VERDICT
+     round-1 item "kernels execute compiled on TPU"
+  3. single-instance anchored-mixed LP solve rate (fresh timed data)
+  4. batched LP rates: B=16 then B=64 (`solve_lp_batch`, one program)
+  5. conic device solve rate (dim-1020 class)
+
+Timing rules honored: fresh input data for every timed run (remote
+execution caches), block_until_ready everywhere, persistent compile
+cache shared with bench.py so a later bench.py run reuses programs.
+
+Usage::
+
+    timeout 3000 python tools/tpu_session.py        # never kill mid-compile
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                   "benchmarks", "results", "r02_tpu_session.json")
+
+
+def _save(results):
+    results["updated"] = time.strftime("%Y-%m-%d %H:%M:%S UTC", time.gmtime())
+    with open(OUT, "w") as f:
+        json.dump(results, f, indent=1)
+    print(f"[saved {OUT}]", flush=True)
+
+
+def _stage(results, name):
+    """Decorator: run stage, record result or error, save incrementally.
+
+    Stages named in ABIP_TPU_SESSION_SKIP (comma list) are skipped --
+    e.g. skip lp_batch_64 when the recovery window looks short."""
+    def wrap(fn):
+        skip = os.environ.get("ABIP_TPU_SESSION_SKIP", "").split(",")
+        if name in skip:
+            results[name] = {"skipped": True}
+            _save(results)
+            return
+        t0 = time.perf_counter()
+        try:
+            results[name] = fn()
+            results[name]["stage_sec"] = round(time.perf_counter() - t0, 2)
+            print(f"[{name}] ok in {results[name]['stage_sec']}s", flush=True)
+        except Exception as e:  # noqa: BLE001 -- battery must keep going
+            results[name] = {"error": f"{type(e).__name__}: {e}"}
+            print(f"[{name}] FAILED: {e}", flush=True)
+        _save(results)
+    return wrap
+
+
+def main():
+    allow_cpu = "--allow-cpu" in sys.argv  # smoke-testing the battery itself
+    os.environ.setdefault("ABIP_COMPILE_CACHE", "/tmp/abip_bench_cache")
+    import jax
+
+    if allow_cpu:
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ["ABIP_COMPILE_CACHE"])
+    import jax.numpy as jnp
+
+    import abip_tpu  # noqa: F401  (x64 enable)
+
+    results: dict = {"purpose": "round-2 TPU battery (tools/tpu_session.py)"}
+
+    @_stage(results, "backend")
+    def backend():
+        t0 = time.perf_counter()
+        devs = jax.devices()
+        enum_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        x = jnp.asarray(np.random.default_rng(0)
+                        .standard_normal((256, 256)).astype(np.float32))
+        jax.jit(lambda a: a @ a)(x).block_until_ready()
+        return {
+            "backend": jax.default_backend(),
+            "devices": [str(d) for d in devs],
+            "enumerate_sec": round(enum_s, 2),
+            "first_compile_sec": round(time.perf_counter() - t0, 2),
+        }
+
+    if results["backend"].get("backend") in (None, "cpu") and not allow_cpu:
+        print("no accelerator backend; aborting battery", flush=True)
+        return 1
+
+    @_stage(results, "pallas_compiled")
+    def pallas():
+        import scipy.sparse as sp
+
+        from abip_tpu.ops.admm_pallas import fused_admm_sprint
+        from abip_tpu.ops.prox_pallas import fused_barrier_step
+        from abip_tpu.ops.spmv_pallas import BCSRMatrix, bcsr_matvec
+
+        rng = np.random.default_rng(7)
+        out = {}
+
+        As = sp.random(128, 512, density=0.1, random_state=7, format="csr")
+        B = BCSRMatrix.from_scipy(As)
+        x = jnp.asarray(rng.standard_normal(512).astype(np.float32))
+        y_xla = np.asarray(bcsr_matvec(B, x, use_pallas=False))
+        y_pal = np.asarray(bcsr_matvec(B, x, use_pallas=True))
+        out["bcsr_max_abs_err"] = float(np.abs(y_pal - y_xla).max())
+
+        l = 128 + 512 + 1
+        ut = jnp.asarray(rng.standard_normal(l - 128).astype(np.float32))
+        up = jnp.asarray(np.abs(rng.standard_normal(l - 128))
+                         .astype(np.float32))
+        v = jnp.asarray(np.abs(rng.standard_normal(l - 128))
+                        .astype(np.float32))
+        ux, vx = fused_barrier_step(ut, up, v, 0.05, 1.8, use_pallas=False)
+        upal, vpal = fused_barrier_step(ut, up, v, 0.05, 1.8, use_pallas=True)
+        out["barrier_max_abs_err"] = float(max(
+            np.abs(np.asarray(upal) - np.asarray(ux)).max(),
+            np.abs(np.asarray(vpal) - np.asarray(vx)).max()))
+
+        m, n = 64, 256
+        l = m + n + 1
+        A = rng.standard_normal((m, n)).astype(np.float32)
+        Ninv = np.linalg.inv(1e-3 * np.eye(m) + A @ A.T).astype(np.float32)
+        h = rng.standard_normal(l).astype(np.float32)
+        g = rng.standard_normal(l).astype(np.float32)
+        u = np.abs(rng.standard_normal(l)).astype(np.float32)
+        vv = np.abs(rng.standard_normal(l)).astype(np.float32)
+        args = (jnp.asarray(A), jnp.asarray(Ninv), jnp.asarray(h),
+                jnp.asarray(g), 1e-3, 0.7, 0.05, 1.8, jnp.asarray(u),
+                jnp.asarray(vv))
+        sx = fused_admm_sprint(*args, T=16, use_pallas=False)
+        spal = fused_admm_sprint(*args, T=16, use_pallas=True)
+        out["sprint_max_abs_err"] = float(max(
+            np.abs(np.asarray(spal[0]) - np.asarray(sx[0])).max(),
+            np.abs(np.asarray(spal[1]) - np.asarray(sx[1])).max()))
+
+        # per-launch latency of the compiled sprint (T=16 iters/launch)
+        jax.block_until_ready(fused_admm_sprint(*args, T=16, use_pallas=True))
+        t0 = time.perf_counter()
+        reps = 20
+        for _ in range(reps):
+            r = fused_admm_sprint(*args, T=16, use_pallas=True)
+        jax.block_until_ready(r)
+        out["sprint_launch_us"] = round(
+            (time.perf_counter() - t0) / reps * 1e6, 1)
+        out["validated"] = (out["bcsr_max_abs_err"] < 1e-4
+                            and out["barrier_max_abs_err"] < 1e-4
+                            and out["sprint_max_abs_err"] < 1e-3)
+        return out
+
+    from bench import _load_baseline, reference_smoke_lp
+
+    base = _load_baseline() or 4514.1
+    kw = dict(eps=1e-6, max_ipm=200, max_admm=200_000, precision="mixed",
+              solver="inverse", qres_period=16, avg_period=20)
+
+    @_stage(results, "lp_single_mixed")
+    def single():
+        from abip_tpu.parallel.batched import device_solve_lp
+
+        A, b, c = reference_smoke_lp(seed=50_000)
+        r = device_solve_lp(jnp.asarray(A), jnp.asarray(b), jnp.asarray(c),
+                            **kw)
+        jax.block_until_ready(r)
+        A, b, c = reference_smoke_lp(seed=50_001)  # fresh timed data
+        t0 = time.perf_counter()
+        r = device_solve_lp(jnp.asarray(A), jnp.asarray(b), jnp.asarray(c),
+                            **kw)
+        jax.block_until_ready(r)
+        dt = time.perf_counter() - t0
+        iters = int(r.admm_iters)
+        return {"iters_per_sec": round(iters / dt, 1),
+                "vs_baseline": round(iters / dt / base, 3),
+                "admm_iters": iters, "status": int(r.status),
+                "rel_gap": float(np.asarray(r.rel_gap))}
+
+    def _batched(B, seed0):
+        from abip_tpu.parallel.batched import solve_lp_batch
+
+        def batch(s0):
+            data = [reference_smoke_lp(seed=s0 + i) for i in range(B)]
+            return (jnp.asarray(np.stack([d[0] for d in data])),
+                    jnp.asarray(np.stack([d[1] for d in data])),
+                    jnp.asarray(np.stack([d[2] for d in data])))
+
+        bkw = {k: v for k, v in kw.items()}
+        t0 = time.perf_counter()
+        r = solve_lp_batch(*batch(seed0), **bkw)
+        jax.block_until_ready(r)
+        compile_plus_first = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        r = solve_lp_batch(*batch(seed0 + B), **bkw)  # fresh timed data
+        jax.block_until_ready(r)
+        dt = time.perf_counter() - t0
+        its = np.asarray(r.admm_iters)
+        st = np.asarray(r.status)
+        return {"B": B, "iters_per_sec": round(float(its.sum()) / dt, 1),
+                "vs_baseline": round(float(its.sum()) / dt / base, 3),
+                "solved": int((st == 1).sum()),
+                "total_admm_iters": int(its.sum()),
+                "wall_sec": round(dt, 3),
+                "first_call_sec": round(compile_plus_first, 1),
+                "rel_gap_max": float(np.asarray(r.rel_gap).max())}
+
+    @_stage(results, "lp_batch_16")
+    def b16():
+        return _batched(16, 60_000)
+
+    @_stage(results, "lp_batch_64")
+    def b64():
+        return _batched(64, 70_000)
+
+    @_stage(results, "conic_device_dim1020")
+    def conic():
+        from abip_tpu.parallel.batched_qcp import solve_qcp_device
+        from tools.conic_bench import family
+
+        insts, cones = family(3, seed0=80_000, scale=5)
+        # the oracle-validated conic_bench device config
+        dkw = dict(cones=cones, eps=1e-6, precision="mixed", normalize=True,
+                   rho_y=1e-3, max_admm=1_000_000,
+                   solver="inverse", inner_crit_period=8)
+
+        def solve(inst):
+            _name, A, b, c, _cn, _pobj = inst
+            r = solve_qcp_device(jnp.asarray(A), jnp.asarray(b),
+                                 jnp.asarray(c), **dkw)
+            jax.block_until_ready(r)
+            return r
+        solve(insts[0])  # warm-up
+        t0 = time.perf_counter()
+        rs = [solve(i) for i in insts[1:]]
+        dt = time.perf_counter() - t0
+        iters = sum(int(r.admm_iters) for r in rs)
+        return {"shape": "dim 1020", "n_timed": len(rs),
+                "iters_per_sec": round(iters / dt, 1),
+                "total_admm_iters": iters,
+                "statuses": [int(r.status) for r in rs]}
+
+    print(json.dumps(results, indent=1))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
