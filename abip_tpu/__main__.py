@@ -1,7 +1,8 @@
-"""Command-line entry: solve MPS or SeDuMi .mat problems.
+"""Command-line entry: solve MPS, SeDuMi .mat, or CBLIB .cbf problems.
 
     python -m abip_tpu problem.mps [--eps 1e-6] [--verbose] [--cpu]
     python -m abip_tpu problem.mat --sedumi [--eps 1e-4]
+    python -m abip_tpu problem.cbf [--eps 1e-4]
 """
 import argparse
 import json
@@ -30,6 +31,12 @@ def main(argv=None):
         from .io.sedumi import solve_sedumi
 
         sol = solve_sedumi(args.path, eps=args.eps, verbose=args.verbose)
+    elif args.path.endswith(".cbf"):
+        from .io.cbf import solve_cbf
+
+        sol, _x, obj = solve_cbf(args.path, eps=args.eps,
+                                 verbose=args.verbose)
+        print(f"objective ({args.path.rsplit('/', 1)[-1]} sense): {obj:.8f}")
     else:
         from .io.presolve import solve_mps
 

@@ -276,6 +276,89 @@ def run_sedumi(paths, eps, outdir, threads=1, device=False, **overrides):
     return _pool_ordered(paths, one, threads, outdir, sig_fn)
 
 
+def run_cbf(paths, eps, outdir, threads=1, device=False, **overrides):
+    """Conic suite runner on native CBLIB .cbf files (the `test_cblib.m`
+    protocol without the Mosek reader).  If the suite directory carries
+    an `optima.json` sidecar ({name: objective in the instance's own
+    sense}), records include the absolute objective error.
+
+    device=True routes through `solve_qcp_device` (one jitted program
+    per solve); see `run_sedumi` for the threading discipline."""
+    import glob as _glob  # noqa: F401  (signature parity with run_sedumi)
+
+    from abip_tpu.io.cbf import read_cbf, solve_cbf
+
+    optima = {}
+    if paths:
+        side = os.path.join(os.path.dirname(paths[0]), "optima.json")
+        if os.path.exists(side):
+            with open(side) as f:
+                optima = json.load(f)
+
+    def _finish(rec, name, obj):
+        rec["pobj"] = obj  # instance-sense objective (MAX stays MAX)
+        star = optima.get(name)
+        if star is not None:
+            rec["pobj_star"] = float(star)
+            rec["obj_err"] = abs(obj - star) / max(1.0, abs(star))
+        return rec
+
+    def one_device(path):
+        import jax
+        import jax.numpy as jnp
+
+        from abip_tpu.parallel.batched_qcp import solve_qcp_device
+        from abip_tpu.settings import Status
+
+        name = os.path.splitext(os.path.basename(path))[0]
+        t0 = time.perf_counter()
+        try:
+            emb = read_cbf(path)
+            r = solve_qcp_device(
+                jnp.asarray(emb.A), jnp.asarray(emb.b), jnp.asarray(emb.c),
+                cones=emb.cones, eps=eps, precision="mixed",
+                normalize=True, rho_y=1e-3, max_admm=1_000_000,
+                solver="inverse", inner_crit_period=8, **overrides)
+            jax.block_until_ready(r)
+            rec = {
+                "name": name, "status": Status.name(int(r.status)),
+                "ipm_iter": int(r.ipm_iters), "admm_iter": int(r.admm_iters),
+                "pres": float(r.res_pri), "dres": float(r.res_dual),
+                "gap": float(r.rel_gap), "dobj": float(r.dobj),
+                "time": time.perf_counter() - t0,
+            }
+            rec = _finish(rec, name, emb.objective(float(r.pobj)))
+        except Exception as e:  # noqa: BLE001 -- a bench run logs failures
+            rec = {"name": name, "status": f"Error: {e}",
+                   "time": time.perf_counter() - t0}
+        return name, rec
+
+    def one(path):
+        name = os.path.splitext(os.path.basename(path))[0]
+        t0 = time.perf_counter()
+        try:
+            sol, _x, obj = solve_cbf(path, eps=eps, **overrides)
+            rec = record(name, sol, time.perf_counter() - t0)
+            rec = _finish(rec, name, obj)
+        except Exception as e:  # noqa: BLE001 -- a bench run logs failures
+            rec = {"name": name, "status": f"Error: {e}",
+                   "time": time.perf_counter() - t0}
+        return name, rec
+
+    sig_fn = None
+    if device:
+        one = one_device
+
+        def sig_fn(p):
+            try:
+                emb = read_cbf(p)
+                return (emb.A.shape, emb.cones)
+            except Exception:  # noqa: BLE001 -- let one() log the failure
+                return None
+
+    return _pool_ordered(paths, one, threads, outdir, sig_fn)
+
+
 def run_mps_batched(paths, eps, outdir, precision="f64"):
     """Presolve every MPS file, pad to common shape, solve as ONE program."""
     import jax
@@ -400,6 +483,9 @@ def _write(outdir, name, rec):
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--mps", help="directory of .mps(.gz) files")
+    ap.add_argument("--cbf",
+                    help="directory of CBLIB .cbf files (native reader; "
+                         "optional optima.json sidecar for oracle checks)")
     ap.add_argument("--sedumi",
                     help="directory of SeDuMi .mat conic instances")
     ap.add_argument("--generated", help="generator spec, e.g. smoke:8")
@@ -470,11 +556,17 @@ def main(argv=None):
             raise SystemExit(f"no .mat files under {args.sedumi}")
         run_sedumi(paths, args.eps, args.outdir, threads=args.threads,
                    device=args.device)
+    elif args.cbf:
+        paths = sorted(glob.glob(os.path.join(args.cbf, "*.cbf")))
+        if not paths:
+            raise SystemExit(f"no .cbf files under {args.cbf}")
+        run_cbf(paths, args.eps, args.outdir, threads=args.threads,
+                device=args.device)
     elif args.generated:
         run_generated(args.generated, args.eps, args.outdir,
                       batched=args.batched, precision=args.precision)
     else:
-        ap.error("one of --mps / --sedumi / --generated is required")
+        ap.error("one of --mps / --sedumi / --cbf / --generated is required")
 
 
 if __name__ == "__main__":
