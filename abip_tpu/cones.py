@@ -370,3 +370,66 @@ def cone_membership_violation(x: jnp.ndarray, layout: ConeLayout) -> jnp.ndarray
             viol, jnp.max(jnp.where(rsoc_blk, bsq - 2.0 * t0 * t1, 0.0))
         )
     return viol
+
+
+def cone_project(z: jnp.ndarray, layout: ConeLayout,
+                 dual: bool = False) -> jnp.ndarray:
+    """Euclidean projection Pi_K(z) (or onto the dual cone K* if dual).
+
+    The barrier prox above is the INTERIOR regularized map the ADMM
+    solver uses; this is the plain projection, needed by first-order
+    competitors (restarted PDHG's x-update) and by the implicit-
+    differentiation layer (`diff.dprojection_dense` is its Jacobian).
+
+    Per block (self-dual blocks project identically under `dual`):
+      free:   z            (dual cone of free is {0})
+      zero:   0            (dual cone of {0} is free)
+      nonneg: max(z, 0)
+      SOC (t, u), nu = ||u||:  z if nu <= t;  0 if nu <= -t;
+          else ((t+nu)/2) * (1, u/nu)                (Moreau three-branch)
+      RSOC: conjugate by the orthogonal rotation H mapping
+          (t1, t2) -> ((t1+t2)/sqrt2, (t1-t2)/sqrt2): Pi_R = H Pi_SOC H.
+    """
+    kind = jnp.asarray(layout.kind)
+    free_k, zero_k = (_ZERO, _FREE) if dual else (_FREE, _ZERO)
+    out = jnp.where(kind == _NONNEG, jnp.maximum(z, 0.0), z)
+    out = jnp.where(kind == zero_k, 0.0, out)
+    out = jnp.where(kind == free_k, z, out)
+    if not layout.has_blocks:
+        return out
+
+    seg = jnp.asarray(layout.seg)
+    nb = layout.num_blocks
+    is_soc = jnp.asarray(layout.kind == _SOC)
+    is_rsoc = jnp.asarray(layout.kind == _RSOC)
+    h1 = jnp.asarray(layout.head == 1) & (is_soc | is_rsoc)
+    h2 = jnp.asarray(layout.head == 2) & is_rsoc
+    body = (is_soc | is_rsoc) & ~h1 & ~h2
+
+    rt2 = jnp.sqrt(jnp.asarray(2.0, z.dtype))
+    t1b = jax.ops.segment_sum(jnp.where(h1, z, 0.0), seg, nb)
+    t2b = jax.ops.segment_sum(jnp.where(h2, z, 0.0), seg, nb)
+    rsoc_blk = jax.ops.segment_sum(is_rsoc.astype(z.dtype), seg, nb) > 0
+    # SOC head in rotated coordinates; the rotated RSOC "b" component
+    # joins the body norm
+    t_blk = jnp.where(rsoc_blk, (t1b + t2b) / rt2, t1b)
+    b_rot = (t1b - t2b) / rt2
+    bsq = jax.ops.segment_sum(jnp.where(body, z * z, 0.0), seg, nb)
+    bsq = bsq + jnp.where(rsoc_blk, b_rot * b_rot, 0.0)
+    nu = jnp.sqrt(bsq)
+
+    keep = nu <= t_blk
+    kill = nu <= -t_blk
+    alpha = 0.5 * (t_blk + nu)
+    head_out = jnp.where(keep, t_blk, jnp.where(kill, 0.0, alpha))
+    fac = jnp.where(keep, 1.0,
+                    jnp.where(kill, 0.0, alpha / jnp.maximum(nu, _TINY)))
+
+    # scatter back per element
+    out = jnp.where(body, z * fac[seg], out)
+    b_out = b_rot * fac
+    head1 = jnp.where(rsoc_blk, (head_out + b_out) / rt2, head_out)
+    head2 = (head_out - b_out) / rt2
+    out = jnp.where(h1, head1[seg], out)
+    out = jnp.where(h2, head2[seg], out)
+    return out

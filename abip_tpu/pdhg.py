@@ -1,4 +1,4 @@
-"""Restarted PDHG (PDLP-style) first-order LP solver.
+"""Restarted PDHG (PDLP-style) first-order LP and conic-LP solver.
 
 The reference benchmarks ABIP against Google's PDLP through an external
 driver (`/root/reference/scripts/bench-lp/pdlp_solve.py:1-146`); this
@@ -6,6 +6,15 @@ module supplies that competitor column natively so `analyze --compare`
 can produce the reference-style method table without external deps --
 and because restarted PDHG is itself the canonical first-order LP method
 for accelerator hardware, it doubles as a second fully-on-device solver.
+
+`solve_qcp_pdhg` extends the same loop to `min c'x s.t. Ax = b, x in K`
+over the framework's cone family (the SCS-competitor role of the conic
+benches, `scripts/bench-qcp/test_cblib.m:66-69`): the x-update projects
+with `cones.cone_project`, dual feasibility is the Euclidean distance of
+`s = c - A'y` to the DUAL cone, and the infeasibility/unboundedness
+rays use dual/primal cone projections in place of the orthant clamps.
+Quadratic objectives are out of scope (PDHG's x-step has no closed
+prox for coupled Q) -- the ADMM solver (`qcp.solve_qcp`) covers them.
 
 Algorithm (Applegate et al., "Practical Large-Scale Linear Programming
 using Primal-Dual Hybrid Gradient", NeurIPS 2021):
@@ -38,6 +47,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .cones import ConeLayout, cone_project
 from .lp import LPSolution
 from .scaling import equilibrate
 from .settings import Status
@@ -89,20 +99,28 @@ class _PDHGState(NamedTuple):
     res_unbdd: jnp.ndarray
 
 
-def _kkt_unscaled(A, b, c, E, D, xb, yb, nb, nc):
+def _kkt_unscaled(A, b, c, E, D, xb, yb, nb, nc, layout=None,
+                  rho_b=1.0, rho_c=1.0):
     """Unscaled relative KKT residuals of a scaled iterate (xb, yb).
 
-    x = xb/E, y = yb/D; dual slack s = c - A'y; dual infeasibility is the
-    negative part of s (x >= 0 conic dual).  Matches the reference's
-    relative convergence test (`abip.c:1613-1641`) with the first-order
-    dual-violation norm in place of the ADMM s-iterate.
+    x = xb/(E rho_b), y = yb/(D rho_c) (rho_* = 1 for the LP path; the
+    conic path's equilibration also scales b and c).  Dual slack
+    s = c - A'y; dual infeasibility is the negative part of s for the
+    orthant (x >= 0 conic dual) or the Euclidean distance to the dual
+    cone in general.  Matches the reference's relative convergence test
+    (`abip.c:1613-1641`) with the first-order dual-violation norm in
+    place of the ADMM s-iterate.
     """
-    x = xb / E
-    y = yb / D
+    x = xb / (E * rho_b)
+    y = yb / (D * rho_c)
     r_pri = A @ x - b
     s = c - A.T @ y
+    if layout is None:
+        dviol = jnp.minimum(s, 0.0)
+    else:
+        dviol = s - cone_project(s, layout, dual=True)
     pres = jnp.linalg.norm(r_pri) / (1.0 + nb)
-    dres = jnp.linalg.norm(jnp.minimum(s, 0.0)) / (1.0 + nc)
+    dres = jnp.linalg.norm(dviol) / (1.0 + nc)
     pobj = c @ x
     dobj = b @ y
     gap = jnp.abs(pobj - dobj) / (1.0 + jnp.abs(pobj) + jnp.abs(dobj))
@@ -110,15 +128,23 @@ def _kkt_unscaled(A, b, c, E, D, xb, yb, nb, nc):
 
 
 @partial(jax.jit, static_argnames=("check_period", "max_iters",
-                                   "precision"))
+                                   "precision", "cones"))
 def _pdhg_run(Ab, bb, cb, A, b, c, E, D, eta, omega0, eps, max_iters,
-              check_period, precision="f64"):
+              check_period, precision="f64", cones=None,
+              rho_b=1.0, rho_c=1.0):
     m, n = Ab.shape
     dt = Ab.dtype
     nb = jnp.linalg.norm(b)
     nc = jnp.linalg.norm(c)
     mixed = precision == "mixed"
     A32 = Ab.astype(jnp.float32) if mixed else None
+    layout = ConeLayout(cones) if cones is not None else None
+    if layout is None:
+        def proj(v):
+            return jnp.maximum(0.0, v)
+    else:
+        def proj(v):
+            return cone_project(v, layout)
 
     def sprint(x, y, omega):
         """check_period PDHG steps at fixed (tau, sigma); returns sums.
@@ -143,7 +169,7 @@ def _pdhg_run(Ab, bb, cb, A, b, c, E, D, eta, omega0, eps, max_iters,
             def step(_, carry):
                 x, y, xs, ys = carry
                 ATy = ATy_a + (A32.T @ (y - y_a).astype(f32)).astype(dt)
-                xn = jnp.maximum(0.0, x - tau * (cb - ATy))
+                xn = proj(x - tau * (cb - ATy))
                 z = 2.0 * xn - x
                 Az = Ax_a + (A32 @ (z - x_a).astype(f32)).astype(dt)
                 yn = y + sigma * (bb - Az)
@@ -151,7 +177,7 @@ def _pdhg_run(Ab, bb, cb, A, b, c, E, D, eta, omega0, eps, max_iters,
         else:
             def step(_, carry):
                 x, y, xs, ys = carry
-                xn = jnp.maximum(0.0, x - tau * (cb - Ab.T @ y))
+                xn = proj(x - tau * (cb - Ab.T @ y))
                 yn = y + sigma * (bb - Ab @ (2.0 * xn - x))
                 return xn, yn, xs + xn, ys + yn
 
@@ -168,8 +194,10 @@ def _pdhg_run(Ab, bb, cb, A, b, c, E, D, eta, omega0, eps, max_iters,
         x_avg = x_sum / n_avg
         y_avg = y_sum / n_avg
 
-        cur = _kkt_unscaled(A, b, c, E, D, x, y, nb, nc)
-        avg = _kkt_unscaled(A, b, c, E, D, x_avg, y_avg, nb, nc)
+        cur = _kkt_unscaled(A, b, c, E, D, x, y, nb, nc, layout,
+                            rho_b, rho_c)
+        avg = _kkt_unscaled(A, b, c, E, D, x_avg, y_avg, nb, nc, layout,
+                            rho_b, rho_c)
         cur_err = jnp.maximum(jnp.maximum(cur[0], cur[1]), cur[2])
         avg_err = jnp.maximum(jnp.maximum(avg[0], avg[1]), avg[2])
 
@@ -193,12 +221,19 @@ def _pdhg_run(Ab, bb, cb, A, b, c, E, D, eta, omega0, eps, max_iters,
         ny = jnp.linalg.norm(dyu)
         yhat = dyu / jnp.maximum(ny, 1e-30)
         by = b @ yhat
-        infeas_err = jnp.linalg.norm(
-            jnp.maximum(A.T @ yhat, 0.0)) / jnp.maximum(by, 1e-30)
+        # Farkas certificate needs A'yhat in -K*: violation is the
+        # distance to -K*, i.e. ||w + Pi_K*(-w)|| (= ||max(w,0)|| for
+        # the orthant)
+        w = A.T @ yhat
+        if layout is None:
+            inf_viol = jnp.maximum(w, 0.0)
+        else:
+            inf_viol = w + cone_project(-w, layout, dual=True)
+        infeas_err = jnp.linalg.norm(inf_viol) / jnp.maximum(by, 1e-30)
         res_infeas = jnp.where((ny > 1e-30) & (by > 0.0), infeas_err,
                                jnp.inf)
 
-        dxu = jnp.maximum((x - st.x_rs) / E, 0.0)
+        dxu = proj((x - st.x_rs) / E)
         nx = jnp.linalg.norm(dxu)
         xhat = dxu / jnp.maximum(nx, 1e-30)
         cx = c @ xhat
@@ -286,6 +321,72 @@ def _setup(A, b, c):
     return Ab, bb, cb, A, b, c, sd.E, sd.D, eta, omega0
 
 
+def _setup_conic(A, b, c, cones):
+    """Conic solve setup: cone-tied equilibration (`equilibrate_conic`
+    keeps SOC/RSOC geometry by tying E per block), stepsize and primal
+    weight init.  Returns `_pdhg_run` positional args + (rho_b, rho_c)."""
+    from .scaling import equilibrate_conic
+
+    layout = ConeLayout(cones)
+    Ab, _Q, bb, cb, sd = equilibrate_conic(A, None, b, c, layout,
+                                           _ScaleFlags())
+    normA = estimate_spectral_norm(Ab)
+    eta = 0.9 / jnp.maximum(normA, 1e-30)
+    nbb = jnp.linalg.norm(bb)
+    ncb = jnp.linalg.norm(cb)
+    omega0 = jnp.where((nbb > 1e-30) & (ncb > 1e-30), ncb / nbb, 1.0)
+    return (Ab, bb, cb, A, b, c, sd.E, sd.D, eta, omega0), \
+        (sd.sc_b, sd.sc_c)
+
+
+def solve_qcp_pdhg(A, b, c, cones, eps: float = 1e-6,
+                   max_iters: int = 200_000, check_period: int = 256,
+                   dtype=jnp.float64, precision: str = "f64"):
+    """Solve `min c'x s.t. Ax = b, x in K` with restarted PDHG.
+
+    The conic competitor column (SCS role in `test_cblib.m:66-69`):
+    same restarted loop as `solve_lp_pdhg` with `cone_project` in the
+    x-update and dual-cone distances in the residuals/certificates.
+    Q is not supported (no closed-form prox) -- use `qcp.solve_qcp`.
+    """
+    from .qcp import ConicSolution
+
+    if precision not in ("f64", "mixed"):
+        raise ValueError(f"precision must be 'f64' or 'mixed'; "
+                         f"got {precision!r}")
+    cones.validate_dim(A.shape[1])
+    t0 = time.perf_counter()
+    A = jnp.asarray(A, dtype)
+    b = jnp.asarray(b, dtype)
+    c = jnp.asarray(c, dtype)
+    run_args, (sc_b, sc_c) = _setup_conic(A, b, c, cones)
+    sd_E, sd_D = run_args[6], run_args[7]
+
+    setup = time.perf_counter() - t0
+    t1 = time.perf_counter()
+    st = _pdhg_run(*run_args, eps, max_iters, check_period,
+                   precision=precision, cones=cones,
+                   rho_b=sc_b, rho_c=sc_c)
+    st = jax.block_until_ready(st)
+    solve = time.perf_counter() - t1
+
+    status = int(st.status)
+    if status == Status.UNFINISHED:
+        worst = max(float(st.pres), float(st.dres), float(st.gap))
+        status = Status.SOLVED_INACCURATE if worst < 1e-3 else Status.FAILED
+    x = np.asarray(st.x_cand / (sd_E * sc_b))
+    y = np.asarray(st.y_cand / (sd_D * sc_c))
+    s = np.asarray(c - A.T @ jnp.asarray(y))
+    return ConicSolution(
+        x=x, y=y, s=s, status=status, status_name=Status.name(status),
+        pobj=float(st.pobj), dobj=float(st.dobj),
+        res_pri=float(st.pres), res_dual=float(st.dres),
+        rel_gap=float(st.gap), res_infeas=float(st.res_infeas),
+        res_unbdd=float(st.res_unbdd), ipm_iters=0, admm_iters=int(st.k),
+        setup_time=setup, solve_time=solve,
+    )
+
+
 def solve_lp_pdhg_batch(As, bs, cs, eps: float = 1e-6,
                         max_iters: int = 200_000, check_period: int = 256,
                         precision: str = "mixed", mesh=None):
@@ -300,6 +401,30 @@ def solve_lp_pdhg_batch(As, bs, cs, eps: float = 1e-6,
     def one(A, b, c):
         return _pdhg_run(*_setup(A, b, c), eps, max_iters, check_period,
                          precision=precision)
+
+    fn = jax.vmap(one)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        sh = NamedSharding(mesh, P("batch"))
+        As = jax.device_put(jnp.asarray(As), sh)
+        bs = jax.device_put(jnp.asarray(bs), sh)
+        cs = jax.device_put(jnp.asarray(cs), sh)
+        fn = jax.jit(fn, in_shardings=(sh, sh, sh))
+    return fn(jnp.asarray(As), jnp.asarray(bs), jnp.asarray(cs))
+
+
+def solve_qcp_pdhg_batch(As, bs, cs, cones, eps: float = 1e-6,
+                         max_iters: int = 200_000, check_period: int = 256,
+                         precision: str = "mixed", mesh=None):
+    """Batched conic PDHG: a stacked batch of same-shape, same-cone
+    problems as one vmapped program (optionally sharded over `mesh`
+    axis 'batch').  Returns the final `_PDHGState` batch."""
+    def one(A, b, c):
+        run_args, (sc_b, sc_c) = _setup_conic(A, b, c, cones)
+        return _pdhg_run(*run_args, eps, max_iters, check_period,
+                         precision=precision, cones=cones,
+                         rho_b=sc_b, rho_c=sc_c)
 
     fn = jax.vmap(one)
     if mesh is not None:

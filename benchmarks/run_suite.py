@@ -193,7 +193,8 @@ def run_highs(paths, outdir):
     return out
 
 
-def run_sedumi(paths, eps, outdir, threads=1, device=False, **overrides):
+def run_sedumi(paths, eps, outdir, threads=1, device=False, method="abip",
+               **overrides):
     """Conic suite runner on SeDuMi .mat files -- the `test_cblib.m:60-76`
     analogue.  If the .mat carries a `pobj_star` oracle field (conic_mini
     instances), the record includes the absolute objective error.
@@ -247,9 +248,22 @@ def run_sedumi(paths, eps, outdir, threads=1, device=False, **overrides):
         name = os.path.splitext(os.path.basename(path))[0]
         t0 = time.perf_counter()
         try:
-            sol, extra = solve_sedumi(path, eps=eps,
-                                      extra_fields=("pobj_star",),
-                                      **overrides)
+            if method == "pdhg":
+                # conic competitor column (the SCS role,
+                # `test_cblib.m:66-69`)
+                from abip_tpu.io.sedumi import (_convert_mat_dict,
+                                                _read_mat)
+                from abip_tpu.pdhg import solve_qcp_pdhg
+
+                d = _read_mat(path)
+                A, b, c, cones, _perm = _convert_mat_dict(d)
+                A = A.toarray() if hasattr(A, "toarray") else np.asarray(A)
+                sol = solve_qcp_pdhg(A, b, c, cones, eps=eps, **overrides)
+                extra = {"pobj_star": d.get("pobj_star")}
+            else:
+                sol, extra = solve_sedumi(path, eps=eps,
+                                          extra_fields=("pobj_star",),
+                                          **overrides)
             rec = record(name, sol, time.perf_counter() - t0)
             star = extra.get("pobj_star")
             if star is not None and np.asarray(star).size:
@@ -276,7 +290,8 @@ def run_sedumi(paths, eps, outdir, threads=1, device=False, **overrides):
     return _pool_ordered(paths, one, threads, outdir, sig_fn)
 
 
-def run_cbf(paths, eps, outdir, threads=1, device=False, **overrides):
+def run_cbf(paths, eps, outdir, threads=1, device=False, method="abip",
+            **overrides):
     """Conic suite runner on native CBLIB .cbf files (the `test_cblib.m`
     protocol without the Mosek reader).  If the suite directory carries
     an `optima.json` sidecar ({name: objective in the instance's own
@@ -337,7 +352,15 @@ def run_cbf(paths, eps, outdir, threads=1, device=False, **overrides):
         name = os.path.splitext(os.path.basename(path))[0]
         t0 = time.perf_counter()
         try:
-            sol, _x, obj = solve_cbf(path, eps=eps, **overrides)
+            if method == "pdhg":
+                from abip_tpu.pdhg import solve_qcp_pdhg
+
+                emb = read_cbf(path)
+                sol = solve_qcp_pdhg(emb.A, emb.b, emb.c, emb.cones,
+                                     eps=eps, **overrides)
+                obj = emb.objective(float(sol.pobj))
+            else:
+                sol, _x, obj = solve_cbf(path, eps=eps, **overrides)
             rec = record(name, sol, time.perf_counter() - t0)
             rec = _finish(rec, name, obj)
         except Exception as e:  # noqa: BLE001 -- a bench run logs failures
@@ -501,7 +524,8 @@ def main(argv=None):
                          "linprog, pdhg = restarted PDHG; competitor "
                          "columns for analyze --compare; device = "
                          "whole-solve-per-program device_solve_lp, "
-                         "scales with --threads)")
+                         "scales with --threads). --sedumi/--cbf accept "
+                         "pdhg too (conic PDHG, the SCS role)")
     ap.add_argument("--eps", type=float, default=1e-6)
     ap.add_argument("--bucket", type=int, default=0,
                     help="pad --mps instances to shape multiples of N so "
@@ -555,13 +579,13 @@ def main(argv=None):
         if not paths:
             raise SystemExit(f"no .mat files under {args.sedumi}")
         run_sedumi(paths, args.eps, args.outdir, threads=args.threads,
-                   device=args.device)
+                   device=args.device, method=args.method)
     elif args.cbf:
         paths = sorted(glob.glob(os.path.join(args.cbf, "*.cbf")))
         if not paths:
             raise SystemExit(f"no .cbf files under {args.cbf}")
         run_cbf(paths, args.eps, args.outdir, threads=args.threads,
-                device=args.device)
+                device=args.device, method=args.method)
     elif args.generated:
         run_generated(args.generated, args.eps, args.outdir,
                       batched=args.batched, precision=args.precision)

@@ -141,3 +141,82 @@ def test_pdhg_batch_matches_single_and_shards():
 
     s0 = solve_lp_pdhg(As[0], bs[0], cs[0], eps=1e-6, precision="mixed")
     assert abs(float(np.asarray(st.pobj)[0]) - s0.pobj) < 1e-9
+
+
+# ---------------- conic PDHG (SCS competitor role) -------------------- #
+
+def test_conic_pdhg_mixed_cones_oracle():
+    """Conic PDHG solves randcone instances (known optimum) across SOC/
+    RSOC/free/nonneg mixes."""
+    from benchmarks.conic_mini import randcone
+
+    from abip_tpu import ConeSpec
+    from abip_tpu.pdhg import solve_qcp_pdhg
+
+    for seed, cones in [(1, ConeSpec(soc=(6, 4), nonneg=15)),
+                        (2, ConeSpec(rsoc=(5,), free=2, nonneg=10)),
+                        (3, ConeSpec(soc=(5,), rsoc=(4,), nonneg=12))]:
+        name, A, b, c, cn, star = randcone(f"p{seed}", 12, cones, seed)
+        sol = solve_qcp_pdhg(A, b, c, cn, eps=1e-7)
+        assert sol.status_name == "Solved"
+        assert abs(sol.pobj - star) / (1 + abs(star)) < 1e-5
+        # primal must be (near-)feasible for the cones
+        from abip_tpu.cones import ConeLayout, cone_membership_violation
+        import jax.numpy as jnp
+        viol = float(cone_membership_violation(jnp.asarray(sol.x),
+                                               ConeLayout(cn)))
+        assert viol < 1e-5
+
+
+def test_conic_pdhg_agrees_with_admm_portfolio():
+    """PDHG and the ADMM conic driver agree on the portfolio SOCP."""
+    from benchmarks.conic_mini import portfolio
+
+    from abip_tpu.pdhg import solve_qcp_pdhg
+    from abip_tpu.qcp import solve_qcp
+
+    name, A, b, c, cones, _ = portfolio(20, 5, 9)
+    p = solve_qcp_pdhg(A, b, c, cones, eps=1e-7)
+    a = solve_qcp(A, b, c, cones, eps=1e-7)
+    assert p.status_name == "Solved" and a.status_name == "Solved"
+    assert abs(p.pobj - a.pobj) / (1 + abs(a.pobj)) < 1e-5
+
+
+def test_conic_pdhg_detects_infeasible():
+    """x in SOC(3) forces x1 >= 0; the row x1 = -1 is infeasible."""
+    from abip_tpu import ConeSpec
+    from abip_tpu.pdhg import solve_qcp_pdhg
+
+    A = np.array([[1.0, 0.0, 0.0]])
+    b = np.array([-1.0])
+    c = np.array([0.0, 1.0, 1.0])
+    sol = solve_qcp_pdhg(A, b, c, ConeSpec(soc=(3,)), eps=1e-6,
+                         max_iters=50_000)
+    assert sol.status_name == "Infeasible"
+
+
+def test_conic_pdhg_mixed_precision_and_batch():
+    """mixed precision matches f64 objective; the vmapped batch matches
+    the single-instance path."""
+    from benchmarks.conic_mini import randcone
+
+    from abip_tpu import ConeSpec
+    from abip_tpu.pdhg import solve_qcp_pdhg, solve_qcp_pdhg_batch
+
+    cones = ConeSpec(soc=(4,), nonneg=8)
+    insts = [randcone(f"b{s}", 6, cones, 20 + s) for s in range(3)]
+    sols = [solve_qcp_pdhg(A, b, c, cones, eps=1e-6)
+            for _, A, b, c, _, _ in insts]
+    mix = solve_qcp_pdhg(*insts[0][1:4], cones, eps=1e-6,
+                         precision="mixed")
+    assert abs(mix.pobj - sols[0].pobj) / (1 + abs(sols[0].pobj)) < 1e-5
+
+    As = np.stack([i[1] for i in insts])
+    bs = np.stack([i[2] for i in insts])
+    cs = np.stack([i[3] for i in insts])
+    st = solve_qcp_pdhg_batch(As, bs, cs, cones, eps=1e-6,
+                              precision="f64")
+    assert all(int(s) == 1 for s in np.asarray(st.status))
+    for k, s in enumerate(sols):
+        lane_obj = float(np.asarray(st.pobj)[k])
+        assert abs(lane_obj - s.pobj) / (1 + abs(s.pobj)) < 1e-6
