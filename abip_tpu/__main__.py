@@ -27,6 +27,7 @@ def main(argv=None):
 
         jax.config.update("jax_platforms", "cpu")
 
+    user_pobj = None   # instance-sense objective, when it differs from pobj
     if args.sedumi:
         from .io.sedumi import solve_sedumi
 
@@ -36,7 +37,9 @@ def main(argv=None):
 
         sol, _x, obj = solve_cbf(args.path, eps=args.eps,
                                  verbose=args.verbose)
-        print(f"objective ({args.path.rsplit('/', 1)[-1]} sense): {obj:.8f}")
+        # report the instance's OWN objective (its OBJSENSE and constant),
+        # not the embedded minimized pobj
+        user_pobj = obj
     else:
         from .io.presolve import solve_mps
 
@@ -48,15 +51,17 @@ def main(argv=None):
             print(f"crossover: optimal_basis={cr.optimal} "
                   f"vertex_obj={std.user_objective(cr.pobj):.8f}")
 
+    if user_pobj is None:
+        user_pobj = sol.pobj
     if args.json:
         print(json.dumps({
-            "status": sol.status_name, "pobj": sol.pobj, "dobj": sol.dobj,
+            "status": sol.status_name, "pobj": user_pobj, "dobj": sol.dobj,
             "res_pri": sol.res_pri, "res_dual": sol.res_dual,
             "rel_gap": sol.rel_gap, "ipm_iters": sol.ipm_iters,
             "admm_iters": sol.admm_iters, "solve_time": sol.solve_time,
         }))
     else:
-        print(f"{sol.status_name}: objective {sol.pobj:.8f} "
+        print(f"{sol.status_name}: objective {user_pobj:.8f} "
               f"({sol.ipm_iters} IPM / {sol.admm_iters} ADMM, "
               f"{sol.solve_time:.2f}s)")
     return 0 if sol.status_name.startswith("Solved") else 1

@@ -199,14 +199,21 @@ class ConicEmbedding:
         return sign * pobj_solver + self.obj_b
 
 
-def cbf_to_conic(p: CBFProblem, relax_integrality=False) -> ConicEmbedding:
-    """Embed a parsed CBF problem into `min c'X s.t. A X = b, X in K`.
+@dataclasses.dataclass
+class _EmbeddingPlan:
+    """Structural plan of the embedding (no matrices): cheap enough for
+    shape/cone signatures (`embedding_signature`), reused for assembly."""
 
-    Slack blocks turn conic constraint rows into equalities; L- blocks
-    are negated into the nonneg orthant; columns are permuted into our
-    cone order.  `recover` maps a solver solution back to CBF variable
-    order (undoing permutation and sign flips).
-    """
+    sgn: np.ndarray                       # per-CBF-variable sign flips
+    slack_rows: List[int]
+    slack_sign: List[float]
+    keep_rows: np.ndarray                 # bool mask; F rows dropped
+    perm: np.ndarray
+    cones: ConeSpec
+    n: int
+
+
+def _embedding_plan(p: CBFProblem, relax_integrality=False) -> _EmbeddingPlan:
     if p.integers and not relax_integrality:
         raise ValueError(
             f"instance declares {len(p.integers)} integer variables; the "
@@ -235,25 +242,20 @@ def cbf_to_conic(p: CBFProblem, relax_integrality=False) -> ConicEmbedding:
             var_cat.append(("rsoc", idx))
         j0 += d
 
-    # --- constraints: slack block per non-equality cone ----------------
-    A_x = sp.coo_matrix(
-        (np.array([v for (_, _, v) in p.a_coord]),
-         (np.array([i for (i, _, _) in p.a_coord], int),
-          np.array([j for (_, j, _) in p.a_coord], int))),
-        shape=(p.m, n)).tocsc() if p.a_coord else sp.csc_matrix((p.m, n))
-    bvec = np.zeros(p.m)
-    for i, v in p.b_coord.items():
-        bvec[i] = v
-
+    # --- constraints: slack block per non-equality cone; F rows are
+    # vacuous (A_i x + b_i in R) and are DROPPED from the system --------
     slack_rows: List[int] = []
     slack_sign: List[float] = []
     slack_cat: List[Tuple[str, int]] = []  # (our kind, block dim)
+    keep_rows = np.ones(p.m, bool)
     i0 = 0
     for name, d in p.con_cones:
         rows = list(range(i0, i0 + d))
         if name == "L=":
             pass  # A_i x = -b_i directly
-        elif name in ("L+", "L-", "Q", "QR"):
+        elif name == "F":
+            keep_rows[rows] = False
+        else:  # L+/L-/Q/QR
             # s = A x + b in K  =>  A_i x - s_i = -b_i  (s negated for L-)
             s_sgn = -1.0 if name == "L-" else 1.0
             slack_rows.extend(rows)
@@ -262,22 +264,6 @@ def cbf_to_conic(p: CBFProblem, relax_integrality=False) -> ConicEmbedding:
                     "Q": "soc", "QR": "rsoc"}[name]
             slack_cat.append((kind, d))
         i0 += d
-
-    n_slack = len(slack_rows)
-    # S has -s_sgn at (row, slack col): A x - sgn*s = -b
-    S = sp.coo_matrix(
-        (-np.asarray(slack_sign), (np.asarray(slack_rows, int),
-                                   np.arange(n_slack))),
-        shape=(p.m, n_slack)).tocsc()
-
-    A_full = sp.hstack(
-        [A_x.multiply(sgn[None, :]), S], format="csc")
-    b_full = -bvec
-    c_full = np.zeros(n + n_slack)
-    for j, v in p.obj_a.items():
-        c_full[j] = v * sgn[j]
-    if p.objsense == "MAX":
-        c_full = -c_full
 
     # --- permute columns into our order [soc, rsoc, free, zero, nonneg]
     groups = {"soc": [], "rsoc": [], "free": [], "zero": [], "nonneg": []}
@@ -304,6 +290,56 @@ def cbf_to_conic(p: CBFProblem, relax_integrality=False) -> ConicEmbedding:
     cones = ConeSpec(soc=tuple(dims["soc"]), rsoc=tuple(dims["rsoc"]),
                      free=dims["free"], zero=dims["zero"],
                      nonneg=dims["nonneg"])
+    return _EmbeddingPlan(sgn=sgn, slack_rows=slack_rows,
+                          slack_sign=slack_sign, keep_rows=keep_rows,
+                          perm=perm, cones=cones, n=n)
+
+
+def embedding_signature(p: CBFProblem, relax_integrality=False):
+    """(A.shape, ConeSpec) of the embedding WITHOUT assembling matrices
+    -- the compile-bucketing signature for suite runners."""
+    plan = _embedding_plan(p, relax_integrality=relax_integrality)
+    m_kept = int(plan.keep_rows.sum())
+    return ((m_kept, plan.perm.size), plan.cones)
+
+
+def cbf_to_conic(p: CBFProblem, relax_integrality=False) -> ConicEmbedding:
+    """Embed a parsed CBF problem into `min c'X s.t. A X = b, X in K`.
+
+    Slack blocks turn conic constraint rows into equalities; free (F)
+    constraint rows are vacuous and dropped; L- blocks are negated into
+    the nonneg orthant; columns are permuted into our cone order.
+    `recover` maps a solver solution back to CBF variable order
+    (undoing permutation and sign flips).
+    """
+    plan = _embedding_plan(p, relax_integrality=relax_integrality)
+    n, sgn, perm = plan.n, plan.sgn, plan.perm
+
+    A_x = sp.coo_matrix(
+        (np.array([v for (_, _, v) in p.a_coord]),
+         (np.array([i for (i, _, _) in p.a_coord], int),
+          np.array([j for (_, j, _) in p.a_coord], int))),
+        shape=(p.m, n)).tocsc() if p.a_coord else sp.csc_matrix((p.m, n))
+    bvec = np.zeros(p.m)
+    for i, v in p.b_coord.items():
+        bvec[i] = v
+
+    n_slack = len(plan.slack_rows)
+    # S has -s_sgn at (row, slack col): A x - sgn*s = -b
+    S = sp.coo_matrix(
+        (-np.asarray(plan.slack_sign), (np.asarray(plan.slack_rows, int),
+                                        np.arange(n_slack))),
+        shape=(p.m, n_slack)).tocsc()
+
+    A_full = sp.hstack(
+        [A_x.multiply(sgn[None, :]), S], format="csc")
+    A_full = A_full[plan.keep_rows]
+    b_full = -bvec[plan.keep_rows]
+    c_full = np.zeros(n + n_slack)
+    for j, v in p.obj_a.items():
+        c_full[j] = v * sgn[j]
+    if p.objsense == "MAX":
+        c_full = -c_full
 
     inv = np.empty_like(perm)
     inv[perm] = np.arange(perm.size)
@@ -312,9 +348,10 @@ def cbf_to_conic(p: CBFProblem, relax_integrality=False) -> ConicEmbedding:
         X = np.asarray(x_ours)[inv]          # back to [vars, slacks]
         return sgn * X[:n]                   # undo L- flips, drop slacks
 
-    return ConicEmbedding(A=A_full[:, perm].toarray(), b=b_full,
-                          c=c_full[perm], cones=cones, recover=recover,
-                          objsense=p.objsense, obj_b=p.obj_b, n_orig=n)
+    return ConicEmbedding(A=sp.csc_matrix(A_full)[:, perm].toarray(),
+                          b=b_full, c=c_full[perm], cones=plan.cones,
+                          recover=recover, objsense=p.objsense,
+                          obj_b=p.obj_b, n_orig=n)
 
 
 def read_cbf(path: str, relax_integrality=False) -> ConicEmbedding:
@@ -374,8 +411,9 @@ def write_cbf(path: str, A, b, c, cones: ConeSpec, objsense="MIN",
     out += ["VER", "2", "", "OBJSENSE", objsense, ""]
     out += ["VAR", f"{n} {len(blocks)}"]
     out += [f"{name} {d}" for name, d in blocks]
-    out += ["", "CON", f"{m} 1", f"L= {m}", ""]
-    out += ["OBJACOORD", str(len(obj_nz))]
+    if m:  # a constraint-free instance has no CON section at all
+        out += ["", "CON", f"{m} 1", f"L= {m}"]
+    out += ["", "OBJACOORD", str(len(obj_nz))]
     out += [f"{j} {float(c[j])!r}" for j in obj_nz]
     if obj_b:
         out += ["", "OBJBCOORD", repr(float(obj_b))]

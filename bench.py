@@ -267,19 +267,28 @@ def _bench_inner():
 
         solve(10_000)  # compile warm-up on a non-timed instance
         # Best-of-N rounds over DISJOINT fresh seed ranges: this host has
-        # invisible CPU steal that can halve a single measurement; the
-        # best round is the honest throughput of the configuration
-        # (every round's solutions are still oracle-checked via rel_gap).
+        # invisible CPU steal that can halve a single measurement.  Only
+        # rounds whose instances ALL solved to tolerance are eligible for
+        # "best" (an unconverged round can have a deceptively high
+        # iters/s); if no round is fully valid, the best invalid one is
+        # reported and its solved count exposes the failure.
         rounds = int(os.environ.get("ABIP_BENCH_ROUNDS", "3"))
-        best = None
+        best = best_valid = None
         for r_i in range(rounds):
             t0 = time.perf_counter()
             res = pool_map(solve, range(r_i * B, (r_i + 1) * B), W)
             dt = time.perf_counter() - t0
             iters = sum(int(r.admm_iters) for r in res)
+            valid = (all(int(r.status) == 1 for r in res)
+                     and max(float(np.asarray(r.rel_gap)) for r in res)
+                     <= 1.05e-6)
+            cand = (iters, dt, res)
             if best is None or iters / dt > best[0] / best[1]:
-                best = (iters, dt, res)
-        iters, dt, res = best
+                best = cand
+            if valid and (best_valid is None
+                          or iters / dt > best_valid[0] / best_valid[1]):
+                best_valid = cand
+        iters, dt, res = best_valid or best
         solved = sum(int(r.status) == 1 for r in res)
         # host ceiling (B=1): pool instances SHARE the host roofline; the
         # model is DRAM-bandwidth-based, so a cache-resident A can push

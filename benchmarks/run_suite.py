@@ -193,6 +193,36 @@ def run_highs(paths, outdir):
     return out
 
 
+def _conic_device_solve(A, b, c, cones, eps, **overrides):
+    """The ONE device-route conic configuration both suite runners use
+    (tuned in tools/conic_bench.py; keep in sync there)."""
+    import jax
+    import jax.numpy as jnp
+
+    from abip_tpu.parallel.batched_qcp import solve_qcp_device
+
+    A = A.toarray() if hasattr(A, "toarray") else np.asarray(A)
+    r = solve_qcp_device(
+        jnp.asarray(A), jnp.asarray(b), jnp.asarray(c),
+        cones=cones, eps=eps, precision="mixed",
+        normalize=True, rho_y=1e-3, max_admm=1_000_000,
+        solver="inverse", inner_crit_period=8, **overrides)
+    jax.block_until_ready(r)
+    return r
+
+
+def _device_record(name, r, t0):
+    from abip_tpu.settings import Status
+
+    return {
+        "name": name, "status": Status.name(int(r.status)),
+        "ipm_iter": int(r.ipm_iters), "admm_iter": int(r.admm_iters),
+        "pres": float(r.res_pri), "dres": float(r.res_dual),
+        "gap": float(r.rel_gap), "pobj": float(r.pobj),
+        "dobj": float(r.dobj), "time": time.perf_counter() - t0,
+    }
+
+
 def run_sedumi(paths, eps, outdir, threads=1, device=False, method="abip",
                **overrides):
     """Conic suite runner on SeDuMi .mat files -- the `test_cblib.m:60-76`
@@ -207,33 +237,21 @@ def run_sedumi(paths, eps, outdir, threads=1, device=False, method="abip",
     measured 2.4x the reference binary at W=4 on the dim-204 class)."""
     from abip_tpu.io.sedumi import solve_sedumi
 
-    def one_device(path):
-        import jax
-        import jax.numpy as jnp
+    if device and method not in ("abip", "device"):
+        raise ValueError(
+            f"--device runs the ABIP device solver; it cannot be combined "
+            f"with --method {method} (the records would be mislabeled)")
 
+    def one_device(path):
         from abip_tpu.io.sedumi import _convert_mat_dict, _read_mat
-        from abip_tpu.parallel.batched_qcp import solve_qcp_device
-        from abip_tpu.settings import Status
 
         name = os.path.splitext(os.path.basename(path))[0]
         t0 = time.perf_counter()
         try:
             d = _read_mat(path)
             A, b, c, cones, _perm = _convert_mat_dict(d)
-            A = A.toarray() if hasattr(A, "toarray") else np.asarray(A)
-            r = solve_qcp_device(
-                jnp.asarray(A), jnp.asarray(b), jnp.asarray(c),
-                cones=cones, eps=eps, precision="mixed",
-                normalize=True, rho_y=1e-3, max_admm=1_000_000,
-                solver="inverse", inner_crit_period=8, **overrides)
-            jax.block_until_ready(r)
-            rec = {
-                "name": name, "status": Status.name(int(r.status)),
-                "ipm_iter": int(r.ipm_iters), "admm_iter": int(r.admm_iters),
-                "pres": float(r.res_pri), "dres": float(r.res_dual),
-                "gap": float(r.rel_gap), "pobj": float(r.pobj),
-                "dobj": float(r.dobj), "time": time.perf_counter() - t0,
-            }
+            r = _conic_device_solve(A, b, c, cones, eps, **overrides)
+            rec = _device_record(name, r, t0)
             star = d.get("pobj_star")
             if star is not None and np.asarray(star).size:
                 star = float(np.asarray(star).ravel()[0])
@@ -299,9 +317,12 @@ def run_cbf(paths, eps, outdir, threads=1, device=False, method="abip",
 
     device=True routes through `solve_qcp_device` (one jitted program
     per solve); see `run_sedumi` for the threading discipline."""
-    import glob as _glob  # noqa: F401  (signature parity with run_sedumi)
-
     from abip_tpu.io.cbf import read_cbf, solve_cbf
+
+    if device and method not in ("abip", "device"):
+        raise ValueError(
+            f"--device runs the ABIP device solver; it cannot be combined "
+            f"with --method {method} (the records would be mislabeled)")
 
     optima = {}
     if paths:
@@ -319,29 +340,13 @@ def run_cbf(paths, eps, outdir, threads=1, device=False, method="abip",
         return rec
 
     def one_device(path):
-        import jax
-        import jax.numpy as jnp
-
-        from abip_tpu.parallel.batched_qcp import solve_qcp_device
-        from abip_tpu.settings import Status
-
         name = os.path.splitext(os.path.basename(path))[0]
         t0 = time.perf_counter()
         try:
             emb = read_cbf(path)
-            r = solve_qcp_device(
-                jnp.asarray(emb.A), jnp.asarray(emb.b), jnp.asarray(emb.c),
-                cones=emb.cones, eps=eps, precision="mixed",
-                normalize=True, rho_y=1e-3, max_admm=1_000_000,
-                solver="inverse", inner_crit_period=8, **overrides)
-            jax.block_until_ready(r)
-            rec = {
-                "name": name, "status": Status.name(int(r.status)),
-                "ipm_iter": int(r.ipm_iters), "admm_iter": int(r.admm_iters),
-                "pres": float(r.res_pri), "dres": float(r.res_dual),
-                "gap": float(r.rel_gap), "dobj": float(r.dobj),
-                "time": time.perf_counter() - t0,
-            }
+            r = _conic_device_solve(emb.A, emb.b, emb.c, emb.cones, eps,
+                                    **overrides)
+            rec = _device_record(name, r, t0)
             rec = _finish(rec, name, emb.objective(float(r.pobj)))
         except Exception as e:  # noqa: BLE001 -- a bench run logs failures
             rec = {"name": name, "status": f"Error: {e}",
@@ -373,9 +378,12 @@ def run_cbf(paths, eps, outdir, threads=1, device=False, method="abip",
         one = one_device
 
         def sig_fn(p):
+            # structure-only signature: parses the text but never
+            # assembles the dense embedding
+            from abip_tpu.io.cbf import embedding_signature, parse_cbf
+
             try:
-                emb = read_cbf(p)
-                return (emb.A.shape, emb.cones)
+                return embedding_signature(parse_cbf(p))
             except Exception:  # noqa: BLE001 -- let one() log the failure
                 return None
 

@@ -288,3 +288,76 @@ def test_roundtrip_objsense_and_const(tmp_path):
     ref = linprog(c, A_eq=A, b_eq=b, bounds=(0, None), method="highs")
     # MAX of -c'x + 7.5 == -(MIN of c'x) + 7.5
     np.testing.assert_allclose(obj, -ref.fun + 7.5, atol=1e-5)
+
+
+def test_free_constraint_rows_dropped():
+    """F constraint cones are vacuous (A x + b in R): they impose
+    nothing and must be dropped, not treated as equalities."""
+    text = """\
+VER
+2
+OBJSENSE
+MIN
+VAR
+1 1
+L+ 1
+CON
+2 2
+F 1
+L+ 1
+OBJACOORD
+1
+0 1.0
+ACOORD
+2
+0 0 1.0
+1 0 1.0
+BCOORD
+2
+0 -5.0
+1 -1.0
+"""
+    emb = cbf_to_conic(parse_cbf(text))
+    # 1 var + 1 slack (the L+ row); the F row is gone
+    assert emb.A.shape == (1, 2)
+    from abip_tpu.dispatch import solve
+
+    sol = solve(emb.A, emb.b, emb.c, cones=emb.cones, eps=1e-8)
+    # min x s.t. x >= 1 (the F row "x - 5 in R" binds nothing)
+    np.testing.assert_allclose(emb.objective(float(sol.pobj)), 1.0,
+                               atol=1e-6)
+
+
+def test_constraint_free_roundtrip(tmp_path):
+    """m = 0 instances (pure cone membership) round-trip through
+    write_cbf/read_cbf."""
+    from abip_tpu import ConeSpec
+
+    path = tmp_path / "nocon.cbf"
+    c = np.array([1.0, -2.0, 3.0])
+    write_cbf(str(path), np.zeros((0, 3)), np.zeros(0), c,
+              ConeSpec(soc=(3,)))
+    emb = read_cbf(str(path))
+    assert emb.A.shape == (0, 3)
+    np.testing.assert_allclose(emb.c, c)
+    assert emb.cones.soc == (3,)
+
+
+def test_signature_matches_embedding():
+    """embedding_signature (structure-only) agrees with the assembled
+    embedding's (shape, cones)."""
+    from abip_tpu.io.cbf import embedding_signature
+
+    for text in (SOC_MAX, LP_SIGNS, RSOC_MIN):
+        p = parse_cbf(text)
+        emb = cbf_to_conic(p)
+        assert embedding_signature(p) == (emb.A.shape, emb.cones)
+
+
+def test_device_method_conflict_raises():
+    from benchmarks.run_suite import run_cbf, run_sedumi
+
+    with pytest.raises(ValueError, match="mislabeled"):
+        run_cbf([], 1e-6, None, device=True, method="pdhg")
+    with pytest.raises(ValueError, match="mislabeled"):
+        run_sedumi([], 1e-6, None, device=True, method="pdhg")

@@ -54,7 +54,7 @@ def _stage(results, name):
     e.g. skip lp_batch_64 when the recovery window looks short."""
     def wrap(fn):
         skip = os.environ.get("ABIP_TPU_SESSION_SKIP", "").split(",")
-        if name in skip:
+        if name in skip and name != "backend":  # backend gates the battery
             results[name] = {"skipped": True}
             _save(results)
             return
