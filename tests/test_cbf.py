@@ -361,3 +361,56 @@ def test_device_method_conflict_raises():
         run_cbf([], 1e-6, None, device=True, method="pdhg")
     with pytest.raises(ValueError, match="mislabeled"):
         run_sedumi([], 1e-6, None, device=True, method="pdhg")
+
+
+def test_roundtrip_fuzz(tmp_path):
+    """Randomized write->read round-trips across cone mixes (incl. zero
+    cones, MAX sense, objective constants): data must survive exactly,
+    and the row-form writer must yield the same optimum as the equality
+    form on oracle instances."""
+    from benchmarks.cblib_mini import write_cbf_rowform
+    from benchmarks.conic_mini import randcone
+
+    from abip_tpu import ConeSpec
+    from abip_tpu.dispatch import solve
+
+    rng = np.random.default_rng(17)
+    for k in range(8):
+        soc = tuple(int(v) for v in rng.integers(2, 6, rng.integers(0, 3)))
+        rsoc = tuple(int(v) for v in rng.integers(3, 6, rng.integers(0, 2)))
+        cones = ConeSpec(soc=soc, rsoc=rsoc,
+                         free=int(rng.integers(0, 3)),
+                         zero=int(rng.integers(0, 3)),
+                         nonneg=int(rng.integers(1, 8)))
+        m = max(2, cones.dim // 3)
+        A = rng.standard_normal((m, cones.dim))
+        b = rng.standard_normal(m)
+        c = rng.standard_normal(cones.dim)
+        sense = "MAX" if k % 2 else "MIN"
+        obj_b = float(rng.standard_normal()) if k % 3 == 0 else 0.0
+        path = tmp_path / f"f{k}.cbf"
+        write_cbf(str(path), A, b, c if sense == "MIN" else -c, cones,
+                  objsense=sense, obj_b=obj_b)
+        emb = read_cbf(str(path))
+        sgn = -1.0 if sense == "MAX" else 1.0
+        np.testing.assert_array_equal(emb.A, A)
+        np.testing.assert_array_equal(emb.b, b)
+        # the embedding always MINIMIZES: a MAX file holding -c yields
+        # the same embedded c as a MIN file holding c
+        np.testing.assert_array_equal(emb.c, c)
+        assert emb.cones == cones and emb.obj_b == obj_b
+        # objective mapping: solver pobj v -> sense*v + obj_b
+        assert emb.objective(2.5) == pytest.approx(sgn * 2.5 + obj_b)
+
+    # row form vs equality form on a solvable oracle instance
+    cones = ConeSpec(soc=(5,), rsoc=(4,), nonneg=9)
+    _, A, b, c, cn, star = randcone("fz", 7, cones, seed=29)
+    p_eq, p_row = tmp_path / "eq.cbf", tmp_path / "row.cbf"
+    write_cbf(str(p_eq), A, b, c, cn)
+    write_cbf_rowform(str(p_row), A, b, c, cn)
+    for p in (p_eq, p_row):
+        emb = read_cbf(str(p))
+        sol = solve(emb.A, emb.b, emb.c, cones=emb.cones, eps=1e-6)
+        assert "Solved" in sol.status_name
+        assert abs(emb.objective(float(sol.pobj)) - star) / (
+            1 + abs(star)) < 1e-4
