@@ -37,7 +37,7 @@ from .problem import LinearOperator             # noqa: E402
 from .lp import solve_lp, LPWorkspace, LPSolution  # noqa: E402
 from .cones import ConeSpec                     # noqa: E402
 from .qcp import solve_qcp, ConicWorkspace, ConicSolution, conic_defaults  # noqa: E402
-from .pdhg import solve_lp_pdhg                 # noqa: E402
+from .pdhg import solve_lp_pdhg, solve_qcp_pdhg  # noqa: E402
 from .diff import (solve_lp_grad, solve_qcp_grad, solve_lasso_grad,  # noqa: E402
                    solve_svm_grad)
 
@@ -58,6 +58,7 @@ __all__ = [
     "ConicSolution",
     "conic_defaults",
     "solve_lp_pdhg",
+    "solve_qcp_pdhg",
     "solve_lp_grad",
     "solve_qcp_grad",
     "solve_lasso_grad",
