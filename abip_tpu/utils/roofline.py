@@ -73,3 +73,34 @@ def lp_iteration_cost(m: int, n: int, precision: str = "mixed",
         ceiling_iters_per_sec_bw=bw / bytes_moved,
         ceiling_iters_per_sec_flops=fl / flops,
     )
+
+
+def qcp_iteration_cost(m: int, n: int, precision: str = "mixed",
+                       inner_crit_period: int = 1, form: str = "auto",
+                       chip: str = "tpu_v5e") -> IterationCost:
+    """Cost of one ADMM iteration of the conic device route
+    (`solve_qcp_device`), the conic analogue of `lp_iteration_cost`
+    (reference per-iteration report: `source/linsys.c:71-97`).
+
+    Dominant terms: the DR projection streams A twice and applies the
+    cached Schur inverse (k x k, k = m under the Woodbury dual form when
+    2m <= n with diagonal H, else n); the HSD inner convergence check
+    streams A twice every `inner_crit_period`-th iteration; the cone
+    prox is O(n) segment work and negligible.
+    """
+    itemsize = 4.0 if precision in ("mixed", "f32") else 8.0
+    a_bytes = itemsize * m * n
+    k = m if (form == "dual" or (form == "auto" and 2 * m <= n)) else n
+    P = max(1, inner_crit_period)
+    streams = 2.0 + 2.0 / P
+    bytes_moved = streams * a_bytes + itemsize * (k * k)
+    flops = streams * 2.0 * m * n + 2.0 * k * k
+
+    spec = CHIPS[chip]
+    bw = spec["hbm_gbps"] * 1e9
+    fl = spec["f32_tflops"] * 1e12 * (0.25 if itemsize == 8.0 else 1.0)
+    return IterationCost(
+        bytes_moved=bytes_moved, flops=flops,
+        ceiling_iters_per_sec_bw=bw / bytes_moved,
+        ceiling_iters_per_sec_flops=fl / flops,
+    )

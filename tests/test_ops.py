@@ -204,3 +204,18 @@ def test_sprint_pallas_compiled_matches_xla(rng):
                                rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(np.asarray(v_p), np.asarray(v_x),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_qcp_iteration_cost_model():
+    """Conic roofline sanity: Woodbury dual form (2m <= n) costs less
+    than the primal form; ceilings are positive and finite."""
+    from abip_tpu.utils.roofline import qcp_iteration_cost
+
+    dual = qcp_iteration_cost(100, 1000, form="auto", chip="tpu_v5e")
+    primal = qcp_iteration_cost(100, 1000, form="primal", chip="tpu_v5e")
+    assert dual.bytes_moved < primal.bytes_moved
+    assert 0 < dual.ceiling_iters_per_sec < float("inf")
+    # thinning the inner criterion strictly lowers bytes per iteration
+    thin = qcp_iteration_cost(100, 1000, inner_crit_period=8)
+    dense = qcp_iteration_cost(100, 1000, inner_crit_period=1)
+    assert thin.bytes_moved < dense.bytes_moved

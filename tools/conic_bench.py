@@ -263,6 +263,25 @@ def _finish(out, args):
                     and k != "reference":
                 v["vs_reference"] = round(
                     v["agg_iters_per_sec"] / ref_rate, 3)
+    # reference-style per-iteration cost report (`source/linsys.c:71-97`
+    # analogue): device-route single-instance roofline ceiling
+    try:
+        import jax
+
+        from abip_tpu.utils.roofline import qcp_iteration_cost
+
+        m, n = (int(s) for s in out["shape"].replace("m=", "")
+                .replace("n=", "").split())
+        chip = "cpu" if jax.default_backend() == "cpu" else "tpu_v5e"
+        c = qcp_iteration_cost(m, n, precision="mixed",
+                               inner_crit_period=8, chip=chip)
+        out["roofline"] = {
+            "sol_iters_per_sec": round(c.ceiling_iters_per_sec, 1),
+            "iter_bytes": int(c.bytes_moved),
+            "chip_model": chip,
+        }
+    except Exception:  # noqa: BLE001 -- context only, never fail the bench
+        pass
     print(json.dumps(out, indent=1))
     if args.out:
         with open(args.out, "w") as f:
