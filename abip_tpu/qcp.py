@@ -522,6 +522,44 @@ class ConicWorkspace:
         self._build_kernels()
         return self
 
+    def shard(self, mesh, axis: str = "rows") -> "ConicWorkspace":
+        """Distribute this conic workspace over a device mesh: the FULL
+        DR/ADMM loop then iterates distributed (the conic counterpart of
+        `LPWorkspace.shard`; same GSPMD design at the reference's
+        `solve_linsys` seam, `source/linsys.c:1141-1176`).
+
+        Requires the matrix-free CG Schur path (`linsys='cg'`) with a
+        dense A: A is placed block-row sharded and the unchanged jitted
+        kernels run under XLA's SPMD partitioner, which inserts psum at
+        every `A'(.)` product and CG reduction.  Dense cached factors are
+        not shardable (a row-sharded triangular/inverse factor gathers on
+        every apply -- measured on the LP side in round 1).
+        """
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        if not isinstance(self.solver, CGSchurSolver):
+            raise ValueError(
+                "shard() requires the CG Schur path; rebuild the "
+                "workspace with settings.linsys='cg'")
+        if self.A is None:
+            raise ValueError(
+                "shard() requires a dense A (matrix-free operators carry "
+                "their own distribution)")
+        ndev = mesh.devices.size
+        if self.m % ndev != 0:
+            raise ValueError(
+                f"m={self.m} must be divisible by the mesh size {ndev}")
+
+        A_sh = jax.device_put(self.A, NamedSharding(mesh, P(axis, None)))
+        row = NamedSharding(mesh, P(axis))
+        self.A = A_sh
+        self.A_op = LinearOperator.from_dense(A_sh)
+        self.solver.A_op = self.A_op
+        self.solver.ry_inv = jax.device_put(self.solver.ry_inv, row)
+        self.b = jax.device_put(self.b, row)
+        self._build_kernels()
+        return self
+
     def _warm_start(self, warm, mu, beta):
         """Seed u, v from caller-provided (x, y, s) in original units,
         cone-interiorized (see `ConeLayout.interiorize`)."""

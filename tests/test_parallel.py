@@ -433,3 +433,44 @@ def test_host_pool_matches_oracle(rng):
     assert all(int(r.status) == 1 for r in out)
     np.testing.assert_allclose([float(r.pobj) for r in out], refs,
                                atol=1e-3 * (1 + np.abs(refs).max()))
+
+
+def test_conic_workspace_shard_full_solve(rng):
+    """The conic DR/ADMM loop iterates distributed: a sharded conic
+    solve (CG Schur path, A row-sharded) matches the unsharded CG solve
+    and the known optimum."""
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multiple devices")
+    from benchmarks.conic_mini import randcone
+
+    from abip_tpu import ConeSpec
+    from abip_tpu.qcp import ConicWorkspace, conic_defaults
+
+    ndev = len(jax.devices())
+    m = 8 * ndev
+    cones = ConeSpec(soc=(10,), rsoc=(5,), nonneg=3 * m + 9)
+    _, A, b, c, cn, star = randcone("sh", m, cones, seed=5)
+    import dataclasses
+
+    # replace BEFORE resolved(): derived tolerances follow eps
+    s = dataclasses.replace(conic_defaults(), eps=1e-6, linsys="cg")
+    base = ConicWorkspace(A, b, c, cn, settings=s).solve()
+    mesh = Mesh(np.array(jax.devices()), ("rows",))
+    sh = ConicWorkspace(A, b, c, cn, settings=s).shard(mesh).solve()
+    assert sh.status_name.startswith("Solved")
+    assert sh.pobj == pytest.approx(star, abs=1e-4 * (1 + abs(star)))
+    assert abs(sh.admm_iters - base.admm_iters) <= max(
+        5, 0.05 * base.admm_iters)
+
+
+def test_conic_shard_requires_cg(rng):
+    from benchmarks.conic_mini import randcone
+
+    from abip_tpu import ConeSpec
+    from abip_tpu.qcp import ConicWorkspace
+
+    _, A, b, c, cn, _ = randcone("d", 8, ConeSpec(soc=(5,), nonneg=19), 3)
+    w = ConicWorkspace(A, b, c, cn)   # dense Schur default at this size
+    mesh = Mesh(np.array(jax.devices()), ("rows",))
+    with pytest.raises(ValueError, match="CG Schur"):
+        w.shard(mesh)
