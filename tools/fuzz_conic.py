@@ -80,6 +80,9 @@ def main(argv=None):
                     help="solve each class as ONE vmapped program "
                          "(solve_qcp_batch, mixed precision + built-in "
                          "equilibration)")
+    ap.add_argument("--method", default="admm", choices=["admm", "pdhg"],
+                    help="pdhg = the conic restarted-PDHG competitor "
+                         "(solve_qcp_pdhg) under the same KKT contract")
     ap.add_argument("-o", "--out", default=None)
     args = ap.parse_args(argv)
 
@@ -135,6 +138,13 @@ def main(argv=None):
                 sol.y = np.asarray(rb.y[i])
                 sol.s = np.asarray(rb.s[i])
                 wall = batch_wall / args.per_class
+            elif args.method == "pdhg":
+                from abip_tpu.pdhg import solve_qcp_pdhg
+
+                t0 = time.perf_counter()
+                sol = solve_qcp_pdhg(A, b, c, cones, eps=args.eps,
+                                     max_iters=1_000_000)
+                wall = time.perf_counter() - t0
             else:
                 t0 = time.perf_counter()
                 sol = solve_qcp(A, b, c, cones, settings=conic_defaults(),
