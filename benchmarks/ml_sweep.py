@@ -59,7 +59,7 @@ def ista_lasso(X, y, lam, iters=5000, tol=1e-10):
     return w, obj
 
 
-def sweep_lasso(scale, eps, outdir, matrix_free=False):
+def sweep_lasso(scale, eps, outdir, matrix_free=False, method="abip"):
     from benchmarks.generate import lasso_instance
 
     from abip_tpu.problems import solve_lasso
@@ -71,8 +71,19 @@ def sweep_lasso(scale, eps, outdir, matrix_free=False):
         for n in ns:
             X, y, lam = lasso_instance(m=m, n=n, seed=m + n)
             t0 = time.perf_counter()
-            w, obj, sol = solve_lasso(X, y, lam, eps=eps,
-                                      matrix_free=matrix_free)
+            if method == "pdhg":
+                # first-order competitor on the same RSOC embedding
+                # (the SCS-conic column of `test_lasso.m:36-120`)
+                from abip_tpu.pdhg import solve_qcp_pdhg
+                from abip_tpu.problems.lasso import lasso_to_conic
+
+                prob = lasso_to_conic(X, y, lam)
+                sol = solve_qcp_pdhg(prob.A, prob.b, prob.c, prob.cones,
+                                     eps=eps)
+                w, obj = prob.recover(sol)
+            else:
+                w, obj, sol = solve_lasso(X, y, lam, eps=eps,
+                                          matrix_free=matrix_free)
             wall = time.perf_counter() - t0
             _, obj_star = ista_lasso(X, y, lam)
             rec = {
@@ -142,6 +153,9 @@ def main(argv=None):
                          "test_lasso.m's m up to 5000, n up to 15000)")
     ap.add_argument("--eps", type=float, default=1e-4)
     ap.add_argument("--matrix-free", action="store_true")
+    ap.add_argument("--method", default="abip", choices=["abip", "pdhg"],
+                    help="pdhg = conic restarted PDHG on the same RSOC "
+                         "embedding (lasso only; the SCS-conic column)")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("-o", "--outdir", default=None)
     args = ap.parse_args(argv)
@@ -153,8 +167,11 @@ def main(argv=None):
 
     if args.kind == "lasso":
         sweep_lasso(args.scale, args.eps, args.outdir,
-                    matrix_free=args.matrix_free)
+                    matrix_free=args.matrix_free, method=args.method)
     else:
+        if args.method != "abip":
+            raise SystemExit("--method pdhg applies to --kind lasso (the "
+                             "SVM QP form carries Q)")
         sweep_svm(args.scale, args.eps, args.outdir)
 
 
