@@ -397,6 +397,16 @@ class LPWorkspace:
             raise ValueError(f"b must have shape ({m},) to match A; got {b.shape}")
         if c.shape != (n,):
             raise ValueError(f"c must have shape ({n},) to match A; got {c.shape}")
+        # finite-data validation (`validate`, `abip.c:1646-1734`): NaN/inf
+        # data otherwise propagates into a misleading Unbounded exit
+        A_vals = A.data if is_sparse else A
+        if not (bool(jnp.all(jnp.isfinite(A_vals)))
+                if not is_sparse else bool(np.all(np.isfinite(A_vals)))):
+            raise ValueError("A contains NaN or infinite entries")
+        if not bool(jnp.all(jnp.isfinite(b))):
+            raise ValueError("b contains NaN or infinite entries")
+        if not bool(jnp.all(jnp.isfinite(c))):
+            raise ValueError("c contains NaN or infinite entries")
         self.m, self.n = m, n
         self.l = m + n + 1
         nnz = int(A.nnz) if is_sparse else int(jnp.sum(A != 0))

@@ -314,6 +314,18 @@ class ConicWorkspace:
             raise ValueError(f"b must have shape ({m},); got {b.shape}")
         if c.shape != (n,):
             raise ValueError(f"c must have shape ({n},); got {c.shape}")
+        # finite-data validation (`validate`, `source/abip.c` init path):
+        # NaN data otherwise hangs the inner loop (no convergence, no
+        # certificate -- every comparison with NaN is False)
+        if A_dense is not None and not bool(
+                jnp.all(jnp.isfinite(A_dense))):
+            raise ValueError("A contains NaN or infinite entries")
+        if not bool(jnp.all(jnp.isfinite(b))):
+            raise ValueError("b contains NaN or infinite entries")
+        if not bool(jnp.all(jnp.isfinite(c))):
+            raise ValueError("c contains NaN or infinite entries")
+        if Q is not None and not bool(jnp.all(jnp.isfinite(Q))):
+            raise ValueError("Q contains NaN or infinite entries")
         # Q: full (n, n) matrix or 1-D diagonal (the SVM-QP case,
         # `svm_qp_config.c:8-60` builds an explicit diagonal Q)
         self.Q_diag = None

@@ -95,3 +95,29 @@ def test_install_qcp_toy():
     assert np.linalg.norm(A @ sol.x - b) < 1e-5
     assert float(cone_membership_violation(
         jnp.asarray(sol.x), ConeLayout(cones))) < 1e-6
+
+
+def test_nonfinite_data_rejected():
+    """NaN/inf data must raise at validation (`abip.c:1646-1734` role),
+    not surface as a bogus Unbounded exit (LP) or a long futile inner
+    loop (conic -- NaN comparisons are all False)."""
+    import scipy.sparse as sp
+
+    rng = np.random.default_rng(0)
+    A = rng.standard_normal((4, 10))
+    b = A @ (rng.random(10) + 0.5)
+    c = rng.random(10)
+    An = A.copy()
+    An[1, 2] = np.nan
+    with pytest.raises(ValueError, match="A contains"):
+        abip_tpu.solve_lp(An, b, c)
+    with pytest.raises(ValueError, match="A contains"):
+        abip_tpu.solve_lp(sp.csr_matrix(An), b, c)
+    with pytest.raises(ValueError, match="b contains"):
+        abip_tpu.solve_lp(A, np.r_[b[:-1], np.inf], c)
+    with pytest.raises(ValueError, match="A contains"):
+        abip_tpu.solve_qcp(An, b, c, ConeSpec.lp(10))
+    with pytest.raises(ValueError, match="Q contains"):
+        Q = np.eye(10)
+        Q[0, 0] = np.nan
+        abip_tpu.solve_qcp(A, b, c, ConeSpec.lp(10), Q=Q)
