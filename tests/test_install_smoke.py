@@ -121,3 +121,36 @@ def test_nonfinite_data_rejected():
         Q = np.eye(10)
         Q[0, 0] = np.nan
         abip_tpu.solve_qcp(A, b, c, ConeSpec.lp(10), Q=Q)
+
+
+def test_edge_shapes_and_scaling():
+    """Edges the reference mishandles or rejects: tall A (m > n --
+    rejected outright at `abip.c:1661-1665`; we solve it), 1e14 dynamic
+    range (equilibration), zero rhs, and a 1x1 LP."""
+    from scipy.optimize import linprog
+
+    rng = np.random.default_rng(3)
+    A = rng.standard_normal((30, 10))
+    b = A @ (rng.random(10) + 0.5)
+    c = rng.random(10)
+    s = abip_tpu.solve_lp(A, b, c, eps=1e-6)
+    ref = linprog(c, A_eq=A, b_eq=b, bounds=(0, None), method="highs")
+    assert s.status_name == "Solved"
+    assert abs(s.pobj - ref.fun) / (1 + abs(ref.fun)) < 1e-4
+
+    A2 = rng.standard_normal((5, 40)) * 1e8
+    A2[:, :5] += np.eye(5) * 1e-6
+    b2 = A2 @ (rng.random(40) + 0.5)
+    c2 = rng.random(40) * 1e6
+    s = abip_tpu.solve_lp(A2, b2, c2, eps=1e-6)
+    ref = linprog(c2, A_eq=A2, b_eq=b2, bounds=(0, None), method="highs")
+    assert s.status_name == "Solved"
+    assert abs(s.pobj - ref.fun) / (1 + abs(ref.fun)) < 1e-4
+
+    A3 = rng.standard_normal((4, 12))
+    s = abip_tpu.solve_lp(A3, np.zeros(4), rng.random(12) + 0.1, eps=1e-6)
+    assert s.status_name == "Solved" and abs(s.pobj) < 1e-6
+
+    s = abip_tpu.solve_lp(np.array([[2.0]]), np.array([4.0]),
+                          np.array([3.0]), eps=1e-8)
+    assert abs(s.pobj - 6.0) < 1e-5
