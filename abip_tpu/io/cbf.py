@@ -354,9 +354,26 @@ def cbf_to_conic(p: CBFProblem, relax_integrality=False) -> ConicEmbedding:
                           obj_b=p.obj_b, n_orig=n)
 
 
-def read_cbf(path: str, relax_integrality=False) -> ConicEmbedding:
-    """Parse + embed a .cbf file; see :func:`cbf_to_conic`."""
-    return cbf_to_conic(parse_cbf(path), relax_integrality=relax_integrality)
+def read_cbf(path: str, relax_integrality=False,
+             prefer_native: str = "auto") -> ConicEmbedding:
+    """Parse + embed a .cbf file; see :func:`cbf_to_conic`.
+
+    prefer_native: "auto" uses the C++ parser (native/abip_cbf.cpp) for
+    files over ~1 MB when the library is buildable; "always"/"never"
+    force a side.  Both parsers accept the same grammar (parity-tested
+    on the committed cblib-mini suite)."""
+    p = None
+    if prefer_native != "never":
+        import os as _os
+
+        from . import native as _native
+
+        big = _os.path.getsize(path) > (1 << 20)
+        if (prefer_native == "always" or big) and _native.native_available():
+            p = _native.parse_cbf_native(path)
+    if p is None:
+        p = parse_cbf(path)
+    return cbf_to_conic(p, relax_integrality=relax_integrality)
 
 
 def solve_cbf(path: str, settings=None, relax_integrality=False,

@@ -58,6 +58,17 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.abip_mps_col_names.restype = ctypes.c_int64
     lib.abip_mps_col_names.argtypes = [ctypes.c_void_p, ctypes.c_char_p,
                                        ctypes.c_int64]
+    i4 = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+    lib.abip_cbf_parse.restype = ctypes.c_void_p
+    lib.abip_cbf_parse.argtypes = [ctypes.c_char_p, ctypes.c_char_p,
+                                   ctypes.c_int64]
+    lib.abip_cbf_free.argtypes = [ctypes.c_void_p]
+    lib.abip_cbf_dims.argtypes = (
+        [ctypes.c_void_p] + [ctypes.POINTER(ctypes.c_int64)] * 9
+        + [ctypes.POINTER(ctypes.c_double)])
+    lib.abip_cbf_blocks.argtypes = [ctypes.c_void_p, i4, i8, i4, i8]
+    lib.abip_cbf_data.argtypes = [ctypes.c_void_p, i8, i8, f8, i8, f8,
+                                  i8, f8, i8]
     _lib = lib
     return lib
 
@@ -116,4 +127,75 @@ def read_mps_native(path: str) -> GeneralLP:
         objcon=objcon.value, maximize=bool(mx.value),
         name=os.path.basename(path),
         col_names=col_names, row_names=row_names,
+    )
+
+
+_CBF_CODES = {0: "F", 1: "L+", 2: "L-", 3: "L=", 4: "Q", 5: "QR"}
+
+
+def parse_cbf_native(path: str):
+    """Parse a .cbf file with the C++ parser -> `cbf.CBFProblem`.
+
+    Same accepted grammar and rejections as the Python
+    `cbf.parse_cbf`; duplicate OBJACOORD/BCOORD indices accumulate,
+    matching the Python dict semantics.  Raises if unavailable.
+    """
+    from .cbf import CBFProblem
+
+    lib = _load()
+    if lib is None:
+        raise RuntimeError(
+            "native CBF parser not available (g++/make missing?); "
+            "use abip_tpu.io.cbf.parse_cbf"
+        )
+    err = ctypes.create_string_buffer(1024)
+    h = lib.abip_cbf_parse(str(path).encode(), err, len(err))
+    if not h:
+        raise ValueError(err.value.decode())
+    try:
+        n = ctypes.c_int64()
+        m = ctypes.c_int64()
+        nvb = ctypes.c_int64()
+        ncb = ctypes.c_int64()
+        nnz_a = ctypes.c_int64()
+        nnz_o = ctypes.c_int64()
+        nnz_b = ctypes.c_int64()
+        n_int = ctypes.c_int64()
+        sense = ctypes.c_int64()
+        obj_b = ctypes.c_double()
+        lib.abip_cbf_dims(h, n, m, nvb, ncb, nnz_a, nnz_o, nnz_b, n_int,
+                          sense, obj_b)
+        var_codes = np.zeros(nvb.value, np.int32)
+        var_dims = np.zeros(nvb.value, np.int64)
+        con_codes = np.zeros(ncb.value, np.int32)
+        con_dims = np.zeros(ncb.value, np.int64)
+        lib.abip_cbf_blocks(h, var_codes, var_dims, con_codes, con_dims)
+        ai = np.zeros(nnz_a.value, np.int64)
+        aj = np.zeros(nnz_a.value, np.int64)
+        av = np.zeros(nnz_a.value, np.float64)
+        oj = np.zeros(nnz_o.value, np.int64)
+        ov = np.zeros(nnz_o.value, np.float64)
+        bi = np.zeros(nnz_b.value, np.int64)
+        bv = np.zeros(nnz_b.value, np.float64)
+        ii = np.zeros(n_int.value, np.int64)
+        lib.abip_cbf_data(h, ai, aj, av, oj, ov, bi, bv, ii)
+    finally:
+        lib.abip_cbf_free(h)
+
+    obj_a: dict = {}
+    for j, v in zip(oj.tolist(), ov.tolist()):
+        obj_a[j] = obj_a.get(j, 0.0) + v
+    b_coord: dict = {}
+    for i, v in zip(bi.tolist(), bv.tolist()):
+        b_coord[i] = b_coord.get(i, 0.0) + v
+    return CBFProblem(
+        objsense="MAX" if sense.value else "MIN",
+        var_cones=[(_CBF_CODES[int(cd)], int(d))
+                   for cd, d in zip(var_codes, var_dims)],
+        con_cones=[(_CBF_CODES[int(cd)], int(d))
+                   for cd, d in zip(con_codes, con_dims)],
+        n=int(n.value), m=int(m.value), obj_a=obj_a,
+        obj_b=float(obj_b.value),
+        a_coord=list(zip(ai.tolist(), aj.tolist(), av.tolist())),
+        b_coord=b_coord, integers=ii.tolist(),
     )

@@ -79,3 +79,51 @@ def test_native_bounds_errors(tmp_path):
     g.write_text(SAMPLE_MPS.replace(" UP BND  X1  8.0", " UP BND  NOPE  8.0"))
     with pytest.raises(ValueError, match="unknown column"):
         read_mps_native(str(g))
+
+
+@needs_native
+def test_native_cbf_matches_python():
+    """The C++ CBF parser reproduces the Python parse exactly on every
+    committed cblib-mini instance (sections, cones, coords, sense)."""
+    import glob
+    import os
+
+    from abip_tpu.io.cbf import parse_cbf
+    from abip_tpu.io.native import parse_cbf_native
+
+    suite = os.path.join(os.path.dirname(__file__), "..", "benchmarks",
+                         "suites", "cblib_mini")
+    paths = sorted(glob.glob(os.path.join(suite, "*.cbf")))
+    assert len(paths) == 12
+    for p in paths:
+        py = parse_cbf(p)
+        nat = parse_cbf_native(p)
+        assert nat.objsense == py.objsense
+        assert nat.var_cones == py.var_cones
+        assert nat.con_cones == py.con_cones
+        assert (nat.n, nat.m) == (py.n, py.m)
+        assert nat.obj_a == py.obj_a
+        assert nat.obj_b == py.obj_b
+        assert nat.a_coord == py.a_coord
+        assert nat.b_coord == py.b_coord
+        assert nat.integers == py.integers
+
+
+@needs_native
+def test_native_cbf_errors():
+    import tempfile
+
+    from abip_tpu.io.native import parse_cbf_native
+
+    with tempfile.NamedTemporaryFile("w", suffix=".cbf",
+                                     delete=False) as f:
+        f.write("OBJSENSE\nMIN\nVAR\n1 1\nL+ 1\n")
+        path = f.name
+    with pytest.raises(ValueError, match="missing VER"):
+        parse_cbf_native(path)
+    with tempfile.NamedTemporaryFile("w", suffix=".cbf",
+                                     delete=False) as f:
+        f.write("VER\n2\nPSDVAR\n1\n3\n")
+        path = f.name
+    with pytest.raises(ValueError, match="PSDVAR"):
+        parse_cbf_native(path)
