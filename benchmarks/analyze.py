@@ -78,6 +78,10 @@ def compare(dirs, timeout_penalty=3600.0):
                  else timeout_penalty for r in recs.values()]
         sgms[k] = sgm(times)
     print("SGM-10: " + "  ".join(f"{k}={v:.3f}s" for k, v in sgms.items()))
+    # per-method success rate (the `analyze_stats.py` bool_success role)
+    print("solved: " + "  ".join(
+        f"{k}={sum(str(r.get('status', '')).startswith('Solved') for r in recs.values())}"
+        f"/{len(recs)}" for k, recs in methods.items()))
     ks = list(sgms)
     for i in range(1, len(ks)):
         base, other = sgms[ks[0]], sgms[ks[i]]
