@@ -37,8 +37,8 @@ def main(argv=None):
 
         sol, _x, obj = solve_cbf(args.path, eps=args.eps,
                                  verbose=args.verbose)
-        # report the instance's OWN objective (its OBJSENSE and constant),
-        # not the embedded minimized pobj
+        # the status line / `objective` JSON field report the instance's
+        # OWN objective (its OBJSENSE and constant applied)
         user_pobj = obj
     else:
         from .io.presolve import solve_mps
@@ -51,17 +51,23 @@ def main(argv=None):
             print(f"crossover: optimal_basis={cr.optimal} "
                   f"vertex_obj={std.user_objective(cr.pobj):.8f}")
 
-    if user_pobj is None:
-        user_pobj = sol.pobj
     if args.json:
-        print(json.dumps({
-            "status": sol.status_name, "pobj": user_pobj, "dobj": sol.dobj,
+        rec = {
+            "status": sol.status_name, "pobj": sol.pobj, "dobj": sol.dobj,
             "res_pri": sol.res_pri, "res_dual": sol.res_dual,
             "rel_gap": sol.rel_gap, "ipm_iters": sol.ipm_iters,
             "admm_iters": sol.admm_iters, "solve_time": sol.solve_time,
-        }))
+        }
+        if user_pobj is not None:
+            # pobj/dobj/rel_gap stay in SOLVER sense (internally
+            # consistent); `objective` carries the instance's own sense
+            # (OBJSENSE + OBJBCOORD applied)
+            rec["objective"] = user_pobj
+        print(json.dumps(rec))
     else:
-        print(f"{sol.status_name}: objective {user_pobj:.8f} "
+        shown = sol.pobj if user_pobj is None else user_pobj
+        sense = "" if user_pobj is None else " (instance sense)"
+        print(f"{sol.status_name}: objective {shown:.8f}{sense} "
               f"({sol.ipm_iters} IPM / {sol.admm_iters} ADMM, "
               f"{sol.solve_time:.2f}s)")
     return 0 if sol.status_name.startswith("Solved") else 1

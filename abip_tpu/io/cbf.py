@@ -354,26 +354,34 @@ def cbf_to_conic(p: CBFProblem, relax_integrality=False) -> ConicEmbedding:
                           obj_b=p.obj_b, n_orig=n)
 
 
-def read_cbf(path: str, relax_integrality=False,
-             prefer_native: str = "auto") -> ConicEmbedding:
-    """Parse + embed a .cbf file; see :func:`cbf_to_conic`.
+def parse_cbf_auto(path_or_text: str,
+                   prefer_native: str = "auto") -> CBFProblem:
+    """Parse CBF from a path (or raw text), choosing the parser.
 
     prefer_native: "auto" uses the C++ parser (native/abip_cbf.cpp) for
-    files over ~1 MB when the library is buildable; "always"/"never"
-    force a side.  Both parsers accept the same grammar (parity-tested
-    on the committed cblib-mini suite)."""
-    p = None
-    if prefer_native != "never":
+    FILES over ~1 MB when the library is buildable; "always" requires
+    it (raises if unavailable); "never" forces pure Python.  Raw text
+    input always takes the Python parser.  Both parsers accept the same
+    grammar (parity-tested on the committed cblib-mini suite)."""
+    if "\n" not in path_or_text and prefer_native != "never":
         import os as _os
 
         from . import native as _native
 
-        big = _os.path.getsize(path) > (1 << 20)
-        if (prefer_native == "always" or big) and _native.native_available():
-            p = _native.parse_cbf_native(path)
-    if p is None:
-        p = parse_cbf(path)
-    return cbf_to_conic(p, relax_integrality=relax_integrality)
+        if prefer_native == "always":
+            return _native.parse_cbf_native(path_or_text)  # raises if absent
+        if (_os.path.getsize(path_or_text) > (1 << 20)
+                and _native.cbf_native_available()):
+            return _native.parse_cbf_native(path_or_text)
+    return parse_cbf(path_or_text)
+
+
+def read_cbf(path: str, relax_integrality=False,
+             prefer_native: str = "auto") -> ConicEmbedding:
+    """Parse + embed a .cbf file (or raw CBF text); see
+    :func:`cbf_to_conic` and :func:`parse_cbf_auto`."""
+    return cbf_to_conic(parse_cbf_auto(path, prefer_native=prefer_native),
+                        relax_integrality=relax_integrality)
 
 
 def solve_cbf(path: str, settings=None, relax_integrality=False,

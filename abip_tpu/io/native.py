@@ -38,6 +38,21 @@ def _load() -> Optional[ctypes.CDLL]:
     if not os.path.exists(_LIB_PATH) and not _build():
         return None
     lib = ctypes.CDLL(_LIB_PATH)
+    # CBF symbols may be absent from a library built before
+    # abip_cbf.cpp existed: rebuild once, and if the stale .so still
+    # wins (build failure), keep the MPS surface working and mark the
+    # CBF side unavailable instead of raising AttributeError.
+    if not hasattr(lib, "abip_cbf_parse") and _build():
+        lib = ctypes.CDLL(_LIB_PATH)
+    _bind_mps(lib)
+    _bind_cbf(lib)
+    _lib = lib
+    return lib
+
+
+def _bind_mps(lib):
+    f8 = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
+    i8 = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
     lib.abip_mps_parse.restype = ctypes.c_void_p
     lib.abip_mps_parse.argtypes = [ctypes.c_char_p, ctypes.c_char_p,
                                    ctypes.c_int64]
@@ -48,8 +63,6 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32),
         ctypes.POINTER(ctypes.c_double),
     ]
-    f8 = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
-    i8 = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
     lib.abip_mps_data.argtypes = [ctypes.c_void_p, f8, f8, f8, f8, f8,
                                   i8, i8, f8]
     lib.abip_mps_row_names.restype = ctypes.c_int64
@@ -58,6 +71,13 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.abip_mps_col_names.restype = ctypes.c_int64
     lib.abip_mps_col_names.argtypes = [ctypes.c_void_p, ctypes.c_char_p,
                                        ctypes.c_int64]
+
+
+def _bind_cbf(lib):
+    if not hasattr(lib, "abip_cbf_parse"):
+        return  # stale library: MPS keeps working, CBF side unavailable
+    f8 = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
+    i8 = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
     i4 = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
     lib.abip_cbf_parse.restype = ctypes.c_void_p
     lib.abip_cbf_parse.argtypes = [ctypes.c_char_p, ctypes.c_char_p,
@@ -69,8 +89,11 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.abip_cbf_blocks.argtypes = [ctypes.c_void_p, i4, i8, i4, i8]
     lib.abip_cbf_data.argtypes = [ctypes.c_void_p, i8, i8, f8, i8, f8,
                                   i8, f8, i8]
-    _lib = lib
-    return lib
+
+
+def cbf_native_available() -> bool:
+    lib = _load()
+    return lib is not None and hasattr(lib, "abip_cbf_parse")
 
 
 def native_available() -> bool:
@@ -143,10 +166,10 @@ def parse_cbf_native(path: str):
     from .cbf import CBFProblem
 
     lib = _load()
-    if lib is None:
+    if lib is None or not hasattr(lib, "abip_cbf_parse"):
         raise RuntimeError(
-            "native CBF parser not available (g++/make missing?); "
-            "use abip_tpu.io.cbf.parse_cbf"
+            "native CBF parser not available (g++/make missing, or a "
+            "stale libabip_io.so); use abip_tpu.io.cbf.parse_cbf"
         )
     err = ctypes.create_string_buffer(1024)
     h = lib.abip_cbf_parse(str(path).encode(), err, len(err))

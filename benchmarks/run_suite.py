@@ -378,12 +378,13 @@ def run_cbf(paths, eps, outdir, threads=1, device=False, method="abip",
         one = one_device
 
         def sig_fn(p):
-            # structure-only signature: parses the text but never
-            # assembles the dense embedding
-            from abip_tpu.io.cbf import embedding_signature, parse_cbf
+            # structure-only signature: parses (natively for big files,
+            # same dispatch as the solve path) but never assembles the
+            # dense embedding
+            from abip_tpu.io.cbf import embedding_signature, parse_cbf_auto
 
             try:
-                return embedding_signature(parse_cbf(p))
+                return embedding_signature(parse_cbf_auto(p))
             except Exception:  # noqa: BLE001 -- let one() log the failure
                 return None
 

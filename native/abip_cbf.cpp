@@ -49,6 +49,17 @@ bool is_unsupported_section(const std::string &s) {
          s == "OBJPSDVAR" || s == "CHANGE";
 }
 
+
+bool parse_i64(const std::string &s, int64_t *out) {
+  std::istringstream ss(s);
+  return static_cast<bool>(ss >> *out) && ss.eof();
+}
+
+bool parse_f64(const std::string &s, double *out) {
+  std::istringstream ss(s);
+  return static_cast<bool>(ss >> *out) && ss.eof();
+}
+
 struct Lines {
   std::vector<std::pair<int, std::string>> items;  // (lineno, stripped)
   size_t pos = 0;
@@ -155,8 +166,8 @@ class Parser {
                     ln);
       if (kw == "VER") {
         if (!next(&ln, &s)) return false;
-        int v = std::atoi(s.c_str());
-        if (v < 1 || v > 4)
+        int64_t v = 0;
+        if (!parse_i64(s, &v) || v < 1 || v > 4)
           return fail("unsupported CBF version " + s, ln);
         seen_ver = true;
       } else if (kw == "OBJSENSE") {
@@ -171,7 +182,7 @@ class Parser {
         if (!next(&ln, &s)) return false;
         int64_t k = 0;
         std::istringstream ss(s);
-        if (!(ss >> prob.n >> k))
+        if (!(ss >> prob.n >> k) || !ss.eof())
           return fail("malformed VAR header '" + s + "'", ln);
         if (!read_cones(k, prob.n, "VAR", &prob.var_codes, &prob.var_dims))
           return false;
@@ -180,36 +191,46 @@ class Parser {
         if (!next(&ln, &s)) return false;
         int64_t k = 0;
         std::istringstream ss(s);
-        if (!(ss >> prob.m >> k))
+        if (!(ss >> prob.m >> k) || !ss.eof())
           return fail("malformed CON header '" + s + "'", ln);
         if (!read_cones(k, prob.m, "CON", &prob.con_codes, &prob.con_dims))
           return false;
       } else if (kw == "INT") {
         if (!next(&ln, &s)) return false;
-        int64_t cnt = std::atoll(s.c_str());
+        int64_t cnt = 0;
+        if (!parse_i64(s, &cnt))
+          return fail("malformed INT count '" + s + "'", ln);
         for (int64_t i = 0; i < cnt; ++i) {
           if (!next(&ln, &s)) return false;
-          prob.integers.push_back(std::atoll(s.c_str()));
+          int64_t j = 0;
+          if (!parse_i64(s, &j))
+            return fail("malformed INT entry '" + s + "'", ln);
+          prob.integers.push_back(j);
         }
       } else if (kw == "OBJACOORD") {
         if (!next(&ln, &s)) return false;
-        int64_t cnt = std::atoll(s.c_str());
+        int64_t cnt = 0;
+        if (!parse_i64(s, &cnt))
+          return fail("malformed OBJACOORD count '" + s + "'", ln);
         for (int64_t i = 0; i < cnt; ++i) {
           if (!next(&ln, &s)) return false;
           std::istringstream ss(s);
           int64_t j;
           double v;
-          if (!(ss >> j >> v))
+          if (!(ss >> j >> v) || !ss.eof())
             return fail("malformed OBJACOORD line '" + s + "'", ln);
           prob.obj_j.push_back(j);
           prob.obj_v.push_back(v);
         }
       } else if (kw == "OBJBCOORD") {
         if (!next(&ln, &s)) return false;
-        prob.obj_b = std::atof(s.c_str());
+        if (!parse_f64(s, &prob.obj_b))
+          return fail("malformed OBJBCOORD '" + s + "'", ln);
       } else if (kw == "ACOORD") {
         if (!next(&ln, &s)) return false;
-        int64_t cnt = std::atoll(s.c_str());
+        int64_t cnt = 0;
+        if (!parse_i64(s, &cnt))
+          return fail("malformed ACOORD count '" + s + "'", ln);
         prob.a_i.reserve(cnt);
         prob.a_j.reserve(cnt);
         prob.a_v.reserve(cnt);
@@ -218,7 +239,7 @@ class Parser {
           std::istringstream ss(s);
           int64_t i, j;
           double v;
-          if (!(ss >> i >> j >> v))
+          if (!(ss >> i >> j >> v) || !ss.eof())
             return fail("malformed ACOORD line '" + s + "'", ln);
           prob.a_i.push_back(i);
           prob.a_j.push_back(j);
@@ -226,13 +247,15 @@ class Parser {
         }
       } else if (kw == "BCOORD") {
         if (!next(&ln, &s)) return false;
-        int64_t cnt = std::atoll(s.c_str());
+        int64_t cnt = 0;
+        if (!parse_i64(s, &cnt))
+          return fail("malformed BCOORD count '" + s + "'", ln);
         for (int64_t k2 = 0; k2 < cnt; ++k2) {
           if (!next(&ln, &s)) return false;
           std::istringstream ss(s);
           int64_t i;
           double v;
-          if (!(ss >> i >> v))
+          if (!(ss >> i >> v) || !ss.eof())
             return fail("malformed BCOORD line '" + s + "'", ln);
           prob.b_i.push_back(i);
           prob.b_v.push_back(v);

@@ -127,3 +127,29 @@ def test_native_cbf_errors():
         path = f.name
     with pytest.raises(ValueError, match="PSDVAR"):
         parse_cbf_native(path)
+
+
+@needs_native
+def test_native_cbf_strictness_parity():
+    """Malformed numerics must be REJECTED by both parsers identically
+    (the native side previously accepted atoll/atof garbage)."""
+    import tempfile
+
+    from abip_tpu.io.cbf import parse_cbf
+    from abip_tpu.io.native import parse_cbf_native
+
+    bad = [
+        "VER\n2x\nVAR\n1 1\nL+ 1\n",                       # junk version
+        "VER\n2\nVAR\n1 1\nL+ 1\nINT\n1\nxyz\n",           # junk INT entry
+        "VER\n2\nVAR\n1 1\nL+ 1\nOBJACOORD\n1\n0 2.0 junk\n",  # trailing tok
+        "VER\n2\nVAR\n1 1\nL+ 1\nBCOORD\n1\n0 nope\n",     # junk value
+    ]
+    for text in bad:
+        with pytest.raises(ValueError):
+            parse_cbf(text)
+        with tempfile.NamedTemporaryFile("w", suffix=".cbf",
+                                         delete=False) as f:
+            f.write(text)
+            path = f.name
+        with pytest.raises(ValueError):
+            parse_cbf_native(path)

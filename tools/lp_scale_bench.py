@@ -120,12 +120,18 @@ def main(argv=None):
     solve(0)  # warm the jit cache off the clock
 
     def best_of(run):
-        best = None
+        """Best repeat by iters/s among FULLY SOLVED repeats (an
+        unconverged repeat can show a deceptively high rate -- same
+        gating as bench.py); falls back to best-overall if none."""
+        best = best_valid = None
         for _ in range(args.repeats):
             got = run()
             if best is None or got[0] / got[1] > best[0] / best[1]:
                 best = got
-        return best
+            if got[2] and (best_valid is None
+                           or got[0] / got[1] > best_valid[0] / best_valid[1]):
+                best_valid = got
+        return best_valid or best
 
     def run_serial():
         t0 = time.perf_counter()
