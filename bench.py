@@ -194,11 +194,18 @@ def _emit(out):
         ("lp_m500_n5000_device_pool_wall_vs_ref",
          "benchmarks/results/r02_lp_throughput_m500.json",
          ("device_pool", "wall_speedup_vs_reference")),
+        ("conic_dim2040_device_pool_vs_ref",
+         "benchmarks/results/r02_conic_throughput_dim2040.json",
+         ("device_pool", "vs_reference")),
+        ("pagerank_1m_solve_sec",
+         "benchmarks/results/r02_pagerank/pagerank@1000000-0.json",
+         (None, "time")),
     ):
         try:
             with open(os.path.join(here, path)) as f:
                 d = json.load(f)
-            recorded[key] = d[field[0]][field[1]]
+            recorded[key] = (d[field[1]] if field[0] is None
+                             else d[field[0]][field[1]])
         except Exception:  # noqa: BLE001 -- context only, never fail bench
             pass
     if recorded:

@@ -92,3 +92,27 @@ def test_soc_analytic_branches():
     edge = jnp.asarray([0.0, 3.0, 4.0])     # alpha = 5/2, u/||u||=(.6,.8)
     np.testing.assert_allclose(np.asarray(cone_project(edge, layout)),
                                [2.5, 1.5, 2.0], atol=1e-12)
+
+
+@pytest.mark.parametrize("spec", SPECS)
+def test_barrier_prox_limits_to_projection(spec):
+    """As lambda -> 0+ the barrier prox converges to the Euclidean
+    projection (the interior-regularized map degenerates to its
+    projection); ties the solver's prox to the PDHG/diff primitive."""
+    from abip_tpu.cones import cone_barrier_prox
+
+    rng = np.random.default_rng(3)
+    layout = ConeLayout(spec)
+    z = jnp.asarray(2.0 * rng.standard_normal(spec.dim))
+    p = np.asarray(cone_project(z, layout))
+    prev_err = None
+    for lam in (1e-4, 1e-6, 1e-8):
+        lam_e = jnp.full(spec.dim, lam)
+        q = np.asarray(cone_barrier_prox(z, lam_e, layout))
+        # the barrier prox has no zero-cone clamp issue: zero coords
+        # match the projection exactly; compare the rest in norm
+        err = np.linalg.norm(q - p) / (1 + np.linalg.norm(p))
+        if prev_err is not None:
+            assert err <= prev_err * 1.01 + 1e-12
+        prev_err = err
+    assert prev_err < 1e-3
