@@ -91,10 +91,14 @@ def _device_solve_qcp(A, b, c, Q_diag, layout: ConeLayout, *, eps, max_ipm,
         from ..qcp import conic_defaults
         from ..scaling import equilibrate_conic
 
-        A, _, b, c, scal = equilibrate_conic(A, None, b, c, layout,
-                                             conic_defaults())
-        if Q_diag is not None:
-            Q_diag = Q_diag / (scal.E * scal.E)
+        if Q_diag is not None and Q_diag.ndim == 2:
+            A, Q_diag, b, c, scal = equilibrate_conic(
+                A, Q_diag, b, c, layout, conic_defaults())
+        else:
+            A, _, b, c, scal = equilibrate_conic(A, None, b, c, layout,
+                                                 conic_defaults())
+            if Q_diag is not None:
+                Q_diag = Q_diag / (scal.E * scal.E)
         D_s, E_s = scal.D, scal.E
         sc_b, sc_c = scal.sc_b, scal.sc_c
     else:
@@ -111,8 +115,12 @@ def _device_solve_qcp(A, b, c, Q_diag, layout: ConeLayout, *, eps, max_ipm,
     rho_tail = rho[m:]
     ry_inv = 1.0 / rho[:m]
 
+    full_Q = Q_diag is not None and Q_diag.ndim == 2
+
     def Q_times(x):
-        return Q_diag * x if Q_diag is not None else jnp.zeros_like(x)
+        if Q_diag is None:
+            return jnp.zeros_like(x)
+        return Q_diag @ x if full_Q else Q_diag * x
 
     A32 = A.astype(f32)
     ry_inv32 = ry_inv.astype(f32)
@@ -127,12 +135,15 @@ def _device_solve_qcp(A, b, c, Q_diag, layout: ConeLayout, *, eps, max_ipm,
         # Woodbury's extra per-apply products are cheaper than the n^2
         # primal apply only when m is well under n; on equal footing the
         # primal form has fewer ops in the loop body (matters on CPU,
-        # where per-op dispatch overhead dominates tiny matmuls)
-        woodbury = 2 * m <= n
+        # where per-op dispatch overhead dominates tiny matmuls).
+        # A full (2-D) Q makes H non-diagonal: primal form only.
+        woodbury = 2 * m <= n and not full_Q
     else:
         woodbury = form == "woodbury"
     if woodbury and m >= n:
         raise ValueError("form='woodbury' requires m < n")
+    if woodbury and full_Q:
+        raise ValueError("form='woodbury' requires a diagonal (or no) Q")
     # The f64 factor + solve algebra lives ONCE in DenseSchurSolver
     # (registered pytree, safe to close over in the jitted program); the
     # driver only adds the f32/anchored variants around its factors.
@@ -170,7 +181,9 @@ def _device_solve_qcp(A, b, c, Q_diag, layout: ConeLayout, *, eps, max_ipm,
                 A32.T @ (ry_inv32 * (A32 @ dz32))).astype(f64)
     else:
         S = (A * ry_inv[:, None]).T @ A + rho_x * jnp.eye(n, dtype=dtype)
-        if Q_diag is not None:
+        if full_Q:
+            S = S + Q_diag
+        elif Q_diag is not None:
             S = S + jnp.diag(Q_diag)
         S32 = S.astype(f32)
         chol32 = dss.chol.astype(f32)
@@ -192,8 +205,7 @@ def _device_solve_qcp(A, b, c, Q_diag, layout: ConeLayout, *, eps, max_ipm,
 
     def S_times64(z):
         """f64 S @ z matrix-free (anchor setup only, once per stage)."""
-        return (rho_x * z + (Q_diag * z if Q_diag is not None else 0.0)
-                + A.T @ (ry_inv * (A @ z)))
+        return rho_x * z + Q_times(z) + A.T @ (ry_inv * (A @ z))
 
     def make_anchor(u, v) -> _AnchorQ:
         """One f64-quality pass per barrier stage."""
@@ -413,8 +425,10 @@ def solve_qcp_batch(As, bs, cs, Q_diags=None, *, cones: ConeSpec,
     """Solve a stacked batch of same-shape conic programs on device.
 
     As: (B, m, n); bs: (B, m); cs: (B, n); Q_diags: optional (B, n)
-    diagonal quadratic terms.  normalize=True applies the host driver's
-    cone-tied equilibration on device; otherwise pre-scale the data.
+    diagonal or (B, n, n) FULL quadratic terms (full Q forces the
+    primal Schur form; the Woodbury dual form needs H diagonal).
+    normalize=True applies the host driver's cone-tied equilibration on
+    device; otherwise pre-scale the data.
 
     max_admm is the TOTAL ADMM iteration budget across all barrier stages
     (instances hitting it return status UNFINISHED).  Note this differs
@@ -461,7 +475,7 @@ def solve_qcp_device(A, b, c, Q_diag=None, *, cones: ConeSpec,
                      solver="cholesky", normalize=False,
                      anchor_period=100, form="auto") -> ConicDeviceResult:
     """Single-instance, whole-solve-in-one-program conic solve (B=1,
-    un-vmapped).
+    un-vmapped).  Q_diag: (n,) diagonal or (n, n) full quadratic term.
 
     The host-pool conic analogue of `batched.device_solve_lp`: the host
     driver's sprint cadence costs several dispatches + scalar syncs per

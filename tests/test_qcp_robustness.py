@@ -128,3 +128,49 @@ def test_conic_max_time_inside_stage(rng):
     assert wall < 30.0, f"max_time=1.0 not enforced (took {wall:.1f}s)"
     # a timed-out solve reports best effort (Solved/Inaccurate), never NaN
     assert np.isfinite(sol.x).all()
+
+
+def test_device_route_full_Q(rng):
+    """The device conic route accepts a FULL (n, n) Q (primal Schur
+    form) and matches the host driver on LP-cone and SOC-mixed QPs."""
+    import jax.numpy as jnp
+
+    from abip_tpu import ConeSpec
+    from abip_tpu.parallel.batched_qcp import solve_qcp_batch, solve_qcp_device
+    from abip_tpu.qcp import solve_qcp
+
+    m, n = 8, 20
+    A = rng.standard_normal((m, n))
+    b = A @ (rng.random(n) + 0.5)
+    M = rng.standard_normal((n, n))
+    Q = M @ M.T + 0.5 * np.eye(n)
+    c = rng.standard_normal(n)
+    kw = dict(eps=1e-7, precision="mixed", normalize=True, rho_y=1e-3,
+              solver="inverse", inner_crit_period=8, max_admm=1_000_000)
+    for cones in (ConeSpec.lp(n), ConeSpec(soc=(5,), nonneg=15)):
+        host = solve_qcp(A, b, c, cones, Q=Q, eps=1e-7)
+        dev = solve_qcp_device(jnp.asarray(A), jnp.asarray(b),
+                               jnp.asarray(c), jnp.asarray(Q),
+                               cones=cones, **kw)
+        assert int(dev.status) == 1
+        assert abs(float(dev.pobj) - host.pobj) / (1 + abs(host.pobj)) < 1e-5
+
+    # batched full Qs: (B, n, n)
+    B = 3
+    As = np.stack([A] * B)
+    bs = np.stack([b * (1 + 0.01 * k) for k in range(B)])
+    cs = np.stack([c] * B)
+    Qs = np.stack([Q] * B)
+    rb = solve_qcp_batch(jnp.asarray(As), jnp.asarray(bs), jnp.asarray(cs),
+                         jnp.asarray(Qs), cones=ConeSpec.lp(n), **kw)
+    assert all(int(s) == 1 for s in np.asarray(rb.status))
+    host0 = solve_qcp(A, bs[0], c, ConeSpec.lp(n), Q=Q, eps=1e-7)
+    assert abs(float(np.asarray(rb.pobj)[0]) - host0.pobj) / (
+        1 + abs(host0.pobj)) < 1e-5
+
+    # Woodbury + full Q is rejected with guidance
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="diagonal"):
+        solve_qcp_device(jnp.asarray(A), jnp.asarray(b), jnp.asarray(c),
+                         jnp.asarray(Q), cones=ConeSpec.lp(n),
+                         form="woodbury", **kw)
