@@ -87,6 +87,37 @@ def randcone(name: str, m: int, cones: ConeSpec, seed: int):
     return name, A, b, c, cones, float(c @ xstar)
 
 
+def randqcp(name: str, m: int, cones: ConeSpec, seed: int, q_rank=None):
+    """Random conic QP with known optimal objective.
+
+    Same complementary-pair construction as :func:`randcone` extended
+    with a PSD quadratic term: KKT stationarity is Qx + c - A'y = s, so
+    c = A'y* + s* - Q x* makes (x*, y*, s*) optimal with
+    pobj* = 0.5 x*'Qx* + c'x*.  q_rank=None gives full-rank dense Q;
+    an int gives a rank-q_rank Q; "diag" gives a diagonal Q.
+    """
+    rng = np.random.default_rng(seed)
+    n = cones.dim
+    A = rng.standard_normal((m, n)) / np.sqrt(n)
+    A[rng.random((m, n)) < 0.5] = 0.0
+    if q_rank == "diag":
+        Q = rng.random(n) + 0.1          # 1-D diagonal
+        Qx = lambda x: Q * x             # noqa: E731
+        xQx = lambda x: float(x @ (Q * x))  # noqa: E731
+    else:
+        r = n if q_rank is None else int(q_rank)
+        M = rng.standard_normal((r, n)) / np.sqrt(n)
+        Q = M.T @ M + (0.1 * np.eye(n) if q_rank is None else 0.0)
+        Qx = lambda x: Q @ x             # noqa: E731
+        xQx = lambda x: float(x @ Q @ x)  # noqa: E731
+    xstar, sstar = _complementary_pair(cones, rng)
+    ystar = rng.standard_normal(m)
+    b = A @ xstar
+    c = A.T @ ystar + sstar - Qx(xstar)
+    pobj = 0.5 * xQx(xstar) + float(c @ xstar)
+    return name, A, b, c, Q, cones, pobj
+
+
 def portfolio(n_assets: int, k: int, seed: int):
     """Markowitz max-return under a risk budget: max mu'w s.t. 1'w = 1,
     w >= 0, ||F w|| <= sigma.  Conic variables [t; y; w] with y = F w,

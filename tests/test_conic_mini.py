@@ -71,3 +71,20 @@ def test_nnlsq_oracle_matches_solver():
     sol = solve_qcp(A, b, c, cones, eps=1e-6)
     assert sol.status_name == "Solved"
     assert abs(sol.pobj - pobj_star) < 5e-5 * max(1.0, abs(pobj_star))
+
+
+def test_randqcp_oracle():
+    """randqcp's complementary-pair QP construction: the stated optimum
+    is attained by the solver for diagonal, low-rank, and full Q."""
+    from benchmarks.conic_mini import randqcp
+
+    from abip_tpu import ConeSpec
+    from abip_tpu.qcp import solve_qcp
+
+    for q_kind, cones in ((None, ConeSpec(soc=(5,), nonneg=10)),
+                          ("diag", ConeSpec(nonneg=12)),
+                          (2, ConeSpec(rsoc=(4,), nonneg=8))):
+        nm, A, b, c, Q, cn, star = randqcp("t", 6, cones, 7, q_rank=q_kind)
+        sol = solve_qcp(A, b, c, cn, Q=Q, eps=1e-7)
+        assert sol.status_name == "Solved"
+        assert abs(sol.pobj - star) / (1 + abs(star)) < 1e-5

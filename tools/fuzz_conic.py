@@ -71,6 +71,14 @@ CLASSES = {
     "zero_mixed": lambda C: C(soc=(6,), free=2, zero=3, nonneg=10),
 }
 
+# quadratic-objective classes (randqcp oracle): q_kind "diag" or full;
+# excluded from --method pdhg (no closed prox for coupled Q)
+QP_CLASSES = {
+    "qp_diag": (lambda C: C(soc=(6,), nonneg=14), "diag"),
+    "qp_full": (lambda C: C(soc=(5,), rsoc=(4,), nonneg=11), None),
+    "qp_lowrank": (lambda C: C(nonneg=20), 3),
+}
+
 
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
@@ -92,17 +100,29 @@ def main(argv=None):
     from abip_tpu import ConeSpec, solve_qcp
     from abip_tpu.qcp import conic_defaults
 
-    from benchmarks.conic_mini import randcone
+    from benchmarks.conic_mini import randcone, randqcp
 
     lines = []
     bad = 0
-    for cls, mk in CLASSES.items():
-        cones = mk(ConeSpec)
+    all_classes = {cls: (mk, False) for cls, mk in CLASSES.items()}
+    if args.method != "pdhg":   # PDHG has no prox for coupled Q
+        all_classes.update({cls: (mkq, True)
+                            for cls, mkq in QP_CLASSES.items()})
+    for cls, (mk, is_qp) in all_classes.items():
+        q_kind = mk[1] if is_qp else None
+        cones = (mk[0] if is_qp else mk)(ConeSpec)
         m = max(6, cones.dim // 3)
-        insts = []
+        insts = []   # (name, A, b, c, Q-or-None, pobj_star)
         for i in range(args.per_class):
             seed = zlib.crc32(f"conic:{cls}:{i}".encode())
-            insts.append(randcone(f"{cls}{i}", m, cones, seed))
+            if is_qp:
+                nm, A, b, c, Q, _cn, star = randqcp(
+                    f"{cls}{i}", m, cones, seed, q_rank=q_kind)
+                insts.append((nm, A, b, c, Q, star))
+            else:
+                nm, A, b, c, _cn, star = randcone(f"{cls}{i}", m, cones,
+                                                  seed)
+                insts.append((nm, A, b, c, None, star))
         if args.batched:
             import jax.numpy as jnp
 
@@ -118,12 +138,14 @@ def main(argv=None):
             # total is max_admm*max_ipm); hard instances can need
             # hundreds of thousands of iterations (nonneg:10 solves at
             # ~300k where the host driver took 270k).
-            rb = solve_qcp_batch(As, bs, cs, cones=cones, eps=args.eps,
+            Qs = (jnp.asarray(np.stack([t[4] for t in insts]))
+                  if is_qp else None)
+            rb = solve_qcp_batch(As, bs, cs, Qs, cones=cones, eps=args.eps,
                                  precision="mixed", normalize=True,
                                  rho_y=1e-3, max_admm=1_000_000)
             batch_wall = time.perf_counter() - t0
         for i in range(args.per_class):
-            name, A, b, c, _, pobj_star = insts[i]
+            name, A, b, c, Q, pobj_star = insts[i]
             if args.batched:
                 from abip_tpu.settings import Status
 
@@ -147,8 +169,8 @@ def main(argv=None):
                 wall = time.perf_counter() - t0
             else:
                 t0 = time.perf_counter()
-                sol = solve_qcp(A, b, c, cones, settings=conic_defaults(),
-                                eps=args.eps)
+                sol = solve_qcp(A, b, c, cones, Q=Q,
+                                settings=conic_defaults(), eps=args.eps)
                 wall = time.perf_counter() - t0
             rec = {"class": cls, "i": i, "status": sol.status_name,
                    "admm": int(sol.admm_iters), "time": round(wall, 3)}
