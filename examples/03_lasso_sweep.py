@@ -3,6 +3,11 @@ import os
 import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+if os.environ.get("ABIP_CPU"):  # set when no accelerator is attached
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
 import numpy as np
 
 from abip_tpu.problems.lasso import solve_lasso_batch

@@ -11,6 +11,11 @@ import os
 import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+if os.environ.get("ABIP_CPU"):  # set when no accelerator is attached
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
 import numpy as np
 
 import jax

@@ -8,7 +8,10 @@ import os
 import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
-import jax; jax.config.update("jax_platforms", "cpu")  # noqa: E702
+if os.environ.get("ABIP_CPU", "1") != "0":  # CPU default; ABIP_CPU=0 for TPU
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
 import numpy as np  # noqa: F401
 
 from abip_tpu import ConeSpec, solve_qcp_pdhg

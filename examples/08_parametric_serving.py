@@ -18,7 +18,10 @@ import sys
 import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
-import jax; jax.config.update("jax_platforms", "cpu")  # noqa: E702
+if os.environ.get("ABIP_CPU", "1") != "0":  # CPU default; ABIP_CPU=0 for TPU
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
 import numpy as np
 
 import abip_tpu
