@@ -22,7 +22,10 @@ import numpy as np
 import scipy.sparse as sp
 
 
-def export_conic(path, A, b, c, cones):
+def export_conic(path, A, b, c, cones, Q=None):
+    """Q (optional): (n, n) dense/sparse quadratic term, written as a
+    trailing CSC block read by the Q-aware driver build (qcpref_q; the
+    Q=0 driver ignores trailing bytes)."""
     A = sp.csc_matrix(A)
     m, n = A.shape
     with open(path, "wb") as f:
@@ -38,6 +41,12 @@ def export_conic(path, A, b, c, cones):
             f.write(np.asarray(cones.soc, "<i8").tobytes())
         if cones.rsoc:
             f.write(np.asarray(cones.rsoc, "<i8").tobytes())
+        if Q is not None:
+            Qs = sp.csc_matrix(Q)
+            f.write(struct.pack("<q", Qs.nnz))
+            f.write(np.asarray(Qs.indptr, "<i8").tobytes())
+            f.write(np.asarray(Qs.indices, "<i8").tobytes())
+            f.write(np.asarray(Qs.data, "<f8").tobytes())
 
 
 def instances(rng):
@@ -89,6 +98,11 @@ def main(argv=None):
     ap.add_argument("--ref-bin", required=True)
     ap.add_argument("--eps", type=float, default=1e-4)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--qp", action="store_true",
+                    help="quadratic-objective families (randqcp exact "
+                         "oracles); requires the Q-aware reference build "
+                         "(qcpref_q -- recipe in "
+                         "reference_qcp_driver_notes.md)")
     args = ap.parse_args(argv)
 
     if args.cpu:
@@ -100,15 +114,34 @@ def main(argv=None):
 
     rng = np.random.default_rng(0)
     rows = []
-    for name, A, b, c, cones in instances(rng):
+    if args.qp:
+        from abip_tpu import ConeSpec
+        from benchmarks.conic_mini import randqcp
+
+        gen = []
+        for i, (cones, qk) in enumerate((
+                (ConeSpec(nonneg=24), "diag"),
+                (ConeSpec(nonneg=20), None),
+                (ConeSpec(soc=(6,), nonneg=12), None),
+                (ConeSpec(soc=(5,), rsoc=(4,), nonneg=9), "diag"),
+                (ConeSpec(rsoc=(6,), nonneg=10), 3))):
+            nm, A, b, c, Q, cn, star = randqcp(
+                f"qp{i}", max(6, cones.dim // 3), cones, 100 + i,
+                q_rank=qk)
+            Qm = np.diag(Q) if np.ndim(Q) == 1 else Q
+            gen.append((nm, A, b, c, cn, Qm, Q, star))
+    else:
+        gen = [(name, A, b, c, cones, None, None, None)
+               for name, A, b, c, cones in instances(rng)]
+    for name, A, b, c, cones, Qm, Q, star in gen:
         with tempfile.NamedTemporaryFile(suffix=".bin", delete=False) as f:
-            export_conic(f.name, A, b, c, cones)
+            export_conic(f.name, A, b, c, cones, Q=Qm)
             path = f.name
         ref = json.loads(subprocess.run(
             [args.ref_bin, path, str(args.eps)],
             capture_output=True, text=True, check=True,
         ).stdout.strip().splitlines()[-1])
-        ours = abip_tpu.solve_qcp(A, b, c, cones, eps=args.eps)
+        ours = abip_tpu.solve_qcp(A, b, c, cones, Q=Q, eps=args.eps)
         row = {
             "name": name,
             "ref_status": ref["status"], "our_status": ours.status_name,
@@ -116,6 +149,10 @@ def main(argv=None):
             "pobj_rel_diff": abs(ref["pobj"] - ours.pobj) / (1 + abs(ref["pobj"])),
             "ref_admm": ref["admm"], "our_admm": ours.admm_iters,
         }
+        if star is not None:
+            row["pobj_star"] = star
+            row["ref_star_err"] = abs(ref["pobj"] - star) / (1 + abs(star))
+            row["our_star_err"] = abs(ours.pobj - star) / (1 + abs(star))
         rows.append(row)
         print(json.dumps(row))
     diffs = [r["pobj_rel_diff"] for r in rows
