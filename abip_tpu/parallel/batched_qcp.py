@@ -91,14 +91,10 @@ def _device_solve_qcp(A, b, c, Q_diag, layout: ConeLayout, *, eps, max_ipm,
         from ..qcp import conic_defaults
         from ..scaling import equilibrate_conic
 
-        if Q_diag is not None and Q_diag.ndim == 2:
-            A, Q_diag, b, c, scal = equilibrate_conic(
-                A, Q_diag, b, c, layout, conic_defaults())
-        else:
-            A, _, b, c, scal = equilibrate_conic(A, None, b, c, layout,
-                                                 conic_defaults())
-            if Q_diag is not None:
-                Q_diag = Q_diag / (scal.E * scal.E)
+        # Q (diagonal or full) rides the equilibration so E sees its
+        # magnitudes (`qcp_config.c:239-248`; parity-relevant)
+        A, Q_diag, b, c, scal = equilibrate_conic(
+            A, Q_diag, b, c, layout, conic_defaults())
         D_s, E_s = scal.D, scal.E
         sc_b, sc_c = scal.sc_b, scal.sc_c
     else:

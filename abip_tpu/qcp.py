@@ -250,10 +250,15 @@ def _dense_setup_shared(A, b, c, Q, Q_diag, *, cones, stgs):
     nm_inf_c = jnp.max(jnp.abs(c))
 
     if stgs.normalize:
-        A, Q, b, c, scal = equilibrate_conic(A, Q, b, c, layout, stgs)
-        if Q_diag is not None:
-            # diagonal Q transforms as E^-1 Q E^-1 (`qcp_config.c:239-248`)
-            Q_diag = Q_diag / (scal.E * scal.E)
+        # a diagonal Q rides the equilibration directly so E sees its
+        # magnitudes (`qcp_config.c:239-248`; parity-relevant)
+        q_arg = Q if Q is not None else Q_diag
+        A, q_out, b, c, scal = equilibrate_conic(A, q_arg, b, c, layout,
+                                                 stgs)
+        if Q is not None:
+            Q = q_out
+        elif Q_diag is not None:
+            Q_diag = q_out
     else:
         scal = ConicScalingData(
             D=jnp.ones((m,), dtype), E=jnp.ones((n,), dtype),
@@ -379,11 +384,15 @@ class ConicWorkspace:
         self.nm_inf_c = jnp.max(jnp.abs(c))
 
         if settings.normalize and not matrix_free:
-            A_dense, Q, b, c, scal = equilibrate_conic(
-                A_dense, Q, b, c, self.layout, settings)
-            if self.Q_diag is not None:
-                # diagonal Q transforms as E^-1 Q E^-1 (`qcp_config.c:239-248`)
-                self.Q_diag = self.Q_diag / (scal.E * scal.E)
+            # a diagonal Q rides the equilibration directly so E sees its
+            # magnitudes (`qcp_config.c:239-248`; parity-relevant)
+            q_arg = Q if Q is not None else self.Q_diag
+            A_dense, q_out, b, c, scal = equilibrate_conic(
+                A_dense, q_arg, b, c, self.layout, settings)
+            if Q is not None:
+                Q = q_out
+            elif self.Q_diag is not None:
+                self.Q_diag = q_out
         else:
             scal = ConicScalingData(
                 D=jnp.ones((m,), dtype), E=jnp.ones((n,), dtype),

@@ -125,9 +125,15 @@ def equilibrate_conic(A, Q, b, c, layout, settings):
     preserved), then applied as A <- A E^-1 D^-1-rows, Q <- E^-1 Q E^-1.
     Order matches the reference: ruiz (10 iters) -> origin -> pc, followed
     by b/c scaling with sc = (||b||^2+||c||^2)^(1/4) of the ORIGINAL data.
+
+    Q may be a full (n, n) matrix or a 1-D (n,) DIAGONAL: the reference
+    scales by the Q columns either way (a diagonal's column reductions
+    are |q_j|), so diagonal-Q problems must not skip the Q term in E --
+    doing so was a measured trajectory-parity gap vs the C solver.
     """
     m, n = A.shape
     dtype = A.dtype
+    q_diag = Q is not None and Q.ndim == 1
     D_hat = jnp.ones((m,), dtype)
     E_hat = jnp.ones((n,), dtype)
 
@@ -140,14 +146,22 @@ def equilibrate_conic(A, Q, b, c, layout, settings):
     def col_metric(A, Q, kind):
         if kind == "inf":
             e1 = jnp.sqrt(jnp.max(jnp.abs(A), axis=0))
-            e2 = jnp.sqrt(jnp.max(jnp.abs(Q), axis=0)) if Q is not None else 0.0
         elif kind == "l2":
             e1 = jnp.sqrt(jnp.linalg.norm(A, axis=0))
-            e2 = jnp.sqrt(jnp.linalg.norm(Q, axis=0)) if Q is not None else 0.0
         else:  # l1
             e1 = jnp.sqrt(jnp.sum(jnp.abs(A), axis=0))
-            e2 = jnp.sqrt(jnp.sum(jnp.abs(Q), axis=0)) if Q is not None else 0.0
-        return jnp.maximum(e1, e2) if Q is not None else e1
+        if Q is None:
+            return e1
+        if q_diag:
+            # any column reduction of a diagonal matrix is |q_j|
+            e2 = jnp.sqrt(jnp.abs(Q))
+        elif kind == "inf":
+            e2 = jnp.sqrt(jnp.max(jnp.abs(Q), axis=0))
+        elif kind == "l2":
+            e2 = jnp.sqrt(jnp.linalg.norm(Q, axis=0))
+        else:
+            e2 = jnp.sqrt(jnp.sum(jnp.abs(Q), axis=0))
+        return jnp.maximum(e1, e2)
 
     def row_metric(A, kind):
         if kind == "inf":
@@ -164,7 +178,7 @@ def equilibrate_conic(A, Q, b, c, layout, settings):
         D = _clip_keep(D, n)
         A = A / E[None, :] / D[:, None]
         if Q is not None:
-            Q = Q / E[None, :] / E[:, None]
+            Q = Q / (E * E) if q_diag else Q / E[None, :] / E[:, None]
         return A, Q, D_hat * D, E_hat * E
 
     if settings.pc_ruiz_rescale:  # ruiz_scaling in the conic reference
