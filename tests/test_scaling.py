@@ -68,3 +68,38 @@ def test_conic_equilibrate_preserves_cone_blocks(rng):
     # reconstruction: A_s = D^-1 A E^-1
     recon = A / np.asarray(scal.D)[:, None] / E[None, :]
     np.testing.assert_allclose(np.asarray(A_s), recon, rtol=1e-10)
+
+
+def test_equilibrate_conic_diag_matches_full():
+    """A 1-D diagonal Q must equilibrate EXACTLY like the same Q as a
+    full matrix (the diagonal path skipping Q in E was a measured
+    trajectory-parity bug vs the reference C solver)."""
+    import numpy as np
+
+    from abip_tpu.cones import ConeLayout, ConeSpec
+    from abip_tpu.qcp import conic_defaults
+    from abip_tpu.scaling import equilibrate_conic
+
+    rng = np.random.default_rng(4)
+    cones = ConeSpec(soc=(4,), nonneg=8)
+    n = cones.dim
+    m = 5
+    A = rng.standard_normal((m, n))
+    b = rng.standard_normal(m)
+    c = rng.standard_normal(n)
+    q = rng.random(n) * 10.0 + 0.01
+    layout = ConeLayout(cones)
+    stgs = conic_defaults()
+
+    Ad, qd, bd, cd, sd = equilibrate_conic(
+        jnp.asarray(A), jnp.asarray(q), jnp.asarray(b), jnp.asarray(c),
+        layout, stgs)
+    Af, Qf, bf, cf, sf = equilibrate_conic(
+        jnp.asarray(A), jnp.asarray(np.diag(q)), jnp.asarray(b),
+        jnp.asarray(c), layout, stgs)
+    np.testing.assert_allclose(np.asarray(Ad), np.asarray(Af), atol=1e-14)
+    np.testing.assert_allclose(np.asarray(qd), np.diag(np.asarray(Qf)),
+                               atol=1e-14)
+    np.testing.assert_allclose(np.asarray(sd.E), np.asarray(sf.E),
+                               atol=1e-14)
+    np.testing.assert_allclose(np.asarray(bd), np.asarray(bf), atol=1e-14)

@@ -98,6 +98,8 @@ def main(argv=None):
     ap.add_argument("--ref-bin", required=True)
     ap.add_argument("--eps", type=float, default=1e-4)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--count", type=int, default=1,
+                    help="(--qp) seeds per QP family")
     ap.add_argument("--qp", action="store_true",
                     help="quadratic-objective families (randqcp exact "
                          "oracles); requires the Q-aware reference build "
@@ -125,11 +127,12 @@ def main(argv=None):
                 (ConeSpec(soc=(6,), nonneg=12), None),
                 (ConeSpec(soc=(5,), rsoc=(4,), nonneg=9), "diag"),
                 (ConeSpec(rsoc=(6,), nonneg=10), 3))):
-            nm, A, b, c, Q, cn, star = randqcp(
-                f"qp{i}", max(6, cones.dim // 3), cones, 100 + i,
-                q_rank=qk)
-            Qm = np.diag(Q) if np.ndim(Q) == 1 else Q
-            gen.append((nm, A, b, c, cn, Qm, Q, star))
+            for s in range(args.count):
+                nm, A, b, c, Q, cn, star = randqcp(
+                    f"qp{i}s{s}", max(6, cones.dim // 3), cones,
+                    100 + 17 * i + s, q_rank=qk)
+                Qm = np.diag(Q) if np.ndim(Q) == 1 else Q
+                gen.append((nm, A, b, c, cn, Qm, Q, star))
     else:
         gen = [(name, A, b, c, cones, None, None, None)
                for name, A, b, c, cones in instances(rng)]
