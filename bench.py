@@ -200,6 +200,9 @@ def _emit(out):
         ("pagerank_1m_solve_sec",
          "benchmarks/results/r02_pagerank/pagerank@1000000-0.json",
          (None, "time")),
+        ("qp_fullQ_dim612_device_pool_vs_ref",
+         "benchmarks/results/r02_qp_throughput_dim612.json",
+         ("device_pool", "vs_reference")),
     ):
         try:
             with open(os.path.join(here, path)) as f:

@@ -37,21 +37,33 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from tools.parity_qcp import export_conic  # noqa: E402
 
 
-def family(n_inst, seed0=7_000, scale=1):
+def family(n_inst, seed0=7_000, scale=1, qp=False):
     """Mixed-cone instances: dim 204*scale, m = dim//3.
 
     scale=1 is the QDLDL-friendly tiny class (dim 204); scale=5 is the
     dim-1020 class where the dense-factor/MXU design point crosses over.
+    qp=True adds a full-rank PSD quadratic term (randqcp exact oracle;
+    requires the Q-aware reference build qcpref_q).
+
+    Returns 7-tuples (name, A, b, c, cones, Q-or-None, pobj_star).
     """
     from abip_tpu import ConeSpec
 
-    from benchmarks.conic_mini import randcone
+    from benchmarks.conic_mini import randcone, randqcp
 
     cones = ConeSpec(soc=(25 * scale, 25 * scale), rsoc=(4 * scale,),
                      nonneg=150 * scale)
     m = cones.dim // 3
-    return [randcone(f"cb{i}", m, cones, seed0 + i)
-            for i in range(n_inst)], cones
+    out = []
+    for i in range(n_inst):
+        if qp:
+            nm, A, b, c, Q, cn, star = randqcp(f"qp{i}", m, cones,
+                                               seed0 + i)
+            out.append((nm, A, b, c, cn, Q, star))
+        else:
+            nm, A, b, c, cn, star = randcone(f"cb{i}", m, cones, seed0 + i)
+            out.append((nm, A, b, c, cn, None, star))
+    return out, cones
 
 
 def main(argv=None):
@@ -73,6 +85,9 @@ def main(argv=None):
                     default=True,
                     help="force the CPU backend (default; --no-cpu "
                     "leaves the accelerator backend active)")
+    ap.add_argument("--qp", action="store_true",
+                    help="quadratic-objective family (full-rank PSD Q; "
+                         "point --ref-bin at the Q-aware qcpref_q)")
     ap.add_argument("-o", "--out", default=None)
     args = ap.parse_args(argv)
 
@@ -86,10 +101,10 @@ def main(argv=None):
     from abip_tpu.parallel.batched_qcp import solve_qcp_batch
     from abip_tpu.parallel.host_pool import pool_map
 
-    insts, cones = family(args.n, scale=args.scale)
+    insts, cones = family(args.n, scale=args.scale, qp=args.qp)
     out = {"eps": args.eps, "n_instances": args.n,
            "shape": f"m={insts[0][1].shape[0]} n={insts[0][1].shape[1]}",
-           "cones": repr(cones)}
+           "cones": repr(cones), "qp": bool(args.qp)}
 
     def best_of(run):
         """Fastest of --repeats runs: (iters, wall_sec, all_ok)."""
@@ -105,10 +120,12 @@ def main(argv=None):
         def run_ref():
             it_ref = t_ref = 0.0
             statuses = []
-            for name, A, b, c, cn, _ in insts:
+            for name, A, b, c, cn, Q, _ in insts:
                 with tempfile.NamedTemporaryFile(suffix=".bin",
                                                  delete=False) as f:
-                    export_conic(f.name, A, b, c, cn)
+                    Qm = (np.diag(Q) if (Q is not None and Q.ndim == 1)
+                          else Q)
+                    export_conic(f.name, A, b, c, cn, Q=Qm)
                     path = f.name
                 r = json.loads(subprocess.run(
                     [args.ref_bin, path, str(args.eps)],
@@ -133,9 +150,9 @@ def main(argv=None):
 
     # -- ours: host driver serial and pooled ------------------------------
     def solve_host(inst):
-        name, A, b, c, cn, _ = inst
+        name, A, b, c, cn, Q, _ = inst
         t0 = time.perf_counter()
-        sol = abip_tpu.solve_qcp(A, b, c, cn, eps=args.eps)
+        sol = abip_tpu.solve_qcp(A, b, c, cn, Q=Q, eps=args.eps)
         return sol.admm_iters, time.perf_counter() - t0, sol.status_name
 
     solve_host(insts[0])  # warm the jit cache off the clock
@@ -180,9 +197,11 @@ def main(argv=None):
                solver="inverse", inner_crit_period=8)
 
     def solve_device(inst):
-        name, A, b, c, cn, _ = inst
+        name, A, b, c, cn, Q, _ = inst
         r = solve_qcp_device(jnp.asarray(A), jnp.asarray(b),
-                             jnp.asarray(c), **dkw)
+                             jnp.asarray(c),
+                             jnp.asarray(Q) if Q is not None else None,
+                             **dkw)
         jax.block_until_ready(r)
         return int(r.admm_iters), int(r.status)
 
@@ -200,7 +219,7 @@ def main(argv=None):
         "total_admm": int(its), "total_sec": round(dt, 4),
         "all_solved": ok,
     }
-    insts_dp, _ = family(args.n, seed0=9_500, scale=args.scale)
+    insts_dp, _ = family(args.n, seed0=9_500, scale=args.scale, qp=args.qp)
 
     def run_device_pool():
         t0 = time.perf_counter()
@@ -224,20 +243,24 @@ def main(argv=None):
     As = jnp.asarray(np.stack([t[1] for t in insts]))
     bs = jnp.asarray(np.stack([t[2] for t in insts]))
     cs = jnp.asarray(np.stack([t[3] for t in insts]))
+    Qs = (jnp.asarray(np.stack([t[5] for t in insts]))
+          if args.qp else None)
     kw = dict(cones=cones, eps=args.eps, precision="mixed", normalize=True,
               rho_y=1e-3, max_admm=1_000_000, solver="inverse",
               inner_crit_period=8)
-    rb = solve_qcp_batch(As, bs, cs, **kw)
+    rb = solve_qcp_batch(As, bs, cs, Qs, **kw)
     jax.block_until_ready(rb)          # compile + warm run off the clock
     insts2, _ = family(args.n, seed0=8_000,  # FRESH data for the timed run
-                       scale=args.scale)
+                       scale=args.scale, qp=args.qp)
     As2 = jnp.asarray(np.stack([t[1] for t in insts2]))
     bs2 = jnp.asarray(np.stack([t[2] for t in insts2]))
     cs2 = jnp.asarray(np.stack([t[3] for t in insts2]))
+    Qs2 = (jnp.asarray(np.stack([t[5] for t in insts2]))
+           if args.qp else None)
 
     def run_batched():
         t0 = time.perf_counter()
-        rb = solve_qcp_batch(As2, bs2, cs2, **kw)
+        rb = solve_qcp_batch(As2, bs2, cs2, Qs2, **kw)
         jax.block_until_ready(rb)
         dt = time.perf_counter() - t0
         its = np.asarray(rb.admm_iters)
