@@ -249,9 +249,10 @@ def solve_qcp_grad(A, b, c, *, cones: ConeSpec, Q_diag=None, eps=1e-8,
 
     The diffcp role for the ABIP problem form; see the module docstring
     for the math and the differentiability caveats.  Forward is the
-    whole-solve-on-device conic driver (`solve_qcp_device`); general
-    (non-diagonal) Q is not wired here because the device forward takes
-    diagonal Q -- use the KKT system directly for that case.
+    whole-solve-on-device conic driver (`solve_qcp_device`, which also
+    accepts a full (n, n) Q); general Q is not wired HERE because the
+    adjoint assembly (`_implicit_vjp`) is written for the diagonal
+    parameterization -- extend the PQ term there to add it.
     """
     opts = tuple(sorted({"eps": eps, **kw}.items()))
     x, y, s, _ = _qcp_solution(cones, opts, bool(lstsq), A, b, c, Q_diag)

@@ -27,6 +27,7 @@ import json
 import os
 import subprocess
 import sys
+import re
 import tempfile
 import time
 
@@ -116,6 +117,7 @@ def main(argv=None):
         return best
 
     # -- reference binary, per instance -----------------------------------
+    name_star = {t[0]: t[6] for t in insts}
     if os.path.exists(args.ref_bin):
         def run_ref():
             it_ref = t_ref = 0.0
@@ -127,14 +129,30 @@ def main(argv=None):
                           else Q)
                     export_conic(f.name, A, b, c, cn, Q=Qm)
                     path = f.name
-                r = json.loads(subprocess.run(
+                raw = subprocess.run(
                     [args.ref_bin, path, str(args.eps)],
                     capture_output=True,
-                    text=True, check=True).stdout.strip().splitlines()[-1])
+                    text=True, check=True).stdout.strip().splitlines()[-1]
+                # the C driver prints bare inf/nan on certificate exits
+                raw = re.sub(r"\b-inf\b", "-Infinity", raw)
+                raw = re.sub(r"\binf\b", "Infinity", raw)
+                raw = re.sub(r"\bnan\b", "NaN", raw)
+                r = json.loads(raw)
                 os.unlink(path)
                 it_ref += r["admm"]
                 t_ref += r["time_sec"]
                 statuses.append(r["status"])
+                if args.qp:
+                    # guard against the Q=0 reference build, which
+                    # silently ignores the trailing Q block and solves
+                    # the LP relaxation instead
+                    star = name_star[name]
+                    if abs(r["pobj"] - star) / (1 + abs(star)) > 1e-2:
+                        raise SystemExit(
+                            f"reference pobj {r['pobj']:.6g} is far from "
+                            f"the exact QP optimum {star:.6g} on {name}: "
+                            "--ref-bin is probably the Q=0 build; use "
+                            "qcpref_q (reference_qcp_driver_notes.md)")
             return it_ref, t_ref, all(
                 s.startswith("Solved") for s in statuses)
 
