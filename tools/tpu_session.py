@@ -240,7 +240,7 @@ def main():
                    solver="inverse", inner_crit_period=8)
 
         def solve(inst):
-            _name, A, b, c, _cn, _pobj = inst
+            _name, A, b, c, _cn, _Q, _pobj = inst
             r = solve_qcp_device(jnp.asarray(A), jnp.asarray(b),
                                  jnp.asarray(c), **dkw)
             jax.block_until_ready(r)
