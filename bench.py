@@ -76,11 +76,13 @@ def main():
         # vmap batching pays only on TPU.
         cpu_cfg = ({"ABIP_BENCH_CPU": "1", "ABIP_BENCH_POOL": "auto"}, 900)
         user_b = os.environ.get("ABIP_BENCH_B")
+        user_single = os.environ.get("ABIP_BENCH_SINGLE")
         if os.environ.get("ABIP_BENCH_CPU"):
             # caller forced CPU: never probe the accelerator; honor an
-            # explicit batch size, else the CPU-optimal single config
-            attempts = [({"ABIP_BENCH_CPU": "1"}, 900)] if user_b \
-                else [cpu_cfg]
+            # explicit batch size or single mode (the pool default would
+            # shadow ABIP_BENCH_SINGLE), else the CPU-optimal pool config
+            attempts = [({"ABIP_BENCH_CPU": "1"}, 900)] \
+                if (user_b or user_single) else [cpu_cfg]
         elif not _device_alive():
             # wedged/absent accelerator tunnel: don't burn the device
             # watchdog budgets, fall straight back to CPU
