@@ -2,9 +2,10 @@
 //
 // The C++ twin of abip_tpu/io/cbf.py:parse_cbf (same accepted grammar,
 // same rejections), for large CBLIB files where Python tokenization
-// dominates.  Exposed through ctypes (abip_tpu/io/native.py) and
-// validated against the Python parser on the committed cblib-mini
-// suite (tests/test_native.py).
+// dominates (measured 1.8x on a 3 MB / 110k-coordinate instance).
+// Exposed through ctypes (abip_tpu/io/native.py) and validated against
+// the Python parser on the committed cblib-mini suite
+// (tests/test_native.py), including strict-rejection parity.
 //
 // Cone codes shared with the Python binding:
 //   0=F  1=L+  2=L-  3=L=  4=Q  5=QR
