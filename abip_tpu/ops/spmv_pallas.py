@@ -106,21 +106,27 @@ except Exception:  # pragma: no cover
 
 
 def _bcsr_kernel(cols_ref, data_ref, x_ref, out_ref):
-    """One program per block row: out[br] = sum_k data[k] @ x[cols[k]].
+    """Grid (nbr, maxk): out[i] += data[i, k] @ x[cols[i, k]].
 
-    x_ref is the padded operand reshaped (n_blocks, BC); out block (1, BR).
+    The x gather happens in the BlockSpec index_map via the
+    scalar-prefetched `cols` array (the canonical Mosaic gather idiom),
+    so the body is branch-free and does no dynamic indexing -- real-TPU
+    lowering rejects both dynamic sublane reads and sub-(8,128) output
+    blocks (the round-2 hardware session caught the latter).
+    `cols_ref` is consumed by the index_maps only.
     """
-    maxk = data_ref.shape[1]
-    i = pl.program_id(0)
+    del cols_ref
+    k = pl.program_id(1)
 
-    def body(k, acc):
-        c = cols_ref[i, k]
-        xs = x_ref[c, :]
-        tile = data_ref[0, k]
-        return acc + jnp.dot(tile, xs, preferred_element_type=acc.dtype)
+    @pl.when(k == 0)
+    def _init():
+        out_ref[0, 0, :] = jnp.zeros((out_ref.shape[-1],), out_ref.dtype)
 
-    acc0 = jnp.zeros((BR,), dtype=out_ref.dtype)
-    out_ref[0, :] = jax.lax.fori_loop(0, maxk, body, acc0)
+    xs = x_ref[0, 0, :].reshape(1, -1)         # (1, BC)
+    tile = data_ref[0, 0]                      # (BR, BC)
+    y = jax.lax.dot_general(tile, xs, (((1,), (1,)), ((), ())),
+                            preferred_element_type=out_ref.dtype)
+    out_ref[0, 0, :] += y[:, 0]
 
 
 def pallas_default() -> bool:
@@ -147,22 +153,25 @@ def bcsr_matvec(A: BCSRMatrix, x, interpret=False, use_pallas=None):
     x_pad = jnp.zeros((n_pad,), A.data.dtype).at[:n].set(x.astype(A.data.dtype))
 
     if use_pallas and _HAVE_PALLAS:
-        x2d = x_pad.reshape(-1, BC)
+        # Middle unit dims keep every block's trailing two dims at the
+        # (8, 128) Mosaic tile or equal to the full array dim -- the
+        # real-TPU lowering requirement (see _bcsr_kernel docstring).
+        x3d = x_pad.reshape(-1, 1, BC)
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=(nbr,),
+            grid=(nbr, maxk),
             in_specs=[
-                pl.BlockSpec((1, maxk, BR, BC), lambda i, cols: (i, 0, 0, 0)),
-                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec((1, 1, BR, BC), lambda i, k, cols: (i, k, 0, 0)),
+                pl.BlockSpec((1, 1, BC), lambda i, k, cols: (cols[i, k], 0, 0)),
             ],
-            out_specs=pl.BlockSpec((1, BR), lambda i, cols: (i, 0)),
+            out_specs=pl.BlockSpec((1, 1, BR), lambda i, k, cols: (i, 0, 0)),
         )
         y = pl.pallas_call(
             _bcsr_kernel,
-            out_shape=jax.ShapeDtypeStruct((nbr, BR), A.data.dtype),
+            out_shape=jax.ShapeDtypeStruct((nbr, 1, BR), A.data.dtype),
             grid_spec=grid_spec,
             interpret=interpret,
-        )(A.cols, A.data, x2d).reshape(-1)
+        )(A.cols, A.data, x3d).reshape(-1)
     else:
         # XLA fallback: gather x tiles and batch the tile matmuls
         xs = x_pad.reshape(-1, BC)[A.cols]          # (nbr, maxk, BC)

@@ -79,7 +79,7 @@ class _Anchor(NamedTuple):
                                    "precision", "ir_steps", "solver",
                                    "engine", "sprint_T", "sprint_mu_switch",
                                    "qres_period", "anchor_period",
-                                   "avg_period"))
+                                   "avg_period", "cadence"))
 def device_solve_lp(A, b, c, *, eps=1e-6, max_ipm=200, max_admm=200_000,
                     alpha=1.8, rho_y=1e-3, normalize=True, scale=1.0,
                     ruiz_iter=10, hybrid_thresh=1000.0, dynamic_x=0.8,
@@ -88,7 +88,7 @@ def device_solve_lp(A, b, c, *, eps=1e-6, max_ipm=200, max_admm=200_000,
                     solver="cholesky", engine="steps", sprint_T=32,
                     sprint_mu_switch=1e-3,
                     qres_period=1, anchor_period=1000,
-                    avg_period=10) -> DeviceSolveResult:
+                    avg_period=10, cadence="cond") -> DeviceSolveResult:
     """Solve one standard-form LP entirely on device.  vmap-able.
 
     engine="sprint" (mixed precision only) runs `sprint_T` whole f32 ADMM
@@ -107,6 +107,22 @@ def device_solve_lp(A, b, c, *, eps=1e-6, max_ipm=200, max_admm=200_000,
     matvecs) and, in mixed mode, the full residual check, every Pa-th
     iteration (reference cadence: every 10th via `compute_avg`
     consumers).
+
+    cadence="cond" (default) gates the periodic checks with
+    `lax.cond` -- real branching when the program is NOT vmapped, so
+    single-instance solves pay nothing between checks.  Under `vmap`,
+    XLA lowers `cond` to compute-both-branches + select, which silently
+    re-enables the f64 residual check (software-emulated on TPU v5e,
+    ~30x an f32 matvec) on EVERY iteration of EVERY lane -- measured
+    0.27x baseline at B=16 on real hardware vs 0.91x single.
+    cadence="chunk" makes the cadence structural instead: each
+    while-loop trip runs `qres_period` uniform lean iterations as a
+    `lax.fori_loop`, then performs the qres / average-candidate /
+    residual checks exactly once, unconditionally.  Semantics match
+    the documented qres_period behavior (stage overrun bounded by
+    qres_period-1); avg/residual checks ride the same chunk boundary,
+    so avg_period is ignored in chunk mode.  `solve_lp_batch` defaults
+    to chunk.
     """
     if precision not in ("f64", "mixed"):
         raise ValueError(f"precision must be 'f64' or 'mixed'; got {precision!r}")
@@ -122,6 +138,9 @@ def device_solve_lp(A, b, c, *, eps=1e-6, max_ipm=200, max_admm=200_000,
         raise ValueError(
             "qres_period, avg_period, and anchor_period must be >= 1; got "
             f"{qres_period}, {avg_period}, {anchor_period}")
+    if cadence not in ("cond", "chunk"):
+        raise ValueError(f"cadence must be 'cond' or 'chunk'; got {cadence!r}")
+    chunked = cadence == "chunk"
     sprint = engine == "sprint"
     A = A.astype(f64)
     b = b.astype(f64)
@@ -386,13 +405,85 @@ def device_solve_lp(A, b, c, *, eps=1e-6, max_ipm=200, max_admm=200_000,
                       avg_crit=avg_crit,
                       j=s.j + 1, k=s.k + dk, qres=qres, status=st, res=r)
 
+        def body_chunk(s: IC):
+            """One structural chunk: `qres_period` uniform lean
+            iterations (`lax.fori_loop`), then every periodic check
+            exactly once, unconditionally.  No data-dependent gating in
+            the hot path, so `vmap` cannot degrade the cadence into
+            compute-both-branches selects (see the cadence note in the
+            driver docstring)."""
+            def lean(_, t):
+                u, v, us, vs = t
+                u_t = project(u, v, s.k)
+                u, v = hsd.admm_update(u, v, u, u_t, mu, alpha, m)
+                return (u, v, us + u, vs + v)
+
+            if sprint:
+                h_pad = jnp.concatenate([h, jnp.zeros((1,), dtype)])
+                g_pad = jnp.concatenate([g, jnp.zeros((1,), dtype)])
+
+                def sprint_branch(args):
+                    from ..ops.admm_pallas import fused_admm_sprint
+
+                    su, sv, us, vs = args
+                    u32, v32 = fused_admm_sprint(
+                        A32, Ninv32_sprint, h_pad.astype(f32),
+                        g_pad.astype(f32), rho_y, g_th, mu, alpha,
+                        su.astype(f32), sv.astype(f32), T=sprint_T)
+                    u = u32.astype(f64)
+                    v = v32.astype(f64)
+                    return (u, v, us + u, vs + v,
+                            jnp.asarray(sprint_T, jnp.int32),
+                            jnp.asarray(1, jnp.int32))
+
+                def steps_branch(args):
+                    su, sv, us, vs = args
+                    u, v, us, vs = jax.lax.fori_loop(
+                        0, qres_period, lean, (su, sv, us, vs))
+                    return (u, v, us, vs,
+                            jnp.asarray(qres_period, jnp.int32),
+                            jnp.asarray(qres_period, jnp.int32))
+
+                u, v, u_sum, v_sum, dk, dj = jax.lax.cond(
+                    mu > sprint_mu_switch, sprint_branch, steps_branch,
+                    (s.u, s.v, s.u_sum, s.v_sum))
+            else:
+                u, v, u_sum, v_sum = jax.lax.fori_loop(
+                    0, qres_period, lean, (s.u, s.v, s.u_sum, s.v_sum))
+                dk = jnp.asarray(qres_period, jnp.int32)
+                dj = dk
+
+            dom = jnp.maximum((s.j + dj).astype(u.dtype), 1.0)
+            q_cur = qres_of(u, v)
+            u_avg = u_sum / dom
+            v_avg = v_sum / dom
+            q_avg = qres_of(u_avg, v_avg)
+            avg_crit = q_avg < q_cur
+            qres = jnp.where(avg_crit, q_avg, q_cur)
+
+            # TRUE f64 residual check (see the cond-path comment), paid
+            # once per chunk instead of per iteration
+            u_sel = jnp.where(avg_crit, u_avg, u)
+            v_sel = jnp.where(avg_crit, v_avg, v)
+            r = residuals(u_sel, v_sel, matvec64, rmatvec64)
+            st = jnp.where(
+                carry.final_check,
+                hsd.lp_converged_code(r, eps, False,
+                                      (carry.i > 0) & (s.k + dk > 0)),
+                0,
+            ).astype(jnp.int32)
+            return IC(u=u, v=v, u_sum=u_sum, v_sum=v_sum,
+                      avg_crit=avg_crit, j=s.j + dj, k=s.k + dk,
+                      qres=qres, status=st, res=r)
+
         z = jnp.zeros((l,), dtype)
         init = IC(u=carry.u, v=carry.v, u_sum=z, v_sum=z,
                   avg_crit=jnp.zeros((), bool),
                   j=jnp.zeros((), jnp.int32),
                   k=carry.k, qres=jnp.full((), jnp.inf, dtype),
                   status=jnp.zeros((), jnp.int32), res=carry.res)
-        return jax.lax.while_loop(cond, body, init), mv, rmv
+        return (jax.lax.while_loop(cond, body_chunk if chunked else body,
+                                   init), mv, rmv)
 
     def outer_body(carry: C):
         s, mv, rmv = inner(carry)
@@ -508,7 +599,13 @@ def solve_lp_batch(As, bs, cs, mesh=None, **kw) -> DeviceSolveResult:
 
     As: (B, m, n); bs: (B, m); cs: (B, n).  With `mesh` given (a 1-D
     `jax.sharding.Mesh` over axis 'batch'), instances shard across devices.
+
+    Defaults to cadence="chunk": under vmap, cond-gated check cadence
+    degrades to compute-both-branches (measured 0.27x baseline at B=16
+    on TPU v5e vs 0.91x single-instance; the f64 residual check ran
+    every iteration).  Pass cadence="cond" to override.
     """
+    kw.setdefault("cadence", "chunk")
     fn = jax.vmap(lambda A, b, c: device_solve_lp(A, b, c, **kw))
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
