@@ -157,14 +157,20 @@ def bcsr_matvec(A: BCSRMatrix, x, interpret=False, use_pallas=None):
         # (8, 128) Mosaic tile or equal to the full array dim -- the
         # real-TPU lowering requirement (see _bcsr_kernel docstring).
         x3d = x_pad.reshape(-1, 1, BC)
+        # index_map constants must be i32 NON-TRACER values: a literal
+        # `0` traces as i64 under jax_enable_x64 (Mosaic fails to
+        # legalize the index transform), and jnp.int32(0) inside the
+        # jitted caller is a captured tracer (also rejected); a numpy
+        # scalar satisfies both (caught on real TPU v5e, round 2)
+        z = np.int32(0)
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(nbr, maxk),
             in_specs=[
-                pl.BlockSpec((1, 1, BR, BC), lambda i, k, cols: (i, k, 0, 0)),
-                pl.BlockSpec((1, 1, BC), lambda i, k, cols: (cols[i, k], 0, 0)),
+                pl.BlockSpec((1, 1, BR, BC), lambda i, k, cols: (i, k, z, z)),
+                pl.BlockSpec((1, 1, BC), lambda i, k, cols: (cols[i, k], z, z)),
             ],
-            out_specs=pl.BlockSpec((1, 1, BR), lambda i, k, cols: (i, 0, 0)),
+            out_specs=pl.BlockSpec((1, 1, BR), lambda i, k, cols: (i, z, z)),
         )
         y = pl.pallas_call(
             _bcsr_kernel,

@@ -91,11 +91,15 @@ def main():
             # caller pinned the batch size: one device attempt with it
             attempts = [({}, 1800), cpu_cfg]
         else:
-            # device ladder: biggest batch first (best measured-throughput
-            # candidate), fall back to the known-good B=16, then CPU
+            # device ladder: MEASURED-best config first (the ladder stops
+            # at the first success, so a working-but-slower rung would
+            # shadow a better one).  Round-2 TPU battery: B=16 2.5-3.0x,
+            # B=32 1.6x (nonlinear cost growth), B=64 faults the device.
+            # Each rung is a FRESH subprocess, so one rung's device fault
+            # cannot poison the next.
             attempts = [
-                ({"ABIP_BENCH_B": "64"}, 1800),
                 ({"ABIP_BENCH_B": "16"}, 1200),
+                ({"ABIP_BENCH_B": "8"}, 1200),
                 cpu_cfg,
             ]
         for extra_env, timeout_s in attempts:

@@ -14,8 +14,11 @@ Stages (each independently try/except'd):
      (BCSR SpMV, fused barrier step, fused ADMM sprint) -- the VERDICT
      round-1 item "kernels execute compiled on TPU"
   3. single-instance anchored-mixed LP solve rate (fresh timed data)
-  4. batched LP rates: B=16 then B=64 (`solve_lp_batch`, one program)
+  4. batched LP rates: B=16 then B=32 (`solve_lp_batch`, one program)
   5. conic device solve rate (dim-1020 class)
+  6. LAST (riskiest -- a device fault fails every later stage): a
+     B=64-sized transfer probe, then the B=64 batch (faulted the device
+     in both round-2 batteries)
 
 Timing rules honored: fresh input data for every timed run (remote
 execution caches), block_until_ready everywhere, persistent compile
@@ -224,9 +227,9 @@ def main():
     def b16():
         return _batched(16, 60_000)
 
-    @_stage(results, "lp_batch_64")
-    def b64():
-        return _batched(64, 70_000)
+    @_stage(results, "lp_batch_32")
+    def b32():
+        return _batched(32, 65_000)
 
     @_stage(results, "conic_device_dim1020")
     def conic():
@@ -254,6 +257,23 @@ def main():
                 "iters_per_sec": round(iters / dt, 1),
                 "total_admm_iters": iters,
                 "statuses": [int(r.status) for r in rs]}
+
+    # ---- riskiest stages LAST: a device fault wedges the process's TPU
+    # session, failing every later stage (both round-2 batteries lost the
+    # conic stage to lp_batch_64's fault) -------------------------------
+    @_stage(results, "transfer_probe_64")
+    def probe64():
+        """Discriminate transfer-size failure from program fault: move a
+        B=64-sized operand through the tunnel and reduce it on device."""
+        x = np.random.default_rng(1).standard_normal((64, 50, 2050))
+        t0 = time.perf_counter()
+        s = float(jax.jit(jnp.sum)(jnp.asarray(x)).block_until_ready())
+        return {"bytes": int(x.nbytes), "ok": bool(np.isfinite(s)),
+                "roundtrip_sec": round(time.perf_counter() - t0, 2)}
+
+    @_stage(results, "lp_batch_64")
+    def b64():
+        return _batched(64, 70_000)
 
     print(json.dumps(results, indent=1))
     return 0
