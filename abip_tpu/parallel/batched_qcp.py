@@ -62,7 +62,8 @@ def _device_solve_qcp(A, b, c, Q_diag, layout: ConeLayout, *, eps, max_ipm,
                       max_admm, alpha, rho_y, rho_x, rho_tau, psi,
                       inner_check_period, precision="f64", ir_steps=1,
                       inner_crit_period=1, solver="cholesky",
-                      normalize=False, anchor_period=100, form="auto"):
+                      normalize=False, anchor_period=100, form="auto",
+                      cadence="cond"):
     """One conic instance entirely on device (no equilibration: callers
     pre-scale, as the reference app configs do).  Dense Schur backend.
 
@@ -76,6 +77,9 @@ def _device_solve_qcp(A, b, c, Q_diag, layout: ConeLayout, *, eps, max_ipm,
             "anchor_period, inner_crit_period, and inner_check_period must "
             f"be >= 1; got {anchor_period}, {inner_crit_period}, "
             f"{inner_check_period}")
+    if cadence not in ("cond", "chunk"):
+        raise ValueError(f"cadence must be 'cond' or 'chunk'; got {cadence!r}")
+    chunked = cadence == "chunk"
     dtype = A.dtype
     m, n = A.shape
     l = m + n + 1
@@ -327,6 +331,32 @@ def _device_solve_qcp(A, b, c, Q_diag, layout: ConeLayout, *, eps, max_ipm,
         return IC(u=u, v=v, v_origin=v_origin, j=s.j + 1, k=k,
                   err_inner=err_inner, status=st, res=r)
 
+    def inner_body_chunk(s: IC, mu, ipm_i, mv, rmv, stage_solve):
+        """Structural cadence for vmapped programs: `inner_crit_period`
+        uniform lean iterations (one `lax.fori_loop`), then the inner
+        criterion AND the f64 residual check exactly once,
+        unconditionally.  Under `vmap`, the cond-gated cadence above
+        lowers to compute-both-branches + select, silently running the
+        v5e-emulated f64 residual check on EVERY iteration of EVERY lane
+        (the LP driver measured 0.27x baseline that way; see
+        `batched.device_solve_lp`'s cadence note)."""
+        def lean(_, t):
+            u, v = t
+            u_t, _ = conic_ops.projection(u, v, stage_solve, rho, r_vec,
+                                          a_coef, Q_times, m, n, s.k)
+            return conic_ops.barrier_and_dual(u, v, u_t, mu, rho_tail,
+                                              layout, alpha, m, n)
+
+        u, v = jax.lax.fori_loop(0, inner_crit_period, lean, (s.u, s.v))
+        v_origin = rho * v
+        k = s.k + inner_crit_period
+        err_inner = conic_ops.inner_conv_check(u, v_origin, mv, rmv,
+                                               Q_times, b, c, m, n)
+        r = residuals(u, v_origin, s.res, mv64, rmv64)
+        st = converged(r, (ipm_i > 0) & (k > 0))
+        return IC(u=u, v=v, v_origin=v_origin, j=s.j + inner_crit_period,
+                  k=k, err_inner=err_inner, status=st, res=r)
+
     def outer_body(o: OC):
         s = o.inner._replace(
             j=jnp.zeros((), jnp.int32),
@@ -353,8 +383,9 @@ def _device_solve_qcp(A, b, c, Q_diag, layout: ConeLayout, *, eps, max_ipm,
                 & (s.k < max_admm)
             )
 
+        ibody = inner_body_chunk if chunked else inner_body
         s = jax.lax.while_loop(
-            icond, lambda ss: inner_body(ss, o.mu, o.i, mv, rmv, stage_solve), s
+            icond, lambda ss: ibody(ss, o.mu, o.i, mv, rmv, stage_solve), s
         )
         r = residuals(s.u, s.v_origin, s.res, mv64, rmv64)
         st = jnp.where(s.status != 0, s.status,
@@ -410,14 +441,15 @@ def _device_solve_qcp(A, b, c, Q_diag, layout: ConeLayout, *, eps, max_ipm,
                                    "psi", "inner_check_period", "precision",
                                    "ir_steps", "inner_crit_period",
                                    "solver", "normalize", "anchor_period",
-                                   "form"))
+                                   "form", "cadence"))
 def solve_qcp_batch(As, bs, cs, Q_diags=None, *, cones: ConeSpec,
                     eps=1e-4, max_ipm=200, max_admm=100_000, alpha=1.8,
                     rho_y=1e-6, rho_x=1.0, rho_tau=1.0, psi=1.0,
                     inner_check_period=500, precision="f64",
                     ir_steps=1, inner_crit_period=1,
                     solver="cholesky", normalize=False,
-                    anchor_period=100, form="auto") -> ConicDeviceResult:
+                    anchor_period=100, form="auto",
+                    cadence="chunk") -> ConicDeviceResult:
     """Solve a stacked batch of same-shape conic programs on device.
 
     As: (B, m, n); bs: (B, m); cs: (B, n); Q_diags: optional (B, n)
@@ -450,6 +482,7 @@ def solve_qcp_batch(As, bs, cs, Q_diags=None, *, cones: ConeSpec,
             precision=precision, ir_steps=ir_steps,
             inner_crit_period=inner_crit_period, solver=solver,
             normalize=normalize, anchor_period=anchor_period, form=form,
+            cadence=cadence,
         )
 
     if Q_diags is None:
@@ -462,14 +495,15 @@ def solve_qcp_batch(As, bs, cs, Q_diags=None, *, cones: ConeSpec,
                                    "psi", "inner_check_period", "precision",
                                    "ir_steps", "inner_crit_period",
                                    "solver", "normalize", "anchor_period",
-                                   "form"))
+                                   "form", "cadence"))
 def solve_qcp_device(A, b, c, Q_diag=None, *, cones: ConeSpec,
                      eps=1e-4, max_ipm=200, max_admm=100_000, alpha=1.8,
                      rho_y=1e-6, rho_x=1.0, rho_tau=1.0, psi=1.0,
                      inner_check_period=500, precision="f64",
                      ir_steps=1, inner_crit_period=1,
                      solver="cholesky", normalize=False,
-                     anchor_period=100, form="auto") -> ConicDeviceResult:
+                     anchor_period=100, form="auto",
+                     cadence="cond") -> ConicDeviceResult:
     """Single-instance, whole-solve-in-one-program conic solve (B=1,
     un-vmapped).  Q_diag: (n,) diagonal or (n, n) full quadratic term.
 
@@ -486,4 +520,5 @@ def solve_qcp_device(A, b, c, Q_diag=None, *, cones: ConeSpec,
         precision=precision, ir_steps=ir_steps,
         inner_crit_period=inner_crit_period, solver=solver,
         normalize=normalize, anchor_period=anchor_period, form=form,
+        cadence=cadence,
     )

@@ -76,29 +76,41 @@ def main():
             jax.block_until_ready(r)
             first = time.perf_counter() - t0
             seed += B
-            best = None
-            for _ in range(2):  # best-of-2 fresh-data rounds (host noise)
+            rounds, seen_iters = [], []
+            for _ in range(3):  # fresh-data rounds (host noise)
                 t0 = time.perf_counter()
                 r = solve_lp_batch(*batch(seed, B), **kw)
                 jax.block_until_ready(r)
                 dt = time.perf_counter() - t0
                 seed += B
-                its = int(np.asarray(r.admm_iters).sum())
+                per_lane = np.asarray(r.admm_iters)
+                # replay-cache guard: DIFFERENT instances cannot yield an
+                # identical per-lane iteration vector; the round-2 sweep
+                # recorded a physically impossible 59 ms "solve" this way
+                replay = any(np.array_equal(per_lane, s) for s in seen_iters)
+                seen_iters.append(per_lane.copy())
+                its = int(per_lane.sum())
                 st = np.asarray(r.status)
-                rec = {"B": B, "qres_period": qp,
-                       "iters_per_sec": round(its / dt, 1),
-                       "vs_baseline": round(its / dt / base, 3),
-                       "solved": int((st == 1).sum()),
-                       "mean_iters": round(its / B, 1),
-                       "wall_sec": round(dt, 3),
-                       "instances_per_sec": round(B / dt, 2),
-                       "first_call_sec": round(first, 1),
-                       "rel_gap_max": float(np.asarray(r.rel_gap).max())}
-                if best is None or rec["iters_per_sec"] > best["iters_per_sec"]:
-                    best = rec
-            results[key] = best
+                rounds.append({
+                    "iters_per_sec": round(its / dt, 1),
+                    "wall_sec": round(dt, 3),
+                    "solved": int((st == 1).sum()),
+                    "mean_iters": round(its / B, 1),
+                    "rel_gap_max": float(np.asarray(r.rel_gap).max()),
+                    "replay_suspect": bool(replay),
+                })
+            valid = [x for x in rounds if not x["replay_suspect"]
+                     and x["solved"] == B] or rounds
+            best = max(valid, key=lambda x: x["iters_per_sec"])
+            results[key] = {"B": B, "qres_period": qp, **best,
+                            "vs_baseline": round(
+                                best["iters_per_sec"] / base, 3),
+                            "instances_per_sec": round(
+                                B / best["wall_sec"], 2),
+                            "first_call_sec": round(first, 1),
+                            "rounds": rounds}
             print(f"[{key}] {best['iters_per_sec']} it/s "
-                  f"({best['vs_baseline']}x)", flush=True)
+                  f"({results[key]['vs_baseline']}x)", flush=True)
         except Exception as e:  # noqa: BLE001 -- keep sweeping
             results[key] = {"error": f"{type(e).__name__}: {e}"[:300]}
             print(f"[{key}] FAILED: {e}", flush=True)
