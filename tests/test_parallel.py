@@ -233,6 +233,29 @@ def test_chunk_cadence_batch_default_and_validation(rng):
                                atol=1e-3 * (1 + np.abs(refs).max()))
 
 
+def test_stream_driver_matches_oracle(rng):
+    """Segmented streaming driver: every instance solved to the scipy
+    oracle; lane swap exercised by N > B; a parked lane (N not a
+    multiple of B) stays frozen."""
+    from abip_tpu.parallel.segmented import solve_lp_stream
+
+    probs, refs = [], []
+    for _ in range(5):
+        A, b, c = random_lp(rng, 10, 30)
+        probs.append((A, b, c))
+        refs.append(linprog(c, A_eq=A, b_eq=b, bounds=(0, None),
+                            method="highs").fun)
+    res, info = solve_lp_stream(probs, B=2, seg_chunks=8, qres_period=16,
+                                eps=1e-6)
+    assert info["solved"] == 5
+    for r, ref in zip(res, refs):
+        assert r["status"] == 1
+        assert r["pobj"] == pytest.approx(ref, abs=1e-4 * (1 + abs(ref)))
+    with pytest.raises(ValueError, match="same-shape"):
+        A2, b2, c2 = random_lp(rng, 11, 30)
+        solve_lp_stream([probs[0], (A2, b2, c2)])
+
+
 def test_heterogeneous_padded_suite(rng):
     from abip_tpu.parallel.batched import solve_lp_suite
 
