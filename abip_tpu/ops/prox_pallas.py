@@ -53,29 +53,37 @@ def fused_barrier_step(u_t, u_prev, v, lam, alpha, interpret=False,
     """Returns (u_new, v_new) on the barrier coordinates.
 
     Inputs are 1-D slices (the tail u[m:]); scalars lam/alpha ride SMEM.
+    The compiled TPU path requires f32 operands (Mosaic has no f64) laid
+    out as padded (rows, 128) VMEM tiles -- real-TPU lowering rejects
+    both `pl.ANY` loads and f64 vectors (round-2 hardware session); f64
+    inputs use the identical-math XLA fallback.
     """
-    if not (use_pallas and _HAVE_PALLAS):
+    if not (use_pallas and _HAVE_PALLAS) or u_t.dtype != jnp.float32:
         return _ref_impl(u_t, u_prev, v, lam, alpha)
 
+    n = u_t.shape[0]
+    lanes = 128 * 8
+    n_pad = -(-n // lanes) * lanes
+    pad = lambda x: jnp.zeros((n_pad,), x.dtype).at[:n].set(x).reshape(-1, 128)
     lam_arr = jnp.asarray(lam, u_t.dtype).reshape(1)
     alpha_arr = jnp.asarray(alpha, u_t.dtype).reshape(1)
     out = pl.pallas_call(
         _kernel,
         out_shape=(
-            jax.ShapeDtypeStruct(u_t.shape, u_t.dtype),
-            jax.ShapeDtypeStruct(v.shape, v.dtype),
+            jax.ShapeDtypeStruct((n_pad // 128, 128), u_t.dtype),
+            jax.ShapeDtypeStruct((n_pad // 128, 128), v.dtype),
         ),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
         ),
         interpret=interpret,
-    )(lam_arr, alpha_arr, u_t, u_prev, v)
-    return out
+    )(lam_arr, alpha_arr, pad(u_t), pad(u_prev), pad(v))
+    return out[0].reshape(-1)[:n], out[1].reshape(-1)[:n]

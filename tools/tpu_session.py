@@ -119,24 +119,41 @@ def main():
         rng = np.random.default_rng(7)
         out = {}
 
-        As = sp.random(128, 512, density=0.1, random_state=7, format="csr")
-        B = BCSRMatrix.from_scipy(As)
-        x = jnp.asarray(rng.standard_normal(512).astype(np.float32))
-        y_xla = np.asarray(bcsr_matvec(B, x, use_pallas=False))
-        y_pal = np.asarray(bcsr_matvec(B, x, use_pallas=True))
-        out["bcsr_max_abs_err"] = float(np.abs(y_pal - y_xla).max())
+        # each kernel validated independently: one kernel's lowering
+        # failure must not hide the others' results
+        def try_kernel(name, fn):
+            try:
+                out[name] = fn()
+            except Exception as e:  # noqa: BLE001
+                out[name] = f"FAILED {type(e).__name__}: {e}"[:300]
 
-        l = 128 + 512 + 1
-        ut = jnp.asarray(rng.standard_normal(l - 128).astype(np.float32))
-        up = jnp.asarray(np.abs(rng.standard_normal(l - 128))
-                         .astype(np.float32))
-        v = jnp.asarray(np.abs(rng.standard_normal(l - 128))
-                        .astype(np.float32))
-        ux, vx = fused_barrier_step(ut, up, v, 0.05, 1.8, use_pallas=False)
-        upal, vpal = fused_barrier_step(ut, up, v, 0.05, 1.8, use_pallas=True)
-        out["barrier_max_abs_err"] = float(max(
-            np.abs(np.asarray(upal) - np.asarray(ux)).max(),
-            np.abs(np.asarray(vpal) - np.asarray(vx)).max()))
+        def bcsr():
+            As = sp.random(128, 512, density=0.1, random_state=7,
+                           format="csr")
+            B = BCSRMatrix.from_scipy(As)
+            x = jnp.asarray(rng.standard_normal(512).astype(np.float32))
+            y_xla = np.asarray(bcsr_matvec(B, x, use_pallas=False))
+            y_pal = np.asarray(bcsr_matvec(B, x, use_pallas=True))
+            return float(np.abs(y_pal - y_xla).max())
+
+        try_kernel("bcsr_max_abs_err", bcsr)
+
+        def barrier():
+            l = 128 + 512 + 1
+            ut = jnp.asarray(rng.standard_normal(l - 128).astype(np.float32))
+            up = jnp.asarray(np.abs(rng.standard_normal(l - 128))
+                             .astype(np.float32))
+            v = jnp.asarray(np.abs(rng.standard_normal(l - 128))
+                            .astype(np.float32))
+            ux, vx = fused_barrier_step(ut, up, v, 0.05, 1.8,
+                                        use_pallas=False)
+            upal, vpal = fused_barrier_step(ut, up, v, 0.05, 1.8,
+                                            use_pallas=True)
+            return float(max(
+                np.abs(np.asarray(upal) - np.asarray(ux)).max(),
+                np.abs(np.asarray(vpal) - np.asarray(vx)).max()))
+
+        try_kernel("barrier_max_abs_err", barrier)
 
         m, n = 64, 256
         l = m + n + 1
@@ -149,24 +166,34 @@ def main():
         args = (jnp.asarray(A), jnp.asarray(Ninv), jnp.asarray(h),
                 jnp.asarray(g), 1e-3, 0.7, 0.05, 1.8, jnp.asarray(u),
                 jnp.asarray(vv))
-        sx = fused_admm_sprint(*args, T=16, use_pallas=False)
-        spal = fused_admm_sprint(*args, T=16, use_pallas=True)
-        out["sprint_max_abs_err"] = float(max(
-            np.abs(np.asarray(spal[0]) - np.asarray(sx[0])).max(),
-            np.abs(np.asarray(spal[1]) - np.asarray(sx[1])).max()))
 
-        # per-launch latency of the compiled sprint (T=16 iters/launch)
-        jax.block_until_ready(fused_admm_sprint(*args, T=16, use_pallas=True))
-        t0 = time.perf_counter()
-        reps = 20
-        for _ in range(reps):
-            r = fused_admm_sprint(*args, T=16, use_pallas=True)
-        jax.block_until_ready(r)
-        out["sprint_launch_us"] = round(
-            (time.perf_counter() - t0) / reps * 1e6, 1)
-        out["validated"] = (out["bcsr_max_abs_err"] < 1e-4
-                            and out["barrier_max_abs_err"] < 1e-4
-                            and out["sprint_max_abs_err"] < 1e-3)
+        def sprint():
+            sx = fused_admm_sprint(*args, T=16, use_pallas=False)
+            spal = fused_admm_sprint(*args, T=16, use_pallas=True)
+            return float(max(
+                np.abs(np.asarray(spal[0]) - np.asarray(sx[0])).max(),
+                np.abs(np.asarray(spal[1]) - np.asarray(sx[1])).max()))
+
+        try_kernel("sprint_max_abs_err", sprint)
+
+        def sprint_latency():
+            # per-launch latency of the compiled sprint (T=16 iters/launch)
+            jax.block_until_ready(
+                fused_admm_sprint(*args, T=16, use_pallas=True))
+            t0 = time.perf_counter()
+            reps = 20
+            for _ in range(reps):
+                r = fused_admm_sprint(*args, T=16, use_pallas=True)
+            jax.block_until_ready(r)
+            return round((time.perf_counter() - t0) / reps * 1e6, 1)
+
+        if isinstance(out.get("sprint_max_abs_err"), float):
+            try_kernel("sprint_launch_us", sprint_latency)
+        out["validated"] = all(
+            isinstance(out.get(k), float) and out[k] < tol
+            for k, tol in (("bcsr_max_abs_err", 1e-4),
+                           ("barrier_max_abs_err", 1e-4),
+                           ("sprint_max_abs_err", 1e-3)))
         return out
 
     from bench import _load_baseline, reference_smoke_lp
