@@ -155,16 +155,27 @@ def main():
 
         try_kernel("barrier_max_abs_err", barrier)
 
+        # consistent HSD state (g = K^-1 h, g_th = h'g): with arbitrary
+        # random g the iteration is not non-expansive and 16 f32 steps
+        # can overflow -> the NaN mis-diagnosed as a kernel bug in the
+        # first round-2 battery
         m, n = 64, 256
         l = m + n + 1
+        rho_y = 1e-3
         A = rng.standard_normal((m, n)).astype(np.float32)
-        Ninv = np.linalg.inv(1e-3 * np.eye(m) + A @ A.T).astype(np.float32)
-        h = rng.standard_normal(l).astype(np.float32)
-        g = rng.standard_normal(l).astype(np.float32)
-        u = np.abs(rng.standard_normal(l)).astype(np.float32)
-        vv = np.abs(rng.standard_normal(l)).astype(np.float32)
+        N = rho_y * np.eye(m) + A.astype(np.float64) @ A.T.astype(np.float64)
+        Ninv = np.linalg.inv(N).astype(np.float32)
+        b = rng.standard_normal(m).astype(np.float32)
+        c = rng.standard_normal(n).astype(np.float32)
+        h = np.concatenate([-b, c, np.zeros(1, np.float32)]).astype(np.float32)
+        gv = np.linalg.solve(N, h[:m] + A.astype(np.float64) @ h[m:l - 1])
+        g_x = A.T.astype(np.float64) @ gv - h[m:l - 1]
+        g = np.concatenate([gv, -g_x, np.zeros(1)]).astype(np.float32)
+        g_th = float(h[:l - 1].astype(np.float64) @ g[:l - 1])
+        u = np.concatenate([np.zeros(m), np.ones(n + 1)]).astype(np.float32)
+        vv = u.copy()
         args = (jnp.asarray(A), jnp.asarray(Ninv), jnp.asarray(h),
-                jnp.asarray(g), 1e-3, 0.7, 0.05, 1.8, jnp.asarray(u),
+                jnp.asarray(g), rho_y, g_th, 0.05, 1.8, jnp.asarray(u),
                 jnp.asarray(vv))
 
         def sprint():
