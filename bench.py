@@ -58,6 +58,22 @@ def _batch(seed0, B):
             jnp.asarray(np.stack([d[2] for d in data])))
 
 
+# Remote-execution replay guard: the axon tunnel caches (program, inputs)
+# across PROCESSES, so re-running the bench with the same seeds can return
+# instantly with the cached result (the r02 sweep recorded a physically
+# impossible 1.26M it/s 45 ms "solve" this way).  Every timed round
+# therefore draws instances from a wall-clock-salted seed range no prior
+# run can have used; identical-shape programs still hit the compile cache.
+_SEED_SALT = (int(time.time()) % 1_000_000) * 10_000
+
+
+def _plausible(rate, ceiling):
+    """A measured rate above the roofline ceiling is a replay artifact,
+    not a measurement (the model is generous: launch overheads are not
+    in it)."""
+    return ceiling is None or rate <= ceiling
+
+
 def main():
     # Watchdog wrapper: the TPU tunnel in this environment can wedge and
     # block jax calls indefinitely.  The outer process re-runs itself with
@@ -359,7 +375,7 @@ def _bench_inner():
         best = best_valid = None
         for r_i in range(rounds):
             t0 = time.perf_counter()
-            res, info = solve_lp_stream(suite(20_000 + r_i * N), B=B,
+            res, info = solve_lp_stream(suite(_SEED_SALT + r_i * N), B=B,
                                         seg_chunks=seg, **skw)
             dt = time.perf_counter() - t0
             cand = (info["total_admm_iters"], dt, res, info)
@@ -404,7 +420,7 @@ def _bench_inner():
         A, b, c = reference_smoke_lp()
         res = device_solve_lp(jnp.asarray(A), jnp.asarray(b), jnp.asarray(c), **kw)
         jax.block_until_ready(res)
-        A2, b2, c2 = reference_smoke_lp(seed=123)
+        A2, b2, c2 = reference_smoke_lp(seed=_SEED_SALT + 123)
         t0 = time.perf_counter()
         res = device_solve_lp(jnp.asarray(A2), jnp.asarray(b2),
                               jnp.asarray(c2), **kw)
@@ -449,25 +465,39 @@ def _bench_inner():
     # config on different instance draws).  Rounds must have all lanes
     # solved to be eligible for "best".
     rounds = int(os.environ.get("ABIP_BENCH_ROUNDS", "3"))
+    sol = _speed_of_light((50, 2000), {**kw, "precision": precision}, B)
+    # CPU exempt: a cache-resident A legitimately beats the DRAM-roofline
+    # model there (see the pool-mode sol_note); replay is a remote-tunnel
+    # phenomenon anyway
+    ceiling = (sol["sol_iters_per_sec"]
+               if jax.default_backend() != "cpu" else None)
     best = best_valid = None
     for r_i in range(rounds):
-        timed = _batch(r_i * B, B)
+        timed = _batch(_SEED_SALT + r_i * B, B)
         t0 = time.perf_counter()
         res = solve_lp_batch(*timed, precision=precision, **kw)
         jax.block_until_ready(res)
         dt = time.perf_counter() - t0
         cand = (np.asarray(res.admm_iters), dt, res)
         rate = float(cand[0].sum()) / dt
+        if not _plausible(rate, ceiling):
+            continue  # replay artifact; never report it
         if best is None or rate > float(best[0].sum()) / best[1]:
             best = cand
         if (np.asarray(res.status) == 1).all() and (
                 best_valid is None
                 or rate > float(best_valid[0].sum()) / best_valid[1]):
             best_valid = cand
+    if best is None:
+        print(json.dumps({
+            "metric": "admm_iters_per_sec", "value": 0.0, "unit": "iter/s",
+            "vs_baseline": None,
+            "detail": {"error": "all rounds exceeded the roofline ceiling "
+                                "(remote replay artifacts)"}}))
+        return
     its, dt, res = best_valid or best
     st = np.asarray(res.status)
     agg = float(its.sum()) / dt
-    sol = _speed_of_light((50, 2000), {**kw, "precision": precision}, B)
     out = {
         "metric": "admm_iters_per_sec",
         "value": round(agg, 1),
