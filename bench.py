@@ -74,6 +74,21 @@ def _plausible(rate, ceiling):
     return ceiling is None or rate <= ceiling
 
 
+def _drop_replay_outliers(rounds, rate_of):
+    """Median-based replay cut: the bandwidth-model ceiling is far too
+    generous for small shapes (14M it/s at B=16 smoke), and the r02
+    pass-4/5 sweeps recorded 1.7-3.1M it/s ~50 ms "solves" WITH fresh
+    salted seeds that sailed under it.  A replayed round is 20-60x the
+    honest rate, so any round above 2.5x the median of >= 2 rounds is an
+    artifact, never a measurement."""
+    if len(rounds) < 2:
+        return rounds
+    rates = sorted(rate_of(r) for r in rounds)
+    med = rates[len(rates) // 2]
+    kept = [r for r in rounds if rate_of(r) <= 2.5 * med]
+    return kept or rounds
+
+
 def main():
     # Watchdog wrapper: the TPU tunnel in this environment can wedge and
     # block jax calls indefinitely.  The outer process re-runs itself with
@@ -109,8 +124,9 @@ def main():
         else:
             # device ladder: MEASURED-best config first (the ladder stops
             # at the first success, so a working-but-slower rung would
-            # shadow a better one).  Round-2 TPU battery: B=16 2.5-3.0x,
-            # B=32 1.6x (nonlinear cost growth), B=64 faults the device.
+            # shadow a better one).  Round-2 TPU sweeps: B=16/q=768
+            # 16-17.6x, B=8/q=512 11.7x; B=32 regresses (nonlinear cost
+            # growth) and B=32/q=256 faulted the device outright.
             # Each rung is a FRESH subprocess, so one rung's device fault
             # cannot poison the next.
             attempts = [
@@ -277,9 +293,12 @@ def _bench_inner():
     kw["solver"] = os.environ.get("ABIP_BENCH_SOLVER", "inverse")
     # criterion cadence: host-measured optimum is 16; on TPU the chunked
     # f64 residual check (software-emulated f64 on v5e) dominates the
-    # batched chunk, and the r02 sweep measured q=64 fastest (5.1x vs
-    # 4.0x at q=32, 2.5-3.0x at q=16 for B=16)
-    default_qres = "16" if jax.default_backend() == "cpu" else "64"
+    # batched chunk, and the r02 sweeps measured gains up to q=768
+    # (B=16 honest rounds: q=128 5.4x, q=256 10.3x, q=512 12.0x,
+    # q=768 16-17.6x, q=1024 14.7x; r02_tpu_sweep_pass3-5.json) with
+    # every lane still solving to 1e-6 and instance throughput rising
+    # alongside (5.0 -> ~11 instances/s)
+    default_qres = "16" if jax.default_backend() == "cpu" else "768"
     kw["qres_period"] = int(os.environ.get("ABIP_BENCH_QRES", default_qres))
     kw["avg_period"] = int(os.environ.get("ABIP_BENCH_AVG", "20"))
 
@@ -471,7 +490,7 @@ def _bench_inner():
     # phenomenon anyway
     ceiling = (sol["sol_iters_per_sec"]
                if jax.default_backend() != "cpu" else None)
-    best = best_valid = None
+    cands = []
     for r_i in range(rounds):
         timed = _batch(_SEED_SALT + r_i * B, B)
         t0 = time.perf_counter()
@@ -482,9 +501,15 @@ def _bench_inner():
         rate = float(cand[0].sum()) / dt
         if not _plausible(rate, ceiling):
             continue  # replay artifact; never report it
+        cands.append(cand)
+    cands = _drop_replay_outliers(
+        cands, lambda c: float(c[0].sum()) / c[1])
+    best = best_valid = None
+    for cand in cands:
+        rate = float(cand[0].sum()) / cand[1]
         if best is None or rate > float(best[0].sum()) / best[1]:
             best = cand
-        if (np.asarray(res.status) == 1).all() and (
+        if (np.asarray(cand[2].status) == 1).all() and (
                 best_valid is None
                 or rate > float(best_valid[0].sum()) / best_valid[1]):
             best_valid = cand

@@ -21,8 +21,9 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                   "benchmarks", "results", "r02_tpu_sweep.json")
+OUT = os.environ.get("ABIP_SWEEP_OUT") or os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "benchmarks", "results", "r02_tpu_sweep.json")
 
 
 def main():
@@ -37,6 +38,7 @@ def main():
 
     import abip_tpu  # noqa: F401
     from abip_tpu.parallel.batched import solve_lp_batch
+    from abip_tpu.utils.roofline import lp_iteration_cost
     from bench import _load_baseline, reference_smoke_lp
 
     base = _load_baseline() or 4514.1
@@ -64,7 +66,12 @@ def main():
         grid = [tuple(map(int, p.split("x")))
                 for p in os.environ["ABIP_SWEEP_GRID"].split(",")]
 
-    seed = 100_000
+    # wall-clock-salted seed base: the remote tunnel caches
+    # (program, inputs) ACROSS processes, so re-running the sweep with
+    # the fixed 100_000 base replayed earlier runs' results instantly
+    # (the recorded 1.26M it/s B16_q64 round).  Fresh seeds per process
+    # make every timed call a real execution.
+    seed = 100_000 + (int(time.time()) % 1_000_000) * 1_000
     for B, qp in grid:
         key = f"B{B}_q{qp}"
         kw = dict(eps=1e-6, max_ipm=200, max_admm=200_000,
@@ -87,7 +94,18 @@ def main():
                 # replay-cache guard: DIFFERENT instances cannot yield an
                 # identical per-lane iteration vector; the round-2 sweep
                 # recorded a physically impossible 59 ms "solve" this way
-                replay = any(np.array_equal(per_lane, s) for s in seen_iters)
+                # roofline ceiling: a rate above the generous bandwidth
+                # model is a replay/timing artifact, not a measurement
+                # (pass-4 recorded a 1.75M it/s 51 ms "solve" with fresh
+                # salted seeds -- the tunnel can still replay/pipeline)
+                ceil = B * lp_iteration_cost(
+                    50, 2000, precision="mixed", qres_period=qp,
+                    avg_period=20, chip="tpu_v5e").ceiling_iters_per_sec
+                replay = (any(np.array_equal(per_lane, s)
+                              for s in seen_iters)
+                          or int(per_lane.sum()) / dt > ceil)
+                # second cut after all rounds: > 2.5x the median rate
+                # (see bench._drop_replay_outliers) -- applied below
                 seen_iters.append(per_lane.copy())
                 its = int(per_lane.sum())
                 st = np.asarray(r.status)
@@ -99,8 +117,15 @@ def main():
                     "rel_gap_max": float(np.asarray(r.rel_gap).max()),
                     "replay_suspect": bool(replay),
                 })
-            valid = [x for x in rounds if not x["replay_suspect"]
-                     and x["solved"] == B] or rounds
+            from bench import _drop_replay_outliers
+
+            rounds_kept = _drop_replay_outliers(
+                rounds, lambda r: r["iters_per_sec"])
+            for r in rounds:
+                if r not in rounds_kept:
+                    r["replay_suspect"] = True
+            valid = [x for x in rounds_kept if not x["replay_suspect"]
+                     and x["solved"] == B] or rounds_kept
             best = max(valid, key=lambda x: x["iters_per_sec"])
             results[key] = {"B": B, "qres_period": qp, **best,
                             "vs_baseline": round(
