@@ -128,6 +128,8 @@ class ConeLayout:
         self.head = head
         self.block_start = np.asarray(block_start, np.int64) if block_start else np.zeros(1, np.int64)
         self.has_blocks = blk > 0
+        self.has_soc = bool((kind == _SOC).any())
+        self.has_rsoc = bool((kind == _RSOC).any())
 
     # ---------------------------------------------------------------- #
     def interior_point(self, dtype) -> jnp.ndarray:
@@ -192,6 +194,103 @@ class ConeLayout:
         cnts = jax.ops.segment_sum(in_blk.astype(e.dtype), seg, self.num_blocks)
         means = sums / jnp.maximum(cnts, 1.0)
         return jnp.where(in_blk, means[seg], e)
+
+
+@dataclasses.dataclass(frozen=True)
+class PaddedConeLayout:
+    """Vmappable cone layout: the element-class arrays are DATA, not
+    jit constants, so one compiled program can solve a batch of
+    instances with DIFFERENT cone structures (the heterogeneous-suite
+    gap the per-`ConeSpec` `solve_qcp_batch` cannot cover).
+
+    Built by `PaddedConeLayout.stack`: each lane's `ConeLayout` arrays
+    are padded to a common element count with ZERO-cone elements (prox
+    forces the padded primal entries to 0; with zero-padded A columns
+    and c entries they are inert -- the standard embedding) and share a
+    common static block count `num_blocks` (unused block slots receive
+    no elements, so their segment-sum values are never scattered back).
+
+    Registered as a pytree with (kind, seg, head) as leaves and the
+    shape/class flags as static metadata: `jax.vmap` maps the per-lane
+    arrays while every lane shares one compiled prox.  `has_soc` /
+    `has_rsoc` are suite-wide ORs -- a lane without SOC blocks simply
+    masks the (cheap, segment-level) SOC math out elementwise.
+
+    Duck-types the `ConeLayout` surface the traced path uses:
+    `kind/seg/head/num_blocks/has_blocks/has_soc/has_rsoc/n`,
+    `interior_point`, `segment_mean_tie`.
+    """
+
+    kind: jnp.ndarray   # (n,) int32 element-class codes
+    seg: jnp.ndarray    # (n,) int32 element -> block id
+    head: jnp.ndarray   # (n,) int32: 1 = block head, 2 = rsoc 2nd head
+    n: int = dataclasses.field(metadata=dict(static=True))
+    num_blocks: int = dataclasses.field(metadata=dict(static=True))
+    has_blocks: bool = dataclasses.field(metadata=dict(static=True))
+    has_soc: bool = dataclasses.field(metadata=dict(static=True))
+    has_rsoc: bool = dataclasses.field(metadata=dict(static=True))
+
+    @classmethod
+    def from_layout(cls, lay: ConeLayout, n_pad: int,
+                    nb_pad: int) -> "PaddedConeLayout":
+        if n_pad < lay.n:
+            raise ValueError(f"n_pad {n_pad} < layout dim {lay.n}")
+        if nb_pad < lay.num_blocks:
+            raise ValueError(
+                f"nb_pad {nb_pad} < layout blocks {lay.num_blocks}")
+        kind = np.full(n_pad, _ZERO, np.int32)
+        seg = np.zeros(n_pad, np.int32)
+        head = np.zeros(n_pad, np.int32)
+        kind[: lay.n] = lay.kind
+        seg[: lay.n] = lay.seg.astype(np.int32)
+        head[: lay.n] = lay.head
+        return cls(kind=jnp.asarray(kind), seg=jnp.asarray(seg),
+                   head=jnp.asarray(head), n=n_pad, num_blocks=nb_pad,
+                   has_blocks=lay.has_blocks, has_soc=lay.has_soc,
+                   has_rsoc=lay.has_rsoc)
+
+    @classmethod
+    def stack(cls, specs, n_pad: int | None = None) -> "PaddedConeLayout":
+        """Stack per-lane ConeSpecs into one batched layout of shape
+        (B, n_pad) with suite-wide static flags."""
+        lays = [ConeLayout(s) for s in specs]
+        n_pad = max(l.n for l in lays) if n_pad is None else n_pad
+        nb_pad = max(l.num_blocks for l in lays)
+        padded = [cls.from_layout(l, n_pad, nb_pad) for l in lays]
+        return cls(
+            kind=jnp.stack([p.kind for p in padded]),
+            seg=jnp.stack([p.seg for p in padded]),
+            head=jnp.stack([p.head for p in padded]),
+            n=n_pad, num_blocks=nb_pad,
+            has_blocks=any(l.has_blocks for l in lays),
+            has_soc=any(l.has_soc for l in lays),
+            has_rsoc=any(l.has_rsoc for l in lays),
+        )
+
+    def interior_point(self, dtype) -> jnp.ndarray:
+        """Traced cone-aware cold start (`source/abip.c:925-976`):
+        SOC/RSOC heads and nonneg elements start at 1, the rest at 0."""
+        one = (self.kind == _NONNEG) | (self.head > 0)
+        return jnp.where(one, 1.0, 0.0).astype(dtype)
+
+    def segment_mean_tie(self, e: jnp.ndarray) -> jnp.ndarray:
+        """See `ConeLayout.segment_mean_tie` (`qcp_config.c:194-212`)."""
+        if not self.has_blocks:
+            return e
+        in_blk = (self.kind == _SOC) | (self.kind == _RSOC)
+        sums = jax.ops.segment_sum(jnp.where(in_blk, e, 0.0), self.seg,
+                                   self.num_blocks)
+        cnts = jax.ops.segment_sum(in_blk.astype(e.dtype), self.seg,
+                                   self.num_blocks)
+        means = sums / jnp.maximum(cnts, 1.0)
+        return jnp.where(in_blk, means[self.seg], e)
+
+
+jax.tree_util.register_dataclass(
+    PaddedConeLayout,
+    data_fields=("kind", "seg", "head"),
+    meta_fields=("n", "num_blocks", "has_blocks", "has_soc", "has_rsoc"),
+)
 
 
 # -------------------------------------------------------------------- #
@@ -337,9 +436,11 @@ def cone_barrier_prox(t: jnp.ndarray, lam_e: jnp.ndarray, layout: ConeLayout) ->
     out = jnp.where(kind == _NONNEG, _nonneg_prox(t, lam_e), t)  # free: identity
     out = jnp.where(kind == _ZERO, 0.0, out)
     if layout.has_blocks:
-        if np.any(layout.kind == _SOC):
+        # static per-suite flags (suite-wide ORs on a PaddedConeLayout):
+        # lanes without a class mask its segment math out elementwise
+        if layout.has_soc:
             out = jnp.where(kind == _SOC, _soc_blocks(t, lam_e, layout), out)
-        if np.any(layout.kind == _RSOC):
+        if layout.has_rsoc:
             out = jnp.where(kind == _RSOC, _rsoc_blocks(t, lam_e, layout), out)
     return out
 

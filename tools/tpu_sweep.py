@@ -77,6 +77,11 @@ def main():
         kw = dict(eps=1e-6, max_ipm=200, max_admm=200_000,
                   precision="mixed", solver="inverse",
                   qres_period=qp, avg_period=20)
+        if os.environ.get("ABIP_SWEEP_ENGINE") == "sprint":
+            key += f"_sprint{os.environ.get('ABIP_SWEEP_SPRINT_T', '64')}"
+            kw.update(engine="sprint",
+                      sprint_T=int(os.environ.get("ABIP_SWEEP_SPRINT_T",
+                                                  "64")))
         try:
             t0 = time.perf_counter()
             r = solve_lp_batch(*batch(seed, B), **kw)
