@@ -35,6 +35,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .. import hsd
 from ..scaling import equilibrate, normalize_bc
@@ -56,6 +57,11 @@ class DeviceSolveResult(NamedTuple):
     rel_gap: jnp.ndarray
     pobj: jnp.ndarray
     dobj: jnp.ndarray
+    # raw internal state (scaled space), for phase hand-off (mu_stop /
+    # init_state -- see the two-phase sprint driver in solve_lp_batch)
+    u_raw: jnp.ndarray = None
+    v_raw: jnp.ndarray = None
+    mu: jnp.ndarray = None
 
 
 class _Anchor(NamedTuple):
@@ -79,7 +85,8 @@ class _Anchor(NamedTuple):
                                    "precision", "ir_steps", "solver",
                                    "engine", "sprint_T", "sprint_mu_switch",
                                    "qres_period", "anchor_period",
-                                   "avg_period", "cadence"))
+                                   "avg_period", "cadence", "probe_period",
+                                   "mu_stop"))
 def device_solve_lp(A, b, c, *, eps=1e-6, max_ipm=200, max_admm=200_000,
                     alpha=1.8, rho_y=1e-3, normalize=True, scale=1.0,
                     ruiz_iter=10, hybrid_thresh=1000.0, dynamic_x=0.8,
@@ -88,7 +95,9 @@ def device_solve_lp(A, b, c, *, eps=1e-6, max_ipm=200, max_admm=200_000,
                     solver="cholesky", engine="steps", sprint_T=32,
                     sprint_mu_switch=1e-3,
                     qres_period=1, anchor_period=1000,
-                    avg_period=10, cadence="cond") -> DeviceSolveResult:
+                    avg_period=10, cadence="cond",
+                    probe_period=8, mu_stop=0.0,
+                    init_state=None) -> DeviceSolveResult:
     """Solve one standard-form LP entirely on device.  vmap-able.
 
     engine="sprint" (mixed precision only) runs `sprint_T` whole f32 ADMM
@@ -116,13 +125,18 @@ def device_solve_lp(A, b, c, *, eps=1e-6, max_ipm=200, max_admm=200_000,
     ~30x an f32 matvec) on EVERY iteration of EVERY lane -- measured
     0.27x baseline at B=16 on real hardware vs 0.91x single.
     cadence="chunk" makes the cadence structural instead: each
-    while-loop trip runs `qres_period` uniform lean iterations as a
-    `lax.fori_loop`, then performs the qres / average-candidate /
-    residual checks exactly once, unconditionally.  Semantics match
-    the documented qres_period behavior (stage overrun bounded by
-    qres_period-1); avg/residual checks ride the same chunk boundary,
-    so avg_period is ignored in chunk mode.  `solve_lp_batch` defaults
-    to chunk.
+    while-loop trip runs up to `qres_period` uniform lean iterations in
+    micro-trips of `probe_period` (a nested `lax.while_loop` of
+    `lax.fori_loop`s), probing the CHEAP inner criterion -- anchored
+    qres on the current and averaged iterates -- after every micro-trip
+    and exiting as soon as it fires, then performs the EXPENSIVE
+    true-f64 residual check exactly once, unconditionally.  Stage
+    overrun is bounded by probe_period-1 iterations (matching the
+    reference's every-iteration inner stop `abip.c:2131-2173` to within
+    the probe granularity) while the f64 check stays amortized over up
+    to qres_period iterations.  avg/residual checks ride the chunk
+    boundary, so avg_period is ignored in chunk mode.  `solve_lp_batch`
+    defaults to chunk.
     """
     if precision not in ("f64", "mixed"):
         raise ValueError(f"precision must be 'f64' or 'mixed'; got {precision!r}")
@@ -134,10 +148,12 @@ def device_solve_lp(A, b, c, *, eps=1e-6, max_ipm=200, max_admm=200_000,
     # jitted outer loop non-terminating (stage_cap=0 => j stays 0, cap_exit
     # re-anchors forever without advancing k), and period 0 is a traced
     # modulo-by-zero
-    if qres_period < 1 or avg_period < 1 or anchor_period < 1:
+    if qres_period < 1 or avg_period < 1 or anchor_period < 1 \
+            or probe_period < 1:
         raise ValueError(
-            "qres_period, avg_period, and anchor_period must be >= 1; got "
-            f"{qres_period}, {avg_period}, {anchor_period}")
+            "qres_period, avg_period, anchor_period, and probe_period must "
+            f"be >= 1; got {qres_period}, {avg_period}, {anchor_period}, "
+            f"{probe_period}")
     if cadence not in ("cond", "chunk"):
         raise ValueError(f"cadence must be 'cond' or 'chunk'; got {cadence!r}")
     chunked = cadence == "chunk"
@@ -406,75 +422,111 @@ def device_solve_lp(A, b, c, *, eps=1e-6, max_ipm=200, max_admm=200_000,
                       j=s.j + 1, k=s.k + dk, qres=qres, status=st, res=r)
 
         def body_chunk(s: IC):
-            """One structural chunk: `qres_period` uniform lean
-            iterations (`lax.fori_loop`), then every periodic check
-            exactly once, unconditionally.  No data-dependent gating in
-            the hot path, so `vmap` cannot degrade the cadence into
+            """One structural chunk WITH an in-chunk stop: micro-trips
+            of `probe_period` uniform lean iterations (`lax.fori_loop`),
+            each followed by the CHEAP inner-criterion probe -- the
+            anchored-f32-backed `qres_of` on the current AND averaged
+            iterate (4 anchored matvecs per trip, ~17% of the trip's
+            lean work at probe=8).  The stage therefore stops within
+            probe_period-1 iterations of its true stopping point
+            (`abip.c:2131-2173` checks every iteration; the r02 cadence
+            without this stop inflated mean iteration counts ~4x at
+            qres_period=768).  The EXPENSIVE true-f64 residual/status
+            check still runs once per chunk exit, at most qres_period
+            iterations apart.  No data-dependent gating outside loop
+            conds, so `vmap` cannot degrade the cadence into
             compute-both-branches selects (see the cadence note in the
             driver docstring)."""
-            def lean(_, t):
-                u, v, us, vs = t
-                u_t = project(u, v, s.k)
-                u, v = hsd.admm_update(u, v, u, u_t, mu, alpha, m)
-                return (u, v, us + u, vs + v)
+            probe = min(probe_period, qres_period)
 
-            if sprint:
-                h_pad = jnp.concatenate([h, jnp.zeros((1,), dtype)])
-                g_pad = jnp.concatenate([g, jnp.zeros((1,), dtype)])
+            def finish(u, v, u_sum, v_sum, dj, dk, qres, avg_crit):
+                # TRUE f64 residual check (see the cond-path comment),
+                # paid once per chunk exit instead of per iteration
+                dom = jnp.maximum((s.j + dj).astype(u.dtype), 1.0)
+                u_sel = jnp.where(avg_crit, u_sum / dom, u)
+                v_sel = jnp.where(avg_crit, v_sum / dom, v)
+                r = residuals(u_sel, v_sel, matvec64, rmatvec64)
+                st = jnp.where(
+                    carry.final_check,
+                    hsd.lp_converged_code(r, eps, False,
+                                          (carry.i > 0) & (s.k + dk > 0)),
+                    0,
+                ).astype(jnp.int32)
+                return IC(u=u, v=v, u_sum=u_sum, v_sum=v_sum,
+                          avg_crit=avg_crit, j=s.j + dj, k=s.k + dk,
+                          qres=qres, status=st, res=r)
 
-                def sprint_branch(args):
-                    from ..ops.admm_pallas import fused_admm_sprint
+            def steps_chunk(s):
+                """Anchored per-iteration micro-trips with the cheap
+                qres probe every `probe` iterations."""
+                def lean(_, t):
+                    u, v, us, vs = t
+                    u_t = project(u, v, s.k)
+                    u, v = hsd.admm_update(u, v, u, u_t, mu, alpha, m)
+                    return (u, v, us + u, vs + v)
 
-                    su, sv, us, vs = args
-                    u32, v32 = fused_admm_sprint(
-                        A32, Ninv32_sprint, h_pad.astype(f32),
-                        g_pad.astype(f32), rho_y, g_th, mu, alpha,
-                        su.astype(f32), sv.astype(f32), T=sprint_T)
-                    u = u32.astype(f64)
-                    v = v32.astype(f64)
-                    return (u, v, us + u, vs + v,
-                            jnp.asarray(sprint_T, jnp.int32),
-                            jnp.asarray(1, jnp.int32))
+                def micro_cond(t):
+                    _u, _v, _us, _vs, dj, dk, q, _ac = t
+                    return ((q >= gamma0 * mu) & (dk < qres_period)
+                            & (s.j + dj < stage_cap)
+                            & (s.k + dk < max_admm))
 
-                def steps_branch(args):
-                    su, sv, us, vs = args
+                def micro_body(t):
+                    u, v, us, vs, dj, dk, _q, _ac = t
                     u, v, us, vs = jax.lax.fori_loop(
-                        0, qres_period, lean, (su, sv, us, vs))
-                    return (u, v, us, vs,
-                            jnp.asarray(qres_period, jnp.int32),
-                            jnp.asarray(qres_period, jnp.int32))
+                        0, probe, lean, (u, v, us, vs))
+                    dj = dj + probe
+                    dk = dk + probe
+                    dom = jnp.maximum((s.j + dj).astype(u.dtype), 1.0)
+                    q_cur = qres_of(u, v)
+                    q_avg = qres_of(us / dom, vs / dom)
+                    avg_crit = q_avg < q_cur
+                    q = jnp.where(avg_crit, q_avg, q_cur)
+                    return (u, v, us, vs, dj, dk, q, avg_crit)
 
-                u, v, u_sum, v_sum, dk, dj = jax.lax.cond(
-                    mu > sprint_mu_switch, sprint_branch, steps_branch,
-                    (s.u, s.v, s.u_sum, s.v_sum))
-            else:
-                u, v, u_sum, v_sum = jax.lax.fori_loop(
-                    0, qres_period, lean, (s.u, s.v, s.u_sum, s.v_sum))
-                dk = jnp.asarray(qres_period, jnp.int32)
-                dj = dk
+                z32 = jnp.zeros((), jnp.int32)
+                u, v, u_sum, v_sum, dj, dk, qres, avg_crit = \
+                    jax.lax.while_loop(
+                        micro_cond, micro_body,
+                        (s.u, s.v, s.u_sum, s.v_sum, z32, z32,
+                         s.qres, s.avg_crit))
+                return finish(u, v, u_sum, v_sum, dj, dk, qres, avg_crit)
 
-            dom = jnp.maximum((s.j + dj).astype(u.dtype), 1.0)
-            q_cur = qres_of(u, v)
-            u_avg = u_sum / dom
-            v_avg = v_sum / dom
-            q_avg = qres_of(u_avg, v_avg)
-            avg_crit = q_avg < q_cur
-            qres = jnp.where(avg_crit, q_avg, q_cur)
+            def sprint_chunk(s):
+                """The whole chunk in ONE Pallas launch: up to
+                qres_period f32 iterations with the in-VMEM qres stop
+                every `probe` iterations (`ops.admm_pallas.
+                fused_admm_sprint_stop`) -- the inner criterion costs 2
+                VMEM matmuls there instead of a ~50-op XLA dispatch
+                chain per probe (measured 150-600 us/trip overhead for
+                the steps micro-loop on v5e)."""
+                from ..ops.admm_pallas import fused_admm_sprint_stop
 
-            # TRUE f64 residual check (see the cond-path comment), paid
-            # once per chunk instead of per iteration
-            u_sel = jnp.where(avg_crit, u_avg, u)
-            v_sel = jnp.where(avg_crit, v_avg, v)
-            r = residuals(u_sel, v_sel, matvec64, rmatvec64)
-            st = jnp.where(
-                carry.final_check,
-                hsd.lp_converged_code(r, eps, False,
-                                      (carry.i > 0) & (s.k + dk > 0)),
-                0,
-            ).astype(jnp.int32)
-            return IC(u=u, v=v, u_sum=u_sum, v_sum=v_sum,
-                      avg_crit=avg_crit, j=s.j + dj, k=s.k + dk,
-                      qres=qres, status=st, res=r)
+                u32, v32, t_done, q32 = fused_admm_sprint_stop(
+                    A32, Ninv32_sprint, h.astype(f32), g.astype(f32),
+                    rho_y, g_th, mu, alpha, gamma0 * mu,
+                    s.u.astype(f32), s.v.astype(f32),
+                    T=qres_period, probe=probe)
+                u = u32.astype(f64)
+                v = v32.astype(f64)
+                # the averaged candidate is not tracked inside the
+                # kernel; accumulate the chunk result once (dj=1) and
+                # never adopt the average in sprint chunks
+                return finish(u, v, s.u_sum + u, s.v_sum + v,
+                              jnp.asarray(1, jnp.int32), t_done,
+                              q32.astype(dtype),
+                              jnp.zeros((), bool))
+
+            if sprint and mu_stop >= sprint_mu_switch:
+                # phase-1 mode (mu never drops below the switch inside
+                # this program): pure sprint, no dual path -- under vmap
+                # a lax.cond would compute BOTH branches for diverged
+                # lanes, doubling the chunk cost
+                return sprint_chunk(s)
+            if sprint:
+                return jax.lax.cond(mu > sprint_mu_switch,
+                                    sprint_chunk, steps_chunk, s)
+            return steps_chunk(s)
 
         z = jnp.zeros((l,), dtype)
         init = IC(u=carry.u, v=carry.v, u_sum=z, v_sum=z,
@@ -516,13 +568,29 @@ def device_solve_lp(A, b, c, *, eps=1e-6, max_ipm=200, max_admm=200_000,
                  final_check=final_check, status=status, res=r)
 
     def outer_cond(carry: C):
-        return (carry.status == 0) & (carry.i < max_ipm) & (carry.k < max_admm)
+        alive = (carry.status == 0) & (carry.i < max_ipm) & (
+            carry.k < max_admm)
+        if mu_stop > 0.0:
+            # phase-boundary exit: stop (status 0, state returned in
+            # u_raw/v_raw/mu) once the barrier passes mu_stop, so a
+            # second program can continue with a different engine
+            alive = alive & (carry.mu >= mu_stop)
+        return alive
 
-    init = C(u=u0, v=u0, mu=jnp.ones((), dtype),
-             i=jnp.zeros((), jnp.int32), k=jnp.zeros((), jnp.int32),
-             final_check=jnp.zeros((), bool),
-             status=jnp.zeros((), jnp.int32),
-             res=hsd.LPResiduals.init(dtype))
+    if init_state is None:
+        init = C(u=u0, v=u0, mu=jnp.ones((), dtype),
+                 i=jnp.zeros((), jnp.int32), k=jnp.zeros((), jnp.int32),
+                 final_check=jnp.zeros((), bool),
+                 status=jnp.zeros((), jnp.int32),
+                 res=hsd.LPResiduals.init(dtype))
+    else:
+        u_i, v_i, mu_i, k_i, i_i, st_i = init_state
+        mu_i = mu_i.astype(dtype)
+        init = C(u=u_i.astype(dtype), v=v_i.astype(dtype), mu=mu_i,
+                 i=i_i.astype(jnp.int32), k=k_i.astype(jnp.int32),
+                 final_check=mu_i < eps,
+                 status=st_i.astype(jnp.int32),
+                 res=hsd.LPResiduals.init(dtype))
     fin = jax.lax.while_loop(outer_cond, outer_body, init)
 
     # -- extract + un-normalize (`get_solution`, `abip.c:1344-1414`) --------
@@ -536,6 +604,7 @@ def device_solve_lp(A, b, c, *, eps=1e-6, max_ipm=200, max_admm=200_000,
         ipm_iters=fin.i, admm_iters=fin.k,
         res_pri=r.res_pri, res_dual=r.res_dual, rel_gap=r.rel_gap,
         pobj=r.ct_x_by_tau / tau, dobj=r.bt_y_by_tau / tau,
+        u_raw=fin.u, v_raw=fin.v, mu=fin.mu,
     )
 
 
@@ -604,8 +673,20 @@ def solve_lp_batch(As, bs, cs, mesh=None, **kw) -> DeviceSolveResult:
     degrades to compute-both-branches (measured 0.27x baseline at B=16
     on TPU v5e vs 0.91x single-instance; the f64 residual check ran
     every iteration).  Pass cadence="cond" to override.
+
+    engine="sprint2" (TPU headline mode) runs TWO programs: phase 1
+    drives every lane with the stopping sprint kernel (pure f32 VMEM
+    iterations, in-kernel inner stop) until its barrier passes
+    `sprint_mu_switch`; phase 2 continues unfinished lanes with the
+    anchored-f64 steps engine to the accuracy endgame.  The phase split
+    keeps each program branch-free (a per-lane mu switch under vmap
+    computes BOTH engines for diverged lanes), and pure-f32 iterations
+    below mu ~1e-5 cannot converge at eps=1e-6 anyway (fuzz-measured:
+    0/20 at switch 1e-7 vs 20/20 at 1e-5).
     """
     kw.setdefault("cadence", "chunk")
+    if kw.get("engine") == "sprint2":
+        return _solve_lp_batch_twophase(As, bs, cs, mesh=mesh, **kw)
     fn = jax.vmap(lambda A, b, c: device_solve_lp(A, b, c, **kw))
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
@@ -616,3 +697,40 @@ def solve_lp_batch(As, bs, cs, mesh=None, **kw) -> DeviceSolveResult:
         cs = jax.device_put(cs, sh)
         fn = jax.jit(fn, in_shardings=(sh, sh, sh))
     return fn(As, bs, cs)
+
+
+def _solve_lp_batch_twophase(As, bs, cs, mesh=None, **kw) -> DeviceSolveResult:
+    """sprint2: phase-1 stopping-sprint bulk + phase-2 anchored endgame.
+
+    Both phases are uniform vmapped programs over ALL lanes; lanes that
+    finish in phase 1 enter phase 2 with their final status, so its
+    outer loop exits immediately (one cond evaluation).  Results merge
+    per lane on the phase-1 status.
+    """
+    kw.pop("engine")
+    switch = kw.pop("sprint_mu_switch", 1e-4)
+    kw.pop("mu_stop", None)
+    kw.pop("init_state", None)
+    kw1 = dict(kw, engine="sprint", sprint_mu_switch=switch,
+               mu_stop=switch, precision=kw.get("precision", "mixed"))
+    r1 = solve_lp_batch(As, bs, cs, mesh=mesh, **kw1)
+    done1 = np.asarray(r1.status) != 0
+    if done1.all():
+        return r1
+    kw2 = dict(kw, engine="steps")
+    init = (r1.u_raw, r1.v_raw, r1.mu, r1.admm_iters, r1.ipm_iters,
+            r1.status)
+    fn2 = jax.vmap(lambda A, b, c, u0, v0, mu0, k0, i0, st0:
+                   device_solve_lp(A, b, c,
+                                   init_state=(u0, v0, mu0, k0, i0, st0),
+                                   **kw2))
+    r2 = fn2(As, bs, cs, *init)
+    # merge: phase-1 finishers keep their phase-1 rows (phase 2 starts
+    # them with status!=0, so its loop never runs and its residual
+    # fields are the NaN inits)
+    d = jnp.asarray(done1)
+
+    def pick(a1, a2):
+        return jnp.where(d.reshape(d.shape + (1,) * (a1.ndim - 1)), a1, a2)
+
+    return DeviceSolveResult(*[pick(a1, a2) for a1, a2 in zip(r1, r2)])

@@ -63,7 +63,7 @@ def _device_solve_qcp(A, b, c, Q_diag, layout: ConeLayout, *, eps, max_ipm,
                       inner_check_period, precision="f64", ir_steps=1,
                       inner_crit_period=1, solver="cholesky",
                       normalize=False, anchor_period=100, form="auto",
-                      cadence="cond"):
+                      cadence="cond", probe_period=8):
     """One conic instance entirely on device (no equilibration: callers
     pre-scale, as the reference app configs do).  Dense Schur backend.
 
@@ -72,11 +72,12 @@ def _device_solve_qcp(A, b, c, Q_diag, layout: ConeLayout, *, eps, max_ipm,
     # cadence knobs must be >= 1: anchor_period < 1 in mixed mode makes the
     # jitted outer loop non-terminating (stage_cap=0 => cap_exit re-anchors
     # forever without advancing k), and period 0 is a traced modulo-by-zero
-    if anchor_period < 1 or inner_crit_period < 1 or inner_check_period < 1:
+    if anchor_period < 1 or inner_crit_period < 1 or inner_check_period < 1 \
+            or probe_period < 1:
         raise ValueError(
-            "anchor_period, inner_crit_period, and inner_check_period must "
-            f"be >= 1; got {anchor_period}, {inner_crit_period}, "
-            f"{inner_check_period}")
+            "anchor_period, inner_crit_period, inner_check_period, and "
+            f"probe_period must be >= 1; got {anchor_period}, "
+            f"{inner_crit_period}, {inner_check_period}, {probe_period}")
     if cadence not in ("cond", "chunk"):
         raise ValueError(f"cadence must be 'cond' or 'chunk'; got {cadence!r}")
     chunked = cadence == "chunk"
@@ -331,15 +332,24 @@ def _device_solve_qcp(A, b, c, Q_diag, layout: ConeLayout, *, eps, max_ipm,
         return IC(u=u, v=v, v_origin=v_origin, j=s.j + 1, k=k,
                   err_inner=err_inner, status=st, res=r)
 
-    def inner_body_chunk(s: IC, mu, ipm_i, mv, rmv, stage_solve):
-        """Structural cadence for vmapped programs: `inner_crit_period`
-        uniform lean iterations (one `lax.fori_loop`), then the inner
-        criterion AND the f64 residual check exactly once,
-        unconditionally.  Under `vmap`, the cond-gated cadence above
+    def inner_body_chunk(s: IC, mu, ipm_i, mv, rmv, stage_solve,
+                         tol_inner, stage_cap):
+        """Structural cadence for vmapped programs WITH an in-chunk
+        stop: micro-trips of `probe_period` uniform lean iterations
+        (`lax.fori_loop`), each followed by the CHEAP inner criterion
+        (`inner_conv_check` through the stage-anchored matvecs -- 2 per
+        trip), exiting as soon as it fires; then the EXPENSIVE f64
+        residual check exactly once per chunk exit, at most
+        `inner_crit_period` iterations apart.  The stage overruns its
+        true stopping point (`source/abip.c:1150-1156` checks every
+        iteration) by at most probe_period-1 iterations instead of
+        inner_crit_period-1.  Under `vmap`, the cond-gated cadence above
         lowers to compute-both-branches + select, silently running the
         v5e-emulated f64 residual check on EVERY iteration of EVERY lane
         (the LP driver measured 0.27x baseline that way; see
         `batched.device_solve_lp`'s cadence note)."""
+        probe = min(probe_period, inner_crit_period)
+
         def lean(_, t):
             u, v = t
             u_t, _ = conic_ops.projection(u, v, stage_solve, rho, r_vec,
@@ -347,14 +357,27 @@ def _device_solve_qcp(A, b, c, Q_diag, layout: ConeLayout, *, eps, max_ipm,
             return conic_ops.barrier_and_dual(u, v, u_t, mu, rho_tail,
                                               layout, alpha, m, n)
 
-        u, v = jax.lax.fori_loop(0, inner_crit_period, lean, (s.u, s.v))
+        def micro_cond(t):
+            _u, _v, dk, err = t
+            return ((err >= tol_inner) & (dk < inner_crit_period)
+                    & (s.j + dk < stage_cap) & (s.k + dk < max_admm))
+
+        def micro_body(t):
+            u, v, dk, _err = t
+            u, v = jax.lax.fori_loop(0, probe, lean, (u, v))
+            dk = dk + probe
+            err = conic_ops.inner_conv_check(u, rho * v, mv, rmv,
+                                             Q_times, b, c, m, n)
+            return (u, v, dk, err)
+
+        u, v, dk, err_inner = jax.lax.while_loop(
+            micro_cond, micro_body,
+            (s.u, s.v, jnp.zeros((), jnp.int32), s.err_inner))
         v_origin = rho * v
-        k = s.k + inner_crit_period
-        err_inner = conic_ops.inner_conv_check(u, v_origin, mv, rmv,
-                                               Q_times, b, c, m, n)
+        k = s.k + dk
         r = residuals(u, v_origin, s.res, mv64, rmv64)
         st = converged(r, (ipm_i > 0) & (k > 0))
-        return IC(u=u, v=v, v_origin=v_origin, j=s.j + inner_crit_period,
+        return IC(u=u, v=v, v_origin=v_origin, j=s.j + dk,
                   k=k, err_inner=err_inner, status=st, res=r)
 
     def outer_body(o: OC):
@@ -383,10 +406,13 @@ def _device_solve_qcp(A, b, c, Q_diag, layout: ConeLayout, *, eps, max_ipm,
                 & (s.k < max_admm)
             )
 
-        ibody = inner_body_chunk if chunked else inner_body
-        s = jax.lax.while_loop(
-            icond, lambda ss: ibody(ss, o.mu, o.i, mv, rmv, stage_solve), s
-        )
+        if chunked:
+            ibody = lambda ss: inner_body_chunk(  # noqa: E731
+                ss, o.mu, o.i, mv, rmv, stage_solve, o.tol_inner, stage_cap)
+        else:
+            ibody = lambda ss: inner_body(  # noqa: E731
+                ss, o.mu, o.i, mv, rmv, stage_solve)
+        s = jax.lax.while_loop(icond, ibody, s)
         r = residuals(s.u, s.v_origin, s.res, mv64, rmv64)
         st = jnp.where(s.status != 0, s.status,
                        converged(r, (o.i > 0) & (s.k > 0)))
@@ -441,7 +467,7 @@ def _device_solve_qcp(A, b, c, Q_diag, layout: ConeLayout, *, eps, max_ipm,
                                    "psi", "inner_check_period", "precision",
                                    "ir_steps", "inner_crit_period",
                                    "solver", "normalize", "anchor_period",
-                                   "form", "cadence"))
+                                   "form", "cadence", "probe_period"))
 def solve_qcp_batch(As, bs, cs, Q_diags=None, *, cones: ConeSpec,
                     eps=1e-4, max_ipm=200, max_admm=100_000, alpha=1.8,
                     rho_y=1e-6, rho_x=1.0, rho_tau=1.0, psi=1.0,
@@ -449,7 +475,7 @@ def solve_qcp_batch(As, bs, cs, Q_diags=None, *, cones: ConeSpec,
                     ir_steps=1, inner_crit_period=1,
                     solver="cholesky", normalize=False,
                     anchor_period=100, form="auto",
-                    cadence="chunk") -> ConicDeviceResult:
+                    cadence="chunk", probe_period=8) -> ConicDeviceResult:
     """Solve a stacked batch of same-shape conic programs on device.
 
     As: (B, m, n); bs: (B, m); cs: (B, n); Q_diags: optional (B, n)
@@ -482,7 +508,7 @@ def solve_qcp_batch(As, bs, cs, Q_diags=None, *, cones: ConeSpec,
             precision=precision, ir_steps=ir_steps,
             inner_crit_period=inner_crit_period, solver=solver,
             normalize=normalize, anchor_period=anchor_period, form=form,
-            cadence=cadence,
+            cadence=cadence, probe_period=probe_period,
         )
 
     if Q_diags is None:
@@ -495,7 +521,7 @@ def solve_qcp_batch(As, bs, cs, Q_diags=None, *, cones: ConeSpec,
                                    "psi", "inner_check_period", "precision",
                                    "ir_steps", "inner_crit_period",
                                    "solver", "normalize", "anchor_period",
-                                   "form", "cadence"))
+                                   "form", "cadence", "probe_period"))
 def solve_qcp_device(A, b, c, Q_diag=None, *, cones: ConeSpec,
                      eps=1e-4, max_ipm=200, max_admm=100_000, alpha=1.8,
                      rho_y=1e-6, rho_x=1.0, rho_tau=1.0, psi=1.0,
@@ -503,7 +529,7 @@ def solve_qcp_device(A, b, c, Q_diag=None, *, cones: ConeSpec,
                      ir_steps=1, inner_crit_period=1,
                      solver="cholesky", normalize=False,
                      anchor_period=100, form="auto",
-                     cadence="cond") -> ConicDeviceResult:
+                     cadence="cond", probe_period=8) -> ConicDeviceResult:
     """Single-instance, whole-solve-in-one-program conic solve (B=1,
     un-vmapped).  Q_diag: (n,) diagonal or (n, n) full quadratic term.
 
@@ -520,5 +546,5 @@ def solve_qcp_device(A, b, c, Q_diag=None, *, cones: ConeSpec,
         precision=precision, ir_steps=ir_steps,
         inner_crit_period=inner_crit_period, solver=solver,
         normalize=normalize, anchor_period=anchor_period, form=form,
-        cadence=cadence,
+        cadence=cadence, probe_period=probe_period,
     )

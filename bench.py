@@ -79,14 +79,20 @@ def _drop_replay_outliers(rounds, rate_of):
     generous for small shapes (14M it/s at B=16 smoke), and the r02
     pass-4/5 sweeps recorded 1.7-3.1M it/s ~50 ms "solves" WITH fresh
     salted seeds that sailed under it.  A replayed round is 20-60x the
-    honest rate, so any round above 2.5x the median of >= 2 rounds is an
-    artifact, never a measurement."""
+    honest rate, so any round above 2.5x the anchor is an artifact,
+    never a measurement.
+
+    The anchor is the LOWER middle of the sorted rates: replays are
+    always faster than honest rounds, so with 2 rounds (or a replay
+    majority) the upper middle IS a replay and would keep itself --
+    anchoring low can only over-cut, and an over-cut drops a fast honest
+    round rather than reporting a fake one.  The anchor round always
+    survives its own cut, so the result is never empty."""
     if len(rounds) < 2:
         return rounds
     rates = sorted(rate_of(r) for r in rounds)
-    med = rates[len(rates) // 2]
-    kept = [r for r in rounds if rate_of(r) <= 2.5 * med]
-    return kept or rounds
+    med = rates[(len(rates) - 1) // 2]
+    return [r for r in rounds if rate_of(r) <= 2.5 * med]
 
 
 def main():

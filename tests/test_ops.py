@@ -219,3 +219,144 @@ def test_qcp_iteration_cost_model():
     thin = qcp_iteration_cost(100, 1000, inner_crit_period=8)
     dense = qcp_iteration_cost(100, 1000, inner_crit_period=1)
     assert thin.bytes_moved < dense.bytes_moved
+
+
+def test_sprint_stop_matches_hsd_and_stops(rng):
+    """fused_admm_sprint_stop with thresh=0 must reproduce T steps of the
+    hsd math (f32); with a huge thresh it must stop after one probe."""
+    from abip_tpu import hsd
+    from abip_tpu.ops.admm_pallas import fused_admm_sprint_stop
+
+    m, n = 8, 24
+    l = m + n + 1
+    A = jnp.asarray(rng.standard_normal((m, n)), jnp.float32)
+    rho_y = 1e-3
+    N = rho_y * jnp.eye(m, dtype=jnp.float32) + A @ A.T
+    Ninv = jnp.linalg.inv(N.astype(jnp.float64)).astype(jnp.float32)
+    b = jnp.asarray(rng.standard_normal(m), jnp.float32)
+    c = jnp.asarray(rng.standard_normal(n), jnp.float32)
+    h = jnp.concatenate([-b, c])
+    gv = jnp.linalg.solve(N.astype(jnp.float64),
+                          (h[:m] + A @ h[m:]).astype(jnp.float64))
+    g_x = A.T.astype(jnp.float64) @ gv - h[m:].astype(jnp.float64)
+    g = jnp.concatenate([gv, -g_x]).astype(jnp.float32)
+    g_th = jnp.dot(h, g)
+    u0 = jnp.concatenate([jnp.zeros(m), jnp.ones(n + 1)]).astype(jnp.float32)
+    lam, alpha, T = 0.1, 1.8, 8
+
+    def solve_fn(w_y, w_x, k, warm):
+        z_y = Ninv @ (w_y + A @ w_x)
+        z_x = A.T @ z_y - w_x
+        return z_y, z_x, jnp.zeros((), jnp.int32)
+
+    u_ref, v_ref = u0, u0
+    for _ in range(T):
+        u_t, _ = hsd.project_lin_sys(u_ref, v_ref, h, g, g_th, rho_y,
+                                     solve_fn, 0, m, n)
+        u_ref, v_ref = hsd.admm_update(u_ref, v_ref, u_ref, u_t, lam,
+                                       alpha, m)
+
+    for kwargs in (dict(use_pallas=False), dict(interpret=True)):
+        u_k, v_k, t_k, q_k = fused_admm_sprint_stop(
+            A, Ninv, h, g, rho_y, g_th, lam, alpha, 0.0, u0, u0,
+            T=T, probe=4, **kwargs)
+        assert int(t_k) == T
+        assert float(q_k) > 0
+        np.testing.assert_allclose(np.asarray(u_k), np.asarray(u_ref),
+                                   rtol=2e-5, atol=2e-5)
+        np.testing.assert_allclose(np.asarray(v_k), np.asarray(v_ref),
+                                   rtol=2e-5, atol=2e-5)
+        # huge threshold: the in-kernel stop fires at the first probe
+        _, _, t_s, _ = fused_admm_sprint_stop(
+            A, Ninv, h, g, rho_y, g_th, lam, alpha, 1e9, u0, u0,
+            T=T, probe=4, **kwargs)
+        assert int(t_s) == 4
+
+
+def test_sprint_stop_vmap_grid_matches_fallback(rng):
+    """The custom_vmap batch rule (explicit grid-over-instances kernel)
+    must match the vmapped XLA fallback (interpret mode)."""
+    import jax
+
+    from abip_tpu.ops.admm_pallas import fused_admm_sprint_stop
+
+    B, m, n = 3, 8, 24
+    l = m + n + 1
+    A = rng.standard_normal((B, m, n)).astype(np.float32) * 0.3
+    Ninv = np.stack([np.linalg.inv(1e-3 * np.eye(m) + a @ a.T)
+                     for a in A]).astype(np.float32)
+    h = rng.standard_normal((B, l)).astype(np.float32) * 0.1
+    g = rng.standard_normal((B, l)).astype(np.float32) * 0.1
+    u = np.abs(rng.standard_normal((B, l))).astype(np.float32)
+    v = np.abs(rng.standard_normal((B, l))).astype(np.float32)
+    th = np.zeros(B, np.float32)
+
+    def call(**kw):
+        return jax.vmap(
+            lambda A_, N_, h_, g_, t_, u_, v_: fused_admm_sprint_stop(
+                A_, N_, h_, g_, 1e-3, 0.7, 0.05, 1.8, t_, u_, v_,
+                T=8, probe=4, **kw))(
+            *map(jnp.asarray, (A, Ninv, h, g, th, u, v)))
+
+    ux, vx, tx, qx = call(use_pallas=False)
+    up, vp, tp, qp = call(use_pallas=True, interpret=True)
+    assert np.asarray(tp).tolist() == np.asarray(tx).tolist()
+    np.testing.assert_allclose(np.asarray(up), np.asarray(ux),
+                               rtol=3e-5, atol=3e-5)
+    np.testing.assert_allclose(np.asarray(qp), np.asarray(qx),
+                               rtol=1e-4, atol=1e-6)
+
+
+def test_sprint2_engine_solves_batch(rng):
+    """engine='sprint2' (two-phase: stopping-sprint bulk + anchored-f64
+    endgame) reaches the scipy optima at 1e-6 with honest per-lane
+    iteration counts carried across the phase hand-off."""
+    import jax.numpy as jnp
+    from scipy.optimize import linprog
+
+    from abip_tpu.parallel.batched import solve_lp_batch
+    from tests.conftest import random_lp
+
+    B, m, n = 3, 20, 60
+    As, bs, cs, refs = [], [], [], []
+    for i in range(B):
+        A, b, c = random_lp(np.random.default_rng(200 + i), m, n)
+        As.append(A); bs.append(b); cs.append(c)
+        refs.append(linprog(c, A_eq=A, b_eq=b, bounds=(0, None),
+                            method="highs").fun)
+    res = solve_lp_batch(jnp.asarray(np.stack(As)), jnp.asarray(np.stack(bs)),
+                         jnp.asarray(np.stack(cs)), eps=1e-6,
+                         precision="mixed", solver="inverse",
+                         engine="sprint2", qres_period=256, probe_period=8)
+    for i in range(B):
+        assert int(res.status[i]) == 1
+        assert int(res.admm_iters[i]) > 0
+        assert float(res.rel_gap[i]) < 1.05e-6
+        assert float(res.pobj[i]) == pytest.approx(
+            refs[i], abs=1e-4 * (1 + abs(refs[i])))
+
+
+def test_mu_stop_and_init_state_resume(rng):
+    """mu_stop exits the outer loop at the phase boundary with status 0;
+    resuming via init_state finishes the solve with accumulated
+    iteration counters."""
+    import jax.numpy as jnp
+
+    from abip_tpu.parallel.batched import device_solve_lp
+    from tests.conftest import random_lp
+
+    A, b, c = random_lp(np.random.default_rng(11), 15, 45)
+    A, b, c = jnp.asarray(A), jnp.asarray(b), jnp.asarray(c)
+    kw = dict(eps=1e-6, precision="mixed", solver="inverse",
+              qres_period=64, probe_period=8, cadence="chunk")
+    r1 = device_solve_lp(A, b, c, mu_stop=1e-3, **kw)
+    assert int(r1.status) == 0
+    assert float(r1.mu) < 1e-3
+    assert int(r1.admm_iters) > 0
+    r2 = device_solve_lp(
+        A, b, c,
+        init_state=(r1.u_raw, r1.v_raw, r1.mu, r1.admm_iters,
+                    r1.ipm_iters, r1.status), **kw)
+    assert int(r2.status) == 1
+    assert int(r2.admm_iters) > int(r1.admm_iters)
+    assert float(r2.rel_gap) < 1.05e-6

@@ -105,7 +105,17 @@ def main():
                 })
             kept = _drop_replay_outliers(rounds,
                                          lambda x: x["iters_per_sec"])
-            valid = [x for x in kept if x["status"] == 1] or kept
+            valid = [x for x in kept if x["status"] == 1]
+            if not valid:
+                # no kept round solved: a diverged run must never be
+                # published as a speedup number -- record it under an
+                # explicit error marker with vs_baseline null
+                results[name] = {"error": "no solved round survived the "
+                                          "replay cut",
+                                 "vs_baseline": None, "rounds": rounds}
+                print(f"[{name}] NO SOLVED ROUND", flush=True)
+                save()
+                continue
             best = max(valid, key=lambda x: x["iters_per_sec"])
             results[name] = {**best,
                              "vs_baseline": round(

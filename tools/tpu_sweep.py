@@ -23,7 +23,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 OUT = os.environ.get("ABIP_SWEEP_OUT") or os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-    "benchmarks", "results", "r02_tpu_sweep.json")
+    "benchmarks", "results", "r03_tpu_sweep.json")
 
 
 def main():
@@ -58,6 +58,8 @@ def main():
                 jnp.asarray(np.stack([x[1] for x in d])),
                 jnp.asarray(np.stack([x[2] for x in d])))
 
+    # grid entries: (B, qres_period) or (B, qres_period, probe_period) --
+    # probe_period is the round-3 in-chunk stop granularity (default 8)
     grid = [(16, 16), (16, 32), (16, 64),
             (8, 16), (8, 32),
             (24, 16), (24, 32),
@@ -72,16 +74,22 @@ def main():
     # (the recorded 1.26M it/s B16_q64 round).  Fresh seeds per process
     # make every timed call a real execution.
     seed = 100_000 + (int(time.time()) % 1_000_000) * 1_000
-    for B, qp in grid:
-        key = f"B{B}_q{qp}"
+    for entry in grid:
+        B, qp = entry[0], entry[1]
+        probe = entry[2] if len(entry) > 2 else 8
+        key = f"B{B}_q{qp}_p{probe}"
         kw = dict(eps=1e-6, max_ipm=200, max_admm=200_000,
                   precision="mixed", solver="inverse",
-                  qres_period=qp, avg_period=20)
+                  qres_period=qp, avg_period=20, probe_period=probe)
         if os.environ.get("ABIP_SWEEP_ENGINE") == "sprint":
             key += f"_sprint{os.environ.get('ABIP_SWEEP_SPRINT_T', '64')}"
             kw.update(engine="sprint",
                       sprint_T=int(os.environ.get("ABIP_SWEEP_SPRINT_T",
                                                   "64")))
+        elif os.environ.get("ABIP_SWEEP_ENGINE") == "sprint2":
+            sw = float(os.environ.get("ABIP_SWEEP_SWITCH", "1e-4"))
+            key += f"_sprint2_sw{sw:g}"
+            kw.update(engine="sprint2", sprint_mu_switch=sw)
         try:
             t0 = time.perf_counter()
             r = solve_lp_batch(*batch(seed, B), **kw)
@@ -130,9 +138,24 @@ def main():
                 if r not in rounds_kept:
                     r["replay_suspect"] = True
             valid = [x for x in rounds_kept if not x["replay_suspect"]
-                     and x["solved"] == B] or rounds_kept
+                     and x["solved"] == B]
+            if not valid:
+                # no honest fully-solved round: NEVER fall back to a
+                # suspect/unsolved round as the key's headline -- three
+                # near-identical replay rounds pass the median cut
+                # trivially (the committed r02 pass-4/5 failure mode)
+                results[key] = {"B": B, "qres_period": qp,
+                            "probe_period": probe,
+                                "error": "no honest round (all rounds "
+                                         "replay-suspect or unsolved)",
+                                "first_call_sec": round(first, 1),
+                                "rounds": rounds}
+                print(f"[{key}] NO HONEST ROUND", flush=True)
+                save()
+                continue
             best = max(valid, key=lambda x: x["iters_per_sec"])
-            results[key] = {"B": B, "qres_period": qp, **best,
+            results[key] = {"B": B, "qres_period": qp,
+                            "probe_period": probe, **best,
                             "vs_baseline": round(
                                 best["iters_per_sec"] / base, 3),
                             "instances_per_sec": round(
