@@ -49,6 +49,19 @@ def _load_baseline():
     return None
 
 
+def _load_baseline_instances_per_sec():
+    """Reference solved-instance rate on the smoke shape: 1 instance per
+    median solve wall (0.4387 s single-thread direct backend) -- the
+    metric a user feels; `vs_baseline_instances` divides by it."""
+    path = os.path.join(os.path.dirname(__file__), "BASELINE_MEASURED.json")
+    if os.path.exists(path):
+        with open(path) as f:
+            t = json.load(f).get("reference_time_sec_median")
+        if t:
+            return 1.0 / t
+    return None
+
+
 def _batch(seed0, B):
     import jax.numpy as jnp
 
@@ -476,10 +489,18 @@ def _bench_inner():
 
     B = int(os.environ.get("ABIP_BENCH_B", "16"))
     precision = os.environ.get("ABIP_BENCH_PRECISION", "mixed")
-    engine = os.environ.get("ABIP_BENCH_ENGINE", "steps")
-    if engine == "sprint":
-        kw.update(engine="sprint",
-                  sprint_T=int(os.environ.get("ABIP_BENCH_SPRINT_T", "32")))
+    # TPU default engine is the two-phase sprint (stopping-sprint f32 bulk
+    # + anchored-f64 endgame): measured 12.2 inst/s / 10.6x iters-rate at
+    # B=16 q=768 probe=8 vs 5.3 inst/s for plain steps
+    # (benchmarks/results/r03_tpu_sweep_sprint2.json); CPU keeps steps
+    # (no Pallas there).
+    default_engine = "steps" if jax.default_backend() == "cpu" else "sprint2"
+    engine = os.environ.get("ABIP_BENCH_ENGINE", default_engine)
+    if engine in ("sprint", "sprint2"):
+        kw.update(engine=engine,
+                  sprint_T=int(os.environ.get("ABIP_BENCH_SPRINT_T", "32")),
+                  sprint_mu_switch=float(
+                      os.environ.get("ABIP_BENCH_SPRINT_SWITCH", "1e-4")))
     warm = _batch(10_000, B)
     res = solve_lp_batch(*warm, precision=precision, **kw)
     jax.block_until_ready(res)
@@ -529,6 +550,7 @@ def _bench_inner():
     its, dt, res = best_valid or best
     st = np.asarray(res.status)
     agg = float(its.sum()) / dt
+    inst_base = _load_baseline_instances_per_sec()
     out = {
         "metric": "admm_iters_per_sec",
         "value": round(agg, 1),
@@ -543,6 +565,8 @@ def _bench_inner():
             "mean_admm_iters": float(its.mean()),
             "batch_wall_sec": round(dt, 4),
             "instances_per_sec": round(B / dt, 2),
+            "vs_baseline_instances": (round((B / dt) / inst_base, 3)
+                                      if inst_base else None),
             "baseline": "reference abip-lp direct, 1 thread "
                         "(BASELINE_MEASURED.json)",
             "backend": jax.default_backend(),
