@@ -291,6 +291,20 @@ def device_solve_lp(A, b, c, *, eps=1e-6, max_ipm=200, max_admm=200_000,
         final_check: jnp.ndarray
         status: jnp.ndarray
         res: hsd.LPResiduals
+        # stage-average state carried ACROSS anchor re-caps: mixed mode
+        # chops a barrier stage into stage_cap-iteration anchor segments
+        # (drift control), but hard stages only exit through the
+        # AVERAGED-iterate criterion (the last ADMM iterate can cycle on
+        # degenerate LPs while the running average converges,
+        # `abip.c:2125-2129`).  Resetting the average at each cap-exit
+        # stalled such stages indefinitely: measured 246k iterations vs
+        # 9,224 for f64 on the same instance, identical across
+        # ir_steps/solver variants (straggler_195532128.npz lane 4);
+        # carrying u_sum/v_sum/sj across re-anchors restores the f64
+        # trajectory exactly.
+        u_sum: jnp.ndarray
+        v_sum: jnp.ndarray
+        sj: jnp.ndarray
 
     class IC(NamedTuple):
         u: jnp.ndarray
@@ -363,7 +377,7 @@ def device_solve_lp(A, b, c, *, eps=1e-6, max_ipm=200, max_admm=200_000,
 
             u_sum = s.u_sum + u
             v_sum = s.v_sum + v
-            dom = (s.j + 1).astype(u.dtype)
+            dom = (carry.sj + s.j + 1).astype(u.dtype)
             # the running average is only consumed at check points; the
             # divides live inside the conds so the common iteration body
             # stays sums-only
@@ -442,7 +456,7 @@ def device_solve_lp(A, b, c, *, eps=1e-6, max_ipm=200, max_admm=200_000,
             def finish(u, v, u_sum, v_sum, dj, dk, qres, avg_crit):
                 # TRUE f64 residual check (see the cond-path comment),
                 # paid once per chunk exit instead of per iteration
-                dom = jnp.maximum((s.j + dj).astype(u.dtype), 1.0)
+                dom = jnp.maximum((carry.sj + s.j + dj).astype(u.dtype), 1.0)
                 u_sel = jnp.where(avg_crit, u_sum / dom, u)
                 v_sel = jnp.where(avg_crit, v_sum / dom, v)
                 r = residuals(u_sel, v_sel, matvec64, rmatvec64)
@@ -477,7 +491,7 @@ def device_solve_lp(A, b, c, *, eps=1e-6, max_ipm=200, max_admm=200_000,
                         0, probe, lean, (u, v, us, vs))
                     dj = dj + probe
                     dk = dk + probe
-                    dom = jnp.maximum((s.j + dj).astype(u.dtype), 1.0)
+                    dom = jnp.maximum((carry.sj + s.j + dj).astype(u.dtype), 1.0)
                     q_cur = qres_of(u, v)
                     q_avg = qres_of(us / dom, vs / dom)
                     avg_crit = q_avg < q_cur
@@ -528,8 +542,10 @@ def device_solve_lp(A, b, c, *, eps=1e-6, max_ipm=200, max_admm=200_000,
                                     sprint_chunk, steps_chunk, s)
             return steps_chunk(s)
 
-        z = jnp.zeros((l,), dtype)
-        init = IC(u=carry.u, v=carry.v, u_sum=z, v_sum=z,
+        # seed the stage average from the outer carry: nonzero after a
+        # cap-exit (same stage, new anchor), zero at a true stage start
+        init = IC(u=carry.u, v=carry.v, u_sum=carry.u_sum,
+                  v_sum=carry.v_sum,
                   avg_crit=jnp.zeros((), bool),
                   j=jnp.zeros((), jnp.int32),
                   k=carry.k, qres=jnp.full((), jnp.inf, dtype),
@@ -541,7 +557,7 @@ def device_solve_lp(A, b, c, *, eps=1e-6, max_ipm=200, max_admm=200_000,
         s, mv, rmv = inner(carry)
         # adopt the averaged iterate when it is the better candidate
         # (`abip.c:2125-2129`)
-        dom = jnp.maximum(s.j, 1).astype(s.u.dtype)
+        dom = jnp.maximum(carry.sj + s.j, 1).astype(s.u.dtype)
         u_sel = jnp.where(s.avg_crit, s.u_sum / dom, s.u)
         v_sel = jnp.where(s.avg_crit, s.v_sum / dom, s.v)
         r = residuals(u_sel, v_sel, matvec64, rmatvec64)
@@ -564,8 +580,15 @@ def device_solve_lp(A, b, c, *, eps=1e-6, max_ipm=200, max_admm=200_000,
         v = jnp.where(done, v_sel, jnp.where(cap_exit, s.v, v))
         mu = jnp.where(done | cap_exit, carry.mu, mu)
         di = jnp.where(cap_exit, 0, 1).astype(carry.i.dtype)
+        # cap-exit: the stage continues under a fresh anchor, so the
+        # stage-average accumulators survive; a true stage end resets
+        # them (see the C docstring for the stall this prevents)
+        u_sum = jnp.where(cap_exit, s.u_sum, 0.0)
+        v_sum = jnp.where(cap_exit, s.v_sum, 0.0)
+        sj = jnp.where(cap_exit, carry.sj + s.j, 0).astype(carry.sj.dtype)
         return C(u=u, v=v, mu=mu, i=carry.i + di, k=s.k,
-                 final_check=final_check, status=status, res=r)
+                 final_check=final_check, status=status, res=r,
+                 u_sum=u_sum, v_sum=v_sum, sj=sj)
 
     def outer_cond(carry: C):
         alive = (carry.status == 0) & (carry.i < max_ipm) & (
@@ -577,12 +600,15 @@ def device_solve_lp(A, b, c, *, eps=1e-6, max_ipm=200, max_admm=200_000,
             alive = alive & (carry.mu >= mu_stop)
         return alive
 
+    z0l = jnp.zeros((l,), dtype)
+    sj0 = jnp.zeros((), jnp.int32)
     if init_state is None:
         init = C(u=u0, v=u0, mu=jnp.ones((), dtype),
                  i=jnp.zeros((), jnp.int32), k=jnp.zeros((), jnp.int32),
                  final_check=jnp.zeros((), bool),
                  status=jnp.zeros((), jnp.int32),
-                 res=hsd.LPResiduals.init(dtype))
+                 res=hsd.LPResiduals.init(dtype),
+                 u_sum=z0l, v_sum=z0l, sj=sj0)
     else:
         u_i, v_i, mu_i, k_i, i_i, st_i = init_state
         mu_i = mu_i.astype(dtype)
@@ -590,7 +616,8 @@ def device_solve_lp(A, b, c, *, eps=1e-6, max_ipm=200, max_admm=200_000,
                  i=i_i.astype(jnp.int32), k=k_i.astype(jnp.int32),
                  final_check=mu_i < eps,
                  status=st_i.astype(jnp.int32),
-                 res=hsd.LPResiduals.init(dtype))
+                 res=hsd.LPResiduals.init(dtype),
+                 u_sum=z0l, v_sum=z0l, sj=sj0)
     fin = jax.lax.while_loop(outer_cond, outer_body, init)
 
     # -- extract + un-normalize (`get_solution`, `abip.c:1344-1414`) --------
