@@ -16,7 +16,8 @@ TPU these become first-class:
     cache).
 """
 from .batched import device_solve_lp, solve_lp_batch, solve_lp_suite
-from .batched_qcp import solve_qcp_batch, solve_qcp_device
+from .batched_qcp import (pad_conic_instances, solve_qcp_batch,
+                          solve_qcp_device, solve_qcp_het_batch)
 from .host_pool import pool_map, solve_lp_pool
 from .sharded import sharded_normal_matvec, sharded_pcg
 
@@ -24,8 +25,10 @@ __all__ = [
     "device_solve_lp",
     "solve_lp_batch",
     "solve_lp_suite",
+    "pad_conic_instances",
     "solve_qcp_batch",
     "solve_qcp_device",
+    "solve_qcp_het_batch",
     "pool_map",
     "solve_lp_pool",
     "sharded_normal_matvec",

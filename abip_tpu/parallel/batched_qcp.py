@@ -63,12 +63,19 @@ def _device_solve_qcp(A, b, c, Q_diag, layout: ConeLayout, *, eps, max_ipm,
                       inner_check_period, precision="f64", ir_steps=1,
                       inner_crit_period=1, solver="cholesky",
                       normalize=False, anchor_period=100, form="auto",
-                      cadence="cond", probe_period=8):
+                      cadence="cond", probe_period=8, scaling=None):
     """One conic instance entirely on device (no equilibration: callers
     pre-scale, as the reference app configs do).  Dense Schur backend.
 
     precision="mixed": per-stage anchored f32 matvecs/solves with f64
-    state, as in `batched.device_solve_lp`."""
+    state, as in `batched.device_solve_lp`.
+
+    scaling: optional (D, E, sc_b, sc_c, nm_inf_b0, nm_inf_c0) tuple
+    when the CALLER already equilibrated (A, b, c, Q): residuals and
+    the returned solution are then un-scaled exactly as normalize=True
+    would, but the scaling arrives as vmappable DATA (the
+    heterogeneous-cone batch equilibrates per lane on host at each
+    lane's natural shape, then pads -- padded slots carry D=E=1)."""
     # cadence knobs must be >= 1: anchor_period < 1 in mixed mode makes the
     # jitted outer loop non-terminating (stage_cap=0 => cap_exit re-anchors
     # forever without advancing k), and period 0 is a traced modulo-by-zero
@@ -89,7 +96,11 @@ def _device_solve_qcp(A, b, c, Q_diag, layout: ConeLayout, *, eps, max_ipm,
     # inf-norms of ORIGINAL data (`init_work`, `source/abip.c:873-874`)
     nm_inf_b0 = jnp.max(jnp.abs(b)) if m else jnp.zeros((), dtype)
     nm_inf_c0 = jnp.max(jnp.abs(c))
-    if normalize:
+    if scaling is not None:
+        if normalize:
+            raise ValueError("pass either normalize=True or scaling, not both")
+        D_s, E_s, sc_b, sc_c, nm_inf_b0, nm_inf_c0 = scaling
+    elif normalize:
         # same cone-tied equilibration as the host driver (the batched
         # path previously required callers to pre-scale; unscaled data
         # can stall the fixed-rho DR iteration)
@@ -548,3 +559,174 @@ def solve_qcp_device(A, b, c, Q_diag=None, *, cones: ConeSpec,
         normalize=normalize, anchor_period=anchor_period, form=form,
         cadence=cadence, probe_period=probe_period,
     )
+
+
+# ---------------------------------------------------------------------- #
+# heterogeneous-cone batching                                             #
+# ---------------------------------------------------------------------- #
+def pad_conic_instances(problems, dtype=jnp.float64):
+    """Pad a list of conic instances with DIFFERENT shapes and cone
+    structures to one stacked batch.
+
+    problems: sequence of (A, b, c, Q_or_None, ConeSpec) tuples.
+    Returns (As, bs, cs, Qs, layout, dims):
+      As (B, m_pad, n_pad), bs (B, m_pad), cs (B, n_pad);
+      Qs None | (B, n_pad) diagonal | (B, n_pad, n_pad) full (any full
+      Q promotes the whole batch -- the Woodbury form needs diagonal H);
+      layout: stacked `PaddedConeLayout` (kind/seg/head are (B, n_pad)
+      DATA leaves, so one compiled program serves every cone mix);
+      dims: [(m_i, n_i)] natural shapes for slicing solutions back out.
+
+    Padding is the standard inert embedding (`PaddedConeLayout` doc):
+    extra columns are zero-cone elements with zero A-columns/c-entries
+    (prox pins them to 0), extra rows are zero rows with b=0 (their y
+    stays 0 through the rho_y-regularized projection).  This covers the
+    reference's mixed-cone CBLIB protocol (`test_cblib.m:60-76`), which
+    it runs one instance at a time.
+    """
+    import numpy as np
+
+    from ..cones import PaddedConeLayout
+
+    B = len(problems)
+    dims = [(np.shape(p[0])[0], np.shape(p[0])[1]) for p in problems]
+    m_pad = max(m for m, _ in dims)
+    n_pad = max(n for _, n in dims)
+    specs = [p[4] for p in problems]
+    layout = PaddedConeLayout.stack(specs, n_pad=n_pad)
+
+    any_q = any(p[3] is not None for p in problems)
+    full_q = any(p[3] is not None and np.ndim(p[3]) == 2 for p in problems)
+    As = np.zeros((B, m_pad, n_pad), dtype)
+    bs = np.zeros((B, m_pad), dtype)
+    cs = np.zeros((B, n_pad), dtype)
+    if not any_q:
+        Qs = None
+    elif full_q:
+        Qs = np.zeros((B, n_pad, n_pad), dtype)
+    else:
+        Qs = np.zeros((B, n_pad), dtype)
+    for k, (A, b, c, Q, _spec) in enumerate(problems):
+        m, n = dims[k]
+        As[k, :m, :n] = np.asarray(A, dtype)
+        bs[k, :m] = np.asarray(b, dtype).ravel()
+        cs[k, :n] = np.asarray(c, dtype).ravel()
+        if Q is None:
+            continue
+        Q = np.asarray(Q, dtype)
+        if full_q:
+            Qs[k, :n, :n] = Q if Q.ndim == 2 else np.diag(Q)
+        else:
+            Qs[k, :n] = Q
+    return (jnp.asarray(As), jnp.asarray(bs), jnp.asarray(cs),
+            None if Qs is None else jnp.asarray(Qs), layout, dims)
+
+
+@partial(jax.jit, static_argnames=("eps", "max_ipm", "max_admm", "alpha",
+                                   "rho_y", "rho_x", "rho_tau", "psi",
+                                   "inner_check_period", "precision",
+                                   "ir_steps", "inner_crit_period",
+                                   "solver", "anchor_period", "form",
+                                   "cadence", "probe_period"))
+def _solve_qcp_het_core(As, bs, cs, Qs, layout, scalings, *, eps, max_ipm,
+                        max_admm, alpha, rho_y, rho_x, rho_tau, psi,
+                        inner_check_period, precision, ir_steps,
+                        inner_crit_period, solver, anchor_period, form,
+                        cadence, probe_period) -> ConicDeviceResult:
+    def one(A, b, c, qd, lay, scal):
+        return _device_solve_qcp(
+            A, b, c, qd, lay, eps=eps, max_ipm=max_ipm, max_admm=max_admm,
+            alpha=alpha, rho_y=rho_y, rho_x=rho_x, rho_tau=rho_tau,
+            psi=psi, inner_check_period=inner_check_period,
+            precision=precision, ir_steps=ir_steps,
+            inner_crit_period=inner_crit_period, solver=solver,
+            normalize=False, anchor_period=anchor_period, form=form,
+            cadence=cadence, probe_period=probe_period, scaling=scal)
+
+    if Qs is None:
+        return jax.vmap(
+            lambda A, b, c, lay, scal: one(A, b, c, None, lay, scal)
+        )(As, bs, cs, layout, scalings)
+    return jax.vmap(one)(As, bs, cs, Qs, layout, scalings)
+
+
+def solve_qcp_het_batch(problems, *, eps=1e-4, max_ipm=200,
+                        max_admm=100_000, alpha=1.8, rho_y=1e-6,
+                        rho_x=1.0, rho_tau=1.0, psi=1.0,
+                        inner_check_period=500, precision="f64",
+                        ir_steps=1, inner_crit_period=1,
+                        solver="cholesky", normalize=True,
+                        anchor_period=100, form="auto", cadence="chunk",
+                        probe_period=8) -> ConicDeviceResult:
+    """Solve a batch of conic programs with HETEROGENEOUS shapes and
+    cone structures in ONE compiled program.
+
+    problems: sequence of (A, b, c, Q_or_None, ConeSpec).  The reference
+    runs its mixed-cone CBLIB suite one process per instance
+    (`scripts/bench-qcp/test_cblib.m:60-76`); here the cone layout is
+    lane DATA (`PaddedConeLayout`), so a single vmapped program covers
+    the whole suite.
+
+    normalize=True equilibrates each lane ON HOST at its natural shape
+    (identical math to the host driver / `solve_qcp_batch(normalize=
+    True)`), pads the scaled data, and ships the per-lane scalings as
+    batch data -- residual checks and returned solutions refer to the
+    ORIGINAL data, exactly as the reference's `calc_residuals` does.
+
+    Returns a `ConicDeviceResult` with padded (B, n_pad)/(B, m_pad)
+    solution arrays; slice lane k with its natural dims (padding is
+    exactly zero).
+    """
+    import numpy as np
+
+    from ..qcp import conic_defaults
+    from ..scaling import equilibrate_conic
+
+    dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    if normalize:
+        scaled, scal_rows = [], []
+        for (A, b, c, Q, spec) in problems:
+            A = jnp.asarray(A, dtype)
+            b = jnp.asarray(b, dtype)
+            c = jnp.asarray(c, dtype)
+            Qj = None if Q is None else jnp.asarray(Q, dtype)
+            nm_b0 = jnp.max(jnp.abs(b)) if b.shape[0] else jnp.zeros((), dtype)
+            nm_c0 = jnp.max(jnp.abs(c))
+            lay = ConeLayout(spec)
+            As_, Qs_, bs_, cs_, sc = equilibrate_conic(
+                A, Qj, b, c, lay, conic_defaults())
+            scaled.append((np.asarray(As_), np.asarray(bs_),
+                           np.asarray(cs_),
+                           None if Qs_ is None else np.asarray(Qs_), spec))
+            scal_rows.append((np.asarray(sc.D), np.asarray(sc.E),
+                              float(sc.sc_b), float(sc.sc_c),
+                              float(nm_b0), float(nm_c0)))
+        problems = scaled
+    else:
+        scal_rows = None
+
+    As, bs, cs, Qs, layout, dims = pad_conic_instances(problems, dtype)
+    B, m_pad = bs.shape
+    n_pad = cs.shape[1]
+    D = np.ones((B, m_pad), dtype)
+    E = np.ones((B, n_pad), dtype)
+    sc_b = np.ones((B,), dtype)
+    sc_c = np.ones((B,), dtype)
+    nm_b0 = np.asarray(np.max(np.abs(np.asarray(bs)), axis=1), dtype)
+    nm_c0 = np.asarray(np.max(np.abs(np.asarray(cs)), axis=1), dtype)
+    if scal_rows is not None:
+        for k, (Dk, Ek, sbk, sck, nbk, nck) in enumerate(scal_rows):
+            D[k, : Dk.shape[0]] = Dk
+            E[k, : Ek.shape[0]] = Ek
+            sc_b[k], sc_c[k] = sbk, sck
+            nm_b0[k], nm_c0[k] = nbk, nck
+    scalings = (jnp.asarray(D), jnp.asarray(E), jnp.asarray(sc_b),
+                jnp.asarray(sc_c), jnp.asarray(nm_b0), jnp.asarray(nm_c0))
+    return _solve_qcp_het_core(
+        As, bs, cs, Qs, layout, scalings, eps=eps, max_ipm=max_ipm,
+        max_admm=max_admm, alpha=alpha, rho_y=rho_y, rho_x=rho_x,
+        rho_tau=rho_tau, psi=psi, inner_check_period=inner_check_period,
+        precision=precision, ir_steps=ir_steps,
+        inner_crit_period=inner_crit_period, solver=solver,
+        anchor_period=anchor_period, form=form, cadence=cadence,
+        probe_period=probe_period)
