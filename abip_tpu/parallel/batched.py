@@ -62,6 +62,13 @@ class DeviceSolveResult(NamedTuple):
     u_raw: jnp.ndarray = None
     v_raw: jnp.ndarray = None
     mu: jnp.ndarray = None
+    # stage-average accumulators, carried across resume boundaries so a
+    # mid-stage hand-off (k_cap round in the compacted phase-2 driver)
+    # does not reset the running average -- the reset was the straggler
+    # blow-up fixed in the C-carry docstring below
+    u_sum_raw: jnp.ndarray = None
+    v_sum_raw: jnp.ndarray = None
+    sj: jnp.ndarray = None
 
 
 class _Anchor(NamedTuple):
@@ -97,7 +104,7 @@ def device_solve_lp(A, b, c, *, eps=1e-6, max_ipm=200, max_admm=200_000,
                     qres_period=1, anchor_period=1000,
                     avg_period=10, cadence="cond",
                     probe_period=8, mu_stop=0.0,
-                    init_state=None) -> DeviceSolveResult:
+                    init_state=None, k_cap=None) -> DeviceSolveResult:
     """Solve one standard-form LP entirely on device.  vmap-able.
 
     engine="sprint" (mixed precision only) runs `sprint_T` whole f32 ADMM
@@ -158,6 +165,13 @@ def device_solve_lp(A, b, c, *, eps=1e-6, max_ipm=200, max_admm=200_000,
         raise ValueError(f"cadence must be 'cond' or 'chunk'; got {cadence!r}")
     chunked = cadence == "chunk"
     sprint = engine == "sprint"
+    # per-call ADMM-iteration ceiling: a TRACED operand (unlike the
+    # static max_admm), so the compacted phase-2 driver can run capped
+    # rounds without recompiling per cap value
+    if k_cap is None:
+        kcap = jnp.asarray(max_admm, jnp.int32)
+    else:
+        kcap = jnp.minimum(jnp.asarray(k_cap, jnp.int32), max_admm)
     A = A.astype(f64)
     b = b.astype(f64)
     c = c.astype(f64)
@@ -339,7 +353,7 @@ def device_solve_lp(A, b, c, *, eps=1e-6, max_ipm=200, max_admm=200_000,
             return (
                 (s.qres >= gamma0 * mu)
                 & (s.status == 0)
-                & (s.k < max_admm)
+                & (s.k < kcap)
                 & (s.j < stage_cap)
             )
 
@@ -483,7 +497,7 @@ def device_solve_lp(A, b, c, *, eps=1e-6, max_ipm=200, max_admm=200_000,
                     _u, _v, _us, _vs, dj, dk, q, _ac = t
                     return ((q >= gamma0 * mu) & (dk < qres_period)
                             & (s.j + dj < stage_cap)
-                            & (s.k + dk < max_admm))
+                            & (s.k + dk < kcap))
 
                 def micro_body(t):
                     u, v, us, vs, dj, dk, _q, _ac = t
@@ -592,7 +606,7 @@ def device_solve_lp(A, b, c, *, eps=1e-6, max_ipm=200, max_admm=200_000,
 
     def outer_cond(carry: C):
         alive = (carry.status == 0) & (carry.i < max_ipm) & (
-            carry.k < max_admm)
+            carry.k < kcap)
         if mu_stop > 0.0:
             # phase-boundary exit: stop (status 0, state returned in
             # u_raw/v_raw/mu) once the barrier passes mu_stop, so a
@@ -610,14 +624,26 @@ def device_solve_lp(A, b, c, *, eps=1e-6, max_ipm=200, max_admm=200_000,
                  res=hsd.LPResiduals.init(dtype),
                  u_sum=z0l, v_sum=z0l, sj=sj0)
     else:
-        u_i, v_i, mu_i, k_i, i_i, st_i = init_state
+        if len(init_state) == 6:
+            # legacy phase hand-off at a stage boundary (accumulators
+            # are zero there by construction)
+            u_i, v_i, mu_i, k_i, i_i, st_i = init_state
+            us_i, vs_i, sj_i = z0l, z0l, sj0
+        else:
+            # mid-stage resume (compacted phase-2 rounds): the stage
+            # average MUST survive the hand-off or the avg-criterion
+            # restarts and stragglers blow up (see the C docstring)
+            u_i, v_i, mu_i, k_i, i_i, st_i, us_i, vs_i, sj_i = init_state
+            us_i = us_i.astype(dtype)
+            vs_i = vs_i.astype(dtype)
+            sj_i = sj_i.astype(jnp.int32)
         mu_i = mu_i.astype(dtype)
         init = C(u=u_i.astype(dtype), v=v_i.astype(dtype), mu=mu_i,
                  i=i_i.astype(jnp.int32), k=k_i.astype(jnp.int32),
                  final_check=mu_i < eps,
                  status=st_i.astype(jnp.int32),
                  res=hsd.LPResiduals.init(dtype),
-                 u_sum=z0l, v_sum=z0l, sj=sj0)
+                 u_sum=us_i, v_sum=vs_i, sj=sj_i)
     fin = jax.lax.while_loop(outer_cond, outer_body, init)
 
     # -- extract + un-normalize (`get_solution`, `abip.c:1344-1414`) --------
@@ -632,6 +658,7 @@ def device_solve_lp(A, b, c, *, eps=1e-6, max_ipm=200, max_admm=200_000,
         res_pri=r.res_pri, res_dual=r.res_dual, rel_gap=r.rel_gap,
         pobj=r.ct_x_by_tau / tau, dobj=r.bt_y_by_tau / tau,
         u_raw=fin.u, v_raw=fin.v, mu=fin.mu,
+        u_sum_raw=fin.u_sum, v_sum_raw=fin.v_sum, sj=fin.sj,
     )
 
 
@@ -726,18 +753,42 @@ def solve_lp_batch(As, bs, cs, mesh=None, **kw) -> DeviceSolveResult:
     return fn(As, bs, cs)
 
 
-def _solve_lp_batch_twophase(As, bs, cs, mesh=None, **kw) -> DeviceSolveResult:
-    """sprint2: phase-1 stopping-sprint bulk + phase-2 anchored endgame.
+def _bucket(size):
+    """Next power of two >= size (floor 4): the compacted phase-2 rounds
+    quantize their batch shape so the whole descent B -> B/2 -> ... -> 4
+    costs at most log2(B) distinct compiled programs."""
+    b = 4
+    while b < size:
+        b *= 2
+    return b
 
-    Both phases are uniform vmapped programs over ALL lanes; lanes that
-    finish in phase 1 enter phase 2 with their final status, so its
-    outer loop exits immediately (one cond evaluation).  Results merge
-    per lane on the phase-1 status.
+
+def _solve_lp_batch_twophase(As, bs, cs, mesh=None, **kw) -> DeviceSolveResult:
+    """sprint2: phase-1 stopping-sprint bulk + phase-2 anchored endgame
+    with straggler COMPACTION.
+
+    Phase 1 drives all lanes with the stopping-sprint kernel to the
+    mu switch.  Phase 2 is the B-scaling hazard: one vmapped
+    while_loop runs its body for EVERY lane until the slowest lane
+    finishes, so whole-batch phase 2 costs B x (slowest lane's
+    iterations) of anchored-f64 work -- measured 10.9 -> 2.6 inst/s
+    going B=16 -> 64 on v5e (r03_b64_probe.json).  Here phase 2 runs in
+    capped ROUNDS of `compact_period` ADMM iterations (the cap is a
+    traced operand, so rounds share one compiled program per batch
+    shape); between rounds the unfinished lanes are host-compacted into
+    the next power-of-two bucket.  The tail then costs
+    ~sum_rounds(B_round x compact_period) instead of B x max-lane.
+
+    The resume state carries the stage-average accumulators
+    (u_sum/v_sum/sj): a mid-stage hand-off that reset them would
+    restart the averaged-iterate criterion and re-create the 20x
+    straggler blow-ups fixed in 650080d.
     """
     kw.pop("engine")
     switch = kw.pop("sprint_mu_switch", 1e-4)
     kw.pop("mu_stop", None)
     kw.pop("init_state", None)
+    compact_period = kw.pop("compact_period", 1024)
     kw1 = dict(kw, engine="sprint", sprint_mu_switch=switch,
                mu_stop=switch, precision=kw.get("precision", "mixed"))
     r1 = solve_lp_batch(As, bs, cs, mesh=mesh, **kw1)
@@ -745,19 +796,59 @@ def _solve_lp_batch_twophase(As, bs, cs, mesh=None, **kw) -> DeviceSolveResult:
     if done1.all():
         return r1
     kw2 = dict(kw, engine="steps")
-    init = (r1.u_raw, r1.v_raw, r1.mu, r1.admm_iters, r1.ipm_iters,
-            r1.status)
-    fn2 = jax.vmap(lambda A, b, c, u0, v0, mu0, k0, i0, st0:
-                   device_solve_lp(A, b, c,
-                                   init_state=(u0, v0, mu0, k0, i0, st0),
-                                   **kw2))
-    r2 = fn2(As, bs, cs, *init)
-    # merge: phase-1 finishers keep their phase-1 rows (phase 2 starts
-    # them with status!=0, so its loop never runs and its residual
-    # fields are the NaN inits)
-    d = jnp.asarray(done1)
+    max_admm = kw.get("max_admm", 200_000)
 
-    def pick(a1, a2):
-        return jnp.where(d.reshape(d.shape + (1,) * (a1.ndim - 1)), a1, a2)
+    fn2 = jax.jit(jax.vmap(
+        lambda A, b, c, u0, v0, mu0, k0, i0, st0, us0, vs0, sj0, kc:
+        device_solve_lp(
+            A, b, c,
+            init_state=(u0, v0, mu0, k0, i0, st0, us0, vs0, sj0),
+            k_cap=kc, **kw2)))
 
-    return DeviceSolveResult(*[pick(a1, a2) for a1, a2 in zip(r1, r2)])
+    if mesh is not None:
+        # sharded batches stay whole-batch (compaction would fight the
+        # fixed per-device lane assignment); single uncapped round
+        r2 = fn2(As, bs, cs, r1.u_raw, r1.v_raw, r1.mu, r1.admm_iters,
+                 r1.ipm_iters, r1.status, r1.u_sum_raw, r1.v_sum_raw,
+                 r1.sj, jnp.full(As.shape[0], max_admm, jnp.int32))
+        d = jnp.asarray(done1)
+
+        def pick(a1, a2):
+            if a1 is None:
+                return a2
+            return jnp.where(d.reshape(d.shape + (1,) * (a1.ndim - 1)),
+                             a1, a2)
+
+        return DeviceSolveResult(*[pick(a1, a2) for a1, a2 in zip(r1, r2)])
+
+    As_n = np.asarray(As)
+    bs_n = np.asarray(bs)
+    cs_n = np.asarray(cs)
+    out = [np.array(np.asarray(f)) for f in r1]   # scatter targets
+
+    def _resume_state(r):
+        return (r.u_raw, r.v_raw, r.mu, r.admm_iters, r.ipm_iters,
+                r.status, r.u_sum_raw, r.v_sum_raw, r.sj)
+
+    state = [np.array(np.asarray(t)) for t in _resume_state(r1)]
+    _K = 3                                        # admm_iters slot
+    active = np.where(~done1)[0]
+    while active.size:
+        nb = _bucket(active.size)
+        # pad the bucket with copies of active lanes (content is
+        # irrelevant for cost: every lane pays every trip under vmap)
+        idx = active[np.arange(nb) % active.size]
+        caps = np.minimum(state[_K][idx] + compact_period,
+                          max_admm).astype(np.int32)
+        r2 = DeviceSolveResult(*[np.asarray(f) for f in fn2(
+            As_n[idx], bs_n[idx], cs_n[idx], *[s[idx] for s in state],
+            caps)])
+        live = np.arange(active.size)          # non-duplicate rows
+        fin = (r2.status[live] != 0) | (r2.admm_iters[live] >= max_admm)
+        for f_out, f_new in zip(out, r2):
+            f_out[active[fin]] = f_new[live][fin]
+        keep = ~fin
+        for s_arr, f_new in zip(state, _resume_state(r2)):
+            s_arr[active[keep]] = np.asarray(f_new)[live][keep]
+        active = active[keep]
+    return DeviceSolveResult(*[jnp.asarray(f) for f in out])
