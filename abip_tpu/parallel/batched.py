@@ -832,6 +832,8 @@ def _solve_lp_batch_twophase(As, bs, cs, mesh=None, **kw) -> DeviceSolveResult:
 
     state = [np.array(np.asarray(t)) for t in _resume_state(r1)]
     _K = 3                                        # admm_iters slot
+    _I = 4                                        # ipm_iters slot
+    max_ipm = kw.get("max_ipm", 200)
     active = np.where(~done1)[0]
     while active.size:
         nb = _bucket(active.size)
@@ -840,11 +842,22 @@ def _solve_lp_batch_twophase(As, bs, cs, mesh=None, **kw) -> DeviceSolveResult:
         idx = active[np.arange(nb) % active.size]
         caps = np.minimum(state[_K][idx] + compact_period,
                           max_admm).astype(np.int32)
+        prev_k = state[_K][active].copy()
+        prev_i = state[_I][active].copy()
         r2 = DeviceSolveResult(*[np.asarray(f) for f in fn2(
             As_n[idx], bs_n[idx], cs_n[idx], *[s[idx] for s in state],
             caps)])
         live = np.arange(active.size)          # non-duplicate rows
-        fin = (r2.status[live] != 0) | (r2.admm_iters[live] >= max_admm)
+        # a lane is finished when it converged, hit the ADMM cap, hit the
+        # IPM cap (outer_cond exits with status 0 and admm_iters < cap --
+        # without this the host loop re-runs it forever), or made no
+        # progress at all this round (belt-and-braces against any other
+        # status-0 exit)
+        fin = ((r2.status[live] != 0)
+               | (r2.admm_iters[live] >= max_admm)
+               | (r2.ipm_iters[live] >= max_ipm)
+               | ((r2.admm_iters[live] <= prev_k)
+                  & (r2.ipm_iters[live] <= prev_i)))
         for f_out, f_new in zip(out, r2):
             f_out[active[fin]] = f_new[live][fin]
         keep = ~fin

@@ -62,7 +62,12 @@ def _reference_binary():
     simply omitted)."""
     if os.environ.get("ABIP_BENCH_NO_REF"):
         return None
-    binpath = "/tmp/refbench/refparity"
+    # cache under the repo, not a fixed world-writable /tmp path: a
+    # pre-planted /tmp/refbench/refparity would otherwise be executed
+    # as-is (advisor finding, round 3)
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".refbench")
+    binpath = os.path.join(cache_dir, "refparity")
     if os.path.exists(binpath):
         return binpath
     R = "/root/reference/src/abip-lp"
@@ -73,7 +78,7 @@ def _reference_binary():
     import glob
     import subprocess
 
-    os.makedirs("/tmp/refbench", exist_ok=True)
+    os.makedirs(cache_dir, exist_ok=True)
     srcs = [drv] + [
         f"{R}/src/{s}.c" for s in
         ("abip", "adaptive", "cs", "ctrlc", "linalg", "normalize", "util")
@@ -169,6 +174,25 @@ def _plausible(rate, ceiling):
     not a measurement (the model is generous: launch overheads are not
     in it)."""
     return ceiling is None or rate <= ceiling
+
+
+def _median_pick(cands, rate_of, valid_of):
+    """Median-of-valid-rounds selection (round-3 verdict: "best" is not
+    what a user gets -- the driver's independent sample landed 6x below
+    the best-of-3 number).  Returns (chosen_cand, rounds_detail):
+    the chosen round is the median-rate round among VALID rounds (all
+    lanes solved); if no round is fully valid, the median among all
+    surviving rounds (its solved count then exposes the failure).  With
+    an even count the LOWER middle is reported -- conservative.  Every
+    round's rate/wall/validity is recorded in rounds_detail so the
+    spread is visible in the artifact."""
+    detail = [{"rate": round(rate_of(c), 1),
+               "wall_sec": round(c[1], 4),
+               "valid": bool(valid_of(c))} for c in cands]
+    pool = [c for c in cands if valid_of(c)] or cands
+    pool = sorted(pool, key=rate_of)
+    chosen = pool[(len(pool) - 1) // 2]
+    return chosen, detail
 
 
 def _drop_replay_outliers(rounds, rate_of):
@@ -425,14 +449,14 @@ def _bench_inner():
             return r
 
         solve(10_000)  # compile warm-up on a non-timed instance
-        # Best-of-N rounds over DISJOINT fresh seed ranges: this host has
-        # invisible CPU steal that can halve a single measurement.  Only
-        # rounds whose instances ALL solved to tolerance are eligible for
-        # "best" (an unconverged round can have a deceptively high
-        # iters/s); if no round is fully valid, the best invalid one is
-        # reported and its solved count exposes the failure.
+        # Median-of-N rounds over DISJOINT fresh seed ranges: this host
+        # has invisible CPU steal that can halve a single measurement.
+        # Only rounds whose instances ALL solved to tolerance count as
+        # valid (an unconverged round can have a deceptively high
+        # iters/s); the median valid round is reported, with every
+        # round's rate recorded (round-3 verdict: drop "best").
         rounds = int(os.environ.get("ABIP_BENCH_ROUNDS", "3"))
-        best = best_valid = None
+        cands = []
         for r_i in range(rounds):
             t0 = time.perf_counter()
             res = pool_map(solve, range(r_i * B, (r_i + 1) * B), W)
@@ -441,13 +465,10 @@ def _bench_inner():
             valid = (all(int(r.status) == 1 for r in res)
                      and max(float(np.asarray(r.rel_gap)) for r in res)
                      <= 1.05e-6)
-            cand = (iters, dt, res)
-            if best is None or iters / dt > best[0] / best[1]:
-                best = cand
-            if valid and (best_valid is None
-                          or iters / dt > best_valid[0] / best_valid[1]):
-                best_valid = cand
-        iters, dt, res = best_valid or best
+            cands.append((iters, dt, res, valid))
+        chosen, rounds_detail = _median_pick(
+            cands, rate_of=lambda c: c[0] / c[1], valid_of=lambda c: c[3])
+        iters, dt, res, _ = chosen
         solved = sum(int(r.status) == 1 for r in res)
         # host ceiling (B=1): pool instances SHARE the host roofline; the
         # model is DRAM-bandwidth-based, so a cache-resident A can push
@@ -460,9 +481,10 @@ def _bench_inner():
             "vs_baseline": round(iters / dt / base, 3) if base else None,
             "detail": {
                 "mode": f"host pool W={W} x {B} instances "
-                        f"{kw['precision']} (aggregate, best of "
+                        f"{kw['precision']} (aggregate, median of "
                         f"{rounds})",
                 "problem": "smoke_lp m=50 n=2000 density=0.3",
+                "rounds": rounds_detail,
                 "eps": 1e-6, "solved": solved, "total_admm_iters": iters,
                 "wall_sec": round(dt, 4),
                 "instances_per_sec": round(B / dt, 2),
@@ -494,21 +516,17 @@ def _bench_inner():
 
         solve_lp_stream(suite(10_000)[:B], B=B, seg_chunks=seg, **skw)
         rounds = int(os.environ.get("ABIP_BENCH_ROUNDS", "3"))
-        best = best_valid = None
+        cands = []
         for r_i in range(rounds):
             t0 = time.perf_counter()
             res, info = solve_lp_stream(suite(_SEED_SALT + r_i * N), B=B,
                                         seg_chunks=seg, **skw)
             dt = time.perf_counter() - t0
-            cand = (info["total_admm_iters"], dt, res, info)
-            rate = cand[0] / dt
-            if best is None or rate > best[0] / best[1]:
-                best = cand
-            if info["solved"] == N and (
-                    best_valid is None
-                    or rate > best_valid[0] / best_valid[1]):
-                best_valid = cand
-        its, dt, res, info = best_valid or best
+            cands.append((info["total_admm_iters"], dt, res, info))
+        chosen, rounds_detail = _median_pick(
+            cands, rate_of=lambda c: c[0] / c[1],
+            valid_of=lambda c: c[3]["solved"] == N)
+        its, dt, res, info = chosen
         out = {
             "metric": "admm_iters_per_sec",
             "value": round(its / dt, 1),
@@ -517,7 +535,8 @@ def _bench_inner():
             "detail": {
                 "mode": f"stream N={N} B={B} seg={seg} "
                         f"q={kw['qres_period']} (lane-swap pipeline, "
-                        f"best of {rounds})",
+                        f"median of {rounds})",
+                "rounds": rounds_detail,
                 "problem": "smoke_lp m=50 n=2000 density=0.3",
                 "eps": 1e-6, "solved": info["solved"],
                 "total_admm_iters": its,
@@ -616,23 +635,18 @@ def _bench_inner():
         cands.append(cand)
     cands = _drop_replay_outliers(
         cands, lambda c: float(c[0].sum()) / c[1])
-    best = best_valid = None
-    for cand in cands:
-        rate = float(cand[0].sum()) / cand[1]
-        if best is None or rate > float(best[0].sum()) / best[1]:
-            best = cand
-        if (np.asarray(cand[2].status) == 1).all() and (
-                best_valid is None
-                or rate > float(best_valid[0].sum()) / best_valid[1]):
-            best_valid = cand
-    if best is None:
+    if not cands:
         print(json.dumps({
             "metric": "admm_iters_per_sec", "value": 0.0, "unit": "iter/s",
             "vs_baseline": None,
             "detail": {"error": "all rounds exceeded the roofline ceiling "
                                 "(remote replay artifacts)"}}))
         return
-    its, dt, res, best_seed0 = best_valid or best
+    chosen, rounds_detail = _median_pick(
+        cands,
+        rate_of=lambda c: float(c[0].sum()) / c[1],
+        valid_of=lambda c: bool((np.asarray(c[2].status) == 1).all()))
+    its, dt, res, best_seed0 = chosen
     st = np.asarray(res.status)
     agg = float(its.sum()) / dt
     inst_base = _load_baseline_instances_per_sec()
@@ -646,8 +660,10 @@ def _bench_inner():
         "unit": "iter/s",
         "vs_baseline": round(agg / base, 3) if base else None,
         "detail": {
-            "mode": f"batched B={B} {precision} engine={engine} (aggregate)",
+            "mode": f"batched B={B} {precision} engine={engine} "
+                    f"(aggregate, median of {len(rounds_detail)} rounds)",
             "problem": "smoke_lp m=50 n=2000 density=0.3",
+            "rounds": rounds_detail,
             "eps": 1e-6,
             "solved": int((st == 1).sum()),
             "total_admm_iters": int(its.sum()),

@@ -336,6 +336,33 @@ def test_sprint2_engine_solves_batch(rng):
             refs[i], abs=1e-4 * (1 + abs(refs[i])))
 
 
+def test_sprint2_terminates_on_ipm_cap(rng):
+    """A lane that exits device_solve_lp via the max_ipm cap (status 0,
+    admm_iters < max_admm) must still be marked finished by the phase-2
+    compaction loop -- with the cap unhandled the host `while active.size`
+    loop re-ran the lane forever (advisor finding, round 3)."""
+    import jax.numpy as jnp
+
+    from abip_tpu.parallel.batched import solve_lp_batch
+    from tests.conftest import random_lp
+
+    B, m, n = 3, 20, 60
+    As, bs, cs = [], [], []
+    for i in range(B):
+        A, b, c = random_lp(np.random.default_rng(300 + i), m, n)
+        As.append(A); bs.append(b); cs.append(c)
+    res = solve_lp_batch(jnp.asarray(np.stack(As)), jnp.asarray(np.stack(bs)),
+                         jnp.asarray(np.stack(cs)), eps=1e-6,
+                         precision="mixed", solver="inverse",
+                         engine="sprint2", qres_period=256, probe_period=8,
+                         max_ipm=2)
+    # must return (not hang); capped lanes come back status 0 with their
+    # partial iterate, exactly like the whole-batch path did pre-compaction
+    for i in range(B):
+        assert int(res.status[i]) in (0, 1)
+        assert int(res.ipm_iters[i]) <= 2 or int(res.status[i]) == 1
+
+
 def test_mu_stop_and_init_state_resume(rng):
     """mu_stop exits the outer loop at the phase boundary with status 0;
     resuming via init_state finishes the solve with accumulated
