@@ -20,6 +20,21 @@ if not os.environ.get("ABIP_TPU_NO_X64"):
 
     jax.config.update("jax_enable_x64", True)
 
+if not os.environ.get("ABIP_TPU_NO_HIGHEST_MATMUL"):
+    import jax
+
+    # The TPU MXU rounds f32 matmul operands to bf16 at DEFAULT matmul
+    # precision (~4e-3 relative error).  Every f32 matmul in this
+    # package is an anchored-delta or preconditioner apply whose error
+    # budget assumes true-f32 accuracy (~1e-7); bf16-quality applies
+    # made marginal lanes take 20-60x the host-parity ADMM count on TPU
+    # (round-3 straggler pathology -- see
+    # `parallel/batched.device_solve_lp`).  The hot entry points also
+    # set this per-trace; the global default covers the remaining f32
+    # users (segmented streams, PDHG mixed mode, Schur PCG).  No effect
+    # on CPU or on f64 ops.
+    jax.config.update("jax_default_matmul_precision", "highest")
+
 # Opt-in persistent compilation cache: suite runs over many problem
 # shapes pay a fresh XLA compile per shape per process; pointing
 # ABIP_COMPILE_CACHE at a directory makes compiles survive across

@@ -85,26 +85,52 @@ class _Anchor(NamedTuple):
     q0: jnp.ndarray    # (m,) normal-equations rhs anchor
 
 
-@partial(jax.jit, static_argnames=("eps", "max_ipm", "max_admm", "alpha",
-                                   "rho_y", "normalize", "scale", "ruiz_iter",
-                                   "hybrid_thresh", "dynamic_x", "dynamic_eta",
-                                   "shrink_second", "gamma0", "sigma0",
-                                   "precision", "ir_steps", "solver",
-                                   "engine", "sprint_T", "sprint_mu_switch",
-                                   "qres_period", "anchor_period",
-                                   "avg_period", "cadence", "probe_period",
-                                   "mu_stop"))
-def device_solve_lp(A, b, c, *, eps=1e-6, max_ipm=200, max_admm=200_000,
-                    alpha=1.8, rho_y=1e-3, normalize=True, scale=1.0,
-                    ruiz_iter=10, hybrid_thresh=1000.0, dynamic_x=0.8,
-                    dynamic_eta=1.1, shrink_second=0.5, gamma0=2.0,
-                    sigma0=0.3, precision="f64", ir_steps=1,
-                    solver="cholesky", engine="steps", sprint_T=32,
-                    sprint_mu_switch=1e-3,
-                    qres_period=1, anchor_period=1000,
-                    avg_period=10, cadence="cond",
-                    probe_period=8, mu_stop=0.0,
-                    init_state=None, k_cap=None) -> DeviceSolveResult:
+_LP_STATIC = ("eps", "max_ipm", "max_admm", "alpha",
+              "rho_y", "normalize", "scale", "ruiz_iter",
+              "hybrid_thresh", "dynamic_x", "dynamic_eta",
+              "shrink_second", "gamma0", "sigma0",
+              "precision", "ir_steps", "solver",
+              "engine", "sprint_T", "sprint_mu_switch",
+              "qres_period", "anchor_period",
+              "avg_period", "cadence", "probe_period",
+              "mu_stop")
+
+
+@partial(jax.jit, static_argnames=_LP_STATIC)
+def device_solve_lp(A, b, c, *, init_state=None, k_cap=None,
+                    **opts) -> DeviceSolveResult:
+    """Solve one standard-form LP entirely on device.  vmap-able.
+
+    Traced under `jax.default_matmul_precision("highest")`: the TPU MXU
+    rounds f32 matmul operands to bf16 at DEFAULT precision (~4e-3
+    relative error), which silently breaks the anchored-delta error
+    budget of the mixed mode (the design assumes ~1e-7 f32 matvec
+    error) -- the KKT apply, the IR correction, and the qres probes all
+    go bf16-quality and marginal/degenerate lanes take 20-60x the
+    host-parity ADMM count in the phase-2 endgame (the round-3
+    straggler pathology: lane 4 of straggler_195532128.npz measured
+    191k TPU iterations vs 9.4k on CPU where default f32 matmul is
+    exact).  HIGHEST selects the multi-pass f32 path, same as the
+    sprint kernel already does (`ops/admm_pallas.py:94-101`).  CPU is
+    unaffected.  See `_device_solve_lp_impl` for the full option list
+    and semantics.
+    """
+    with jax.default_matmul_precision("highest"):
+        return _device_solve_lp_impl(A, b, c, init_state=init_state,
+                                     k_cap=k_cap, **opts)
+
+
+def _device_solve_lp_impl(A, b, c, *, eps=1e-6, max_ipm=200, max_admm=200_000,
+                          alpha=1.8, rho_y=1e-3, normalize=True, scale=1.0,
+                          ruiz_iter=10, hybrid_thresh=1000.0, dynamic_x=0.8,
+                          dynamic_eta=1.1, shrink_second=0.5, gamma0=2.0,
+                          sigma0=0.3, precision="f64", ir_steps=1,
+                          solver="cholesky", engine="steps", sprint_T=32,
+                          sprint_mu_switch=1e-3,
+                          qres_period=1, anchor_period=1000,
+                          avg_period=10, cadence="cond",
+                          probe_period=8, mu_stop=0.0,
+                          init_state=None, k_cap=None) -> DeviceSolveResult:
     """Solve one standard-form LP entirely on device.  vmap-able.
 
     engine="sprint" (mixed precision only) runs `sprint_T` whole f32 ADMM

@@ -522,9 +522,14 @@ def solve_qcp_batch(As, bs, cs, Q_diags=None, *, cones: ConeSpec,
             cadence=cadence, probe_period=probe_period,
         )
 
-    if Q_diags is None:
-        return jax.vmap(lambda A, b, c: one(A, b, c, None))(As, bs, cs)
-    return jax.vmap(one)(As, bs, cs, Q_diags)
+    # HIGHEST matmul precision: the TPU MXU rounds f32 matmul operands
+    # to bf16 at DEFAULT precision, breaking the anchored-delta error
+    # budget of the mixed mode (see device_solve_lp's docstring for the
+    # measured straggler pathology this caused on the LP side)
+    with jax.default_matmul_precision("highest"):
+        if Q_diags is None:
+            return jax.vmap(lambda A, b, c: one(A, b, c, None))(As, bs, cs)
+        return jax.vmap(one)(As, bs, cs, Q_diags)
 
 
 @partial(jax.jit, static_argnames=("cones", "eps", "max_ipm", "max_admm",
@@ -550,15 +555,17 @@ def solve_qcp_device(A, b, c, Q_diag=None, *, cones: ConeSpec,
     many instances (measured: pooled host solves SLOWER than serial on
     the dim-204 class).  One dispatch per solve releases the GIL for the
     whole solve, so suite-level host parallelism scales."""
-    return _device_solve_qcp(
-        A, b, c, Q_diag, ConeLayout(cones), eps=eps, max_ipm=max_ipm,
-        max_admm=max_admm, alpha=alpha, rho_y=rho_y, rho_x=rho_x,
-        rho_tau=rho_tau, psi=psi, inner_check_period=inner_check_period,
-        precision=precision, ir_steps=ir_steps,
-        inner_crit_period=inner_crit_period, solver=solver,
-        normalize=normalize, anchor_period=anchor_period, form=form,
-        cadence=cadence, probe_period=probe_period,
-    )
+    # see solve_qcp_batch for the HIGHEST-precision rationale
+    with jax.default_matmul_precision("highest"):
+        return _device_solve_qcp(
+            A, b, c, Q_diag, ConeLayout(cones), eps=eps, max_ipm=max_ipm,
+            max_admm=max_admm, alpha=alpha, rho_y=rho_y, rho_x=rho_x,
+            rho_tau=rho_tau, psi=psi, inner_check_period=inner_check_period,
+            precision=precision, ir_steps=ir_steps,
+            inner_crit_period=inner_crit_period, solver=solver,
+            normalize=normalize, anchor_period=anchor_period, form=form,
+            cadence=cadence, probe_period=probe_period,
+        )
 
 
 # ---------------------------------------------------------------------- #
@@ -643,11 +650,13 @@ def _solve_qcp_het_core(As, bs, cs, Qs, layout, scalings, *, eps, max_ipm,
             normalize=False, anchor_period=anchor_period, form=form,
             cadence=cadence, probe_period=probe_period, scaling=scal)
 
-    if Qs is None:
-        return jax.vmap(
-            lambda A, b, c, lay, scal: one(A, b, c, None, lay, scal)
-        )(As, bs, cs, layout, scalings)
-    return jax.vmap(one)(As, bs, cs, Qs, layout, scalings)
+    # see solve_qcp_batch for the HIGHEST-precision rationale
+    with jax.default_matmul_precision("highest"):
+        if Qs is None:
+            return jax.vmap(
+                lambda A, b, c, lay, scal: one(A, b, c, None, lay, scal)
+            )(As, bs, cs, layout, scalings)
+        return jax.vmap(one)(As, bs, cs, Qs, layout, scalings)
 
 
 def solve_qcp_het_batch(problems, *, eps=1e-4, max_ipm=200,

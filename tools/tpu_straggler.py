@@ -84,12 +84,18 @@ def main():
         st1 = np.asarray(r1.status).copy()
         mu1 = np.asarray(r1.mu).copy()
         from abip_tpu.parallel.batched import device_solve_lp
+        # 9-tuple resume: carry the stage-average accumulators exactly as
+        # the production _solve_lp_batch_twophase does -- the legacy
+        # 6-tuple hand-off zeroed them and measured the pre-650080d
+        # behavior (advisor finding, round 3)
         init = (r1.u_raw, r1.v_raw, r1.mu, r1.admm_iters, r1.ipm_iters,
-                r1.status)
-        fn2 = jax.vmap(lambda A, b, c, u0, v0, mu0, k0, i0, st0:
-                       device_solve_lp(A, b, c,
-                                       init_state=(u0, v0, mu0, k0, i0, st0),
-                                       engine="steps", **kw))
+                r1.status, r1.u_sum_raw, r1.v_sum_raw, r1.sj)
+        fn2 = jax.vmap(
+            lambda A, b, c, u0, v0, mu0, k0, i0, st0, us0, vs0, sj0:
+            device_solve_lp(A, b, c,
+                            init_state=(u0, v0, mu0, k0, i0, st0,
+                                        us0, vs0, sj0),
+                            engine="steps", **kw))
         r2 = fn2(As, bs, cs, *init)
         jax.block_until_ready(r2)
         t2 = time.perf_counter()
