@@ -91,6 +91,86 @@ def unbounded_lp(m=20, n=60, seed=0):
     return A, b, c
 
 
+def degenerate_lp(m=30, n=120, basis_deficit=3, dual_ties=5, seed=0):
+    """LP with a DEGENERATE optimal vertex, primal and dual.
+
+    What Netlib actually stresses (round-3 verdict item 7): the benign
+    random classes draw strictly-complementary optima, but real suites
+    have optimal vertices where (a) fewer than m basic variables are
+    nonzero (primal degeneracy) and (b) reduced costs vanish on nonbasic
+    columns (dual degeneracy -> non-unique optima).  Construction: pick
+    an optimal pair by complementarity, then force `basis_deficit` of
+    the m "basic" slots to x=0 AND s=0, and zero the reduced cost on
+    `dual_ties` extra nonbasic columns.  b = A x0 and c = A'y0 + s0
+    keep the pair optimal; the ties are exact, not perturbed."""
+    rng = np.random.default_rng(seed)
+    A = rng.standard_normal((m, n))
+    # optimal primal support: m - basis_deficit strictly positive entries
+    support = rng.choice(n, m - basis_deficit, replace=False)
+    x0 = np.zeros(n)
+    x0[support] = rng.random(m - basis_deficit) + 0.5
+    y0 = rng.standard_normal(m)
+    s0 = rng.random(n) + 0.5
+    s0[support] = 0.0                       # complementarity on the support
+    # dual degeneracy: zero reduced cost on extra columns with x0 = 0
+    off = np.setdiff1d(np.arange(n), support)
+    ties = rng.choice(off, min(dual_ties, off.size), replace=False)
+    s0[ties] = 0.0
+    b = A @ x0
+    c = A.T @ y0 + s0
+    return A, b, c
+
+
+def illscaled_lp(m=30, n=120, spread=1e6, density=0.5, seed=0):
+    """Well-posed LP hidden under a ~`spread` row/column scaling range.
+
+    Netlib's bad-scaling pathology (`conf/netlib.json` tolerances down
+    to 1e-8 exist to expose exactly this): draw a benign primal-dual
+    pair, then scale rows and columns log-uniformly over
+    [1/sqrt(spread), sqrt(spread)] -- the scaled data spans ~spread in
+    magnitude while staying exactly solvable (A<-RAC, b<-Rb, c<-Cc maps
+    the optimum through x* <- C^-1 x0).  Equilibration (scaling.py)
+    must undo this or the fixed-rho ADMM stalls."""
+    rng = np.random.default_rng(seed)
+    Ar = rng.standard_normal((m, n - m)) * (rng.random((m, n - m)) < density)
+    A = np.concatenate([Ar, np.eye(m)], axis=1)
+    x0 = rng.random(n) + 0.5
+    y0 = rng.standard_normal(m)
+    s0 = rng.random(n) + 0.5
+    # row and column factors each span spread^(1/2), so the COMBINED
+    # element magnitude range is ~spread
+    q = np.log10(spread) / 4.0
+    R = 10.0 ** rng.uniform(-q, q, m)
+    C = 10.0 ** rng.uniform(-q, q, n)
+    A0T_y0 = np.concatenate([Ar.T @ y0, y0])
+    A = R[:, None] * A * C[None, :]
+    b = A @ (x0 / C)                  # = R (A0 x0): feasible by construction
+    c = C * (A0T_y0 + s0)             # dual slack C*s0 >= 0 at y = y0/R
+    return A, b, c
+
+
+def near_rankdef_lp(m=30, n=120, dep_rows=3, perturb=1e-8, seed=0):
+    """LP whose last `dep_rows` rows are near-exact linear combinations
+    of the others (distance ~`perturb`): numerically rank-deficient A.
+
+    Netlib's rank-deficiency pathology: the normal matrix rho I + AA'
+    has dep_rows eigenvalues ~ rho + perturb^2, so the KKT solve is as
+    ill-conditioned as the regularization allows, and the duplicated
+    constraints make the dual non-unique.  b is built from a primal
+    point x0 so the system stays CONSISTENT (feasible, bounded)."""
+    rng = np.random.default_rng(seed)
+    A = rng.standard_normal((m, n))
+    W = rng.standard_normal((dep_rows, m - dep_rows))
+    A[m - dep_rows:] = W @ A[: m - dep_rows] \
+        + perturb * rng.standard_normal((dep_rows, n))
+    x0 = rng.random(n) + 0.5
+    y0 = rng.standard_normal(m)
+    s0 = rng.random(n) + 0.5
+    b = A @ x0
+    c = A.T @ y0 + s0
+    return A, b, c
+
+
 def pagerank_lp(n=20000, deg=6, alpha=0.85, seed=0):
     """PageRank as a standard-form LP over a random power-law-ish digraph.
 

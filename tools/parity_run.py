@@ -62,6 +62,10 @@ def main(argv=None):
     ap.add_argument("--classes", action="store_true",
                     help="extended sweep: several shape classes x --count, "
                          "including infeasible/unbounded status classes")
+    ap.add_argument("--pathological", action="store_true",
+                    help="pathological sweep (what Netlib actually "
+                         "stresses): degenerate optimal vertices, ~1e6 "
+                         "scaling spread, near-rank-deficient rows")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args(argv)
 
@@ -76,6 +80,24 @@ def main(argv=None):
 
     if args.mps:
         gen = _mps_instances(args.mps)
+    elif args.pathological:
+        from benchmarks.generate import (degenerate_lp, illscaled_lp,
+                                         near_rankdef_lp)
+
+        def _patho():
+            for s in range(args.count):
+                yield (f"degen-{s}",
+                       *degenerate_lp(m=30, n=120, basis_deficit=4,
+                                      dual_ties=6, seed=s))
+            for s in range(args.count):
+                yield (f"illscaled-{s}",
+                       *illscaled_lp(m=30, n=120, spread=1e6, seed=s))
+            for s in range(args.count):
+                yield (f"rankdef-{s}",
+                       *near_rankdef_lp(m=30, n=120, dep_rows=3,
+                                        perturb=1e-8, seed=s))
+
+        gen = _patho()
     elif args.classes:
         def _classes():
             for s in range(args.count):

@@ -35,7 +35,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main():
     import jax
 
-    args = [a for a in sys.argv[1:] if a != "--tpu"]
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
     if "--tpu" not in sys.argv:
         jax.config.update("jax_platforms", "cpu")
     if os.environ.get("ABIP_COMPILE_CACHE"):
@@ -70,6 +70,41 @@ def main():
                "wall": round(dt, 2)}
         print(json.dumps(out), flush=True)
         return out
+
+    if "--batch" in sys.argv:
+        # vmapped B=16 phase-split replay -- the EXACT conditions of the
+        # r03 straggler capture (the un-vmapped B=1 replay does NOT
+        # reproduce the blowup; the pathology is vmap-specific)
+        kwb = dict(kw)
+        As_j = jnp.asarray(As)
+        bs_j = jnp.asarray(bs)
+        cs_j = jnp.asarray(cs)
+        r1 = solve_lp_batch(As_j, bs_j, cs_j, precision="mixed",
+                            engine="sprint", sprint_mu_switch=switch,
+                            mu_stop=switch, **kwb)
+        jax.block_until_ready(r1)
+        it1 = np.asarray(r1.admm_iters)
+        print(json.dumps({"phase1_iters": it1.astype(int).tolist(),
+                          "mu": [float(f"{x:.3e}")
+                                 for x in np.asarray(r1.mu)]}), flush=True)
+        for tag, extra in (("9t", (r1.u_sum_raw, r1.v_sum_raw, r1.sj)),
+                           ("6t", ())):
+            fn2 = jax.vmap(lambda A, b, c, *st: device_solve_lp(
+                A, b, c, init_state=st, precision="mixed",
+                engine="steps", **kwb))
+            t0 = time.perf_counter()
+            r2 = fn2(As_j, bs_j, cs_j, r1.u_raw, r1.v_raw, r1.mu,
+                     r1.admm_iters, r1.ipm_iters, r1.status, *extra)
+            jax.block_until_ready(r2)
+            dt = time.perf_counter() - t0
+            it2 = np.asarray(r2.admm_iters) - it1
+            print(json.dumps({
+                "tag": f"batch-{tag}", "wall_p2": round(dt, 2),
+                "p2_extra": it2.astype(int).tolist(),
+                "status": np.asarray(r2.status).astype(int).tolist(),
+                "max_p2": int(it2.max()), "mean_p2": float(it2.mean()),
+            }), flush=True)
+        return 0
 
     variants = os.environ.get(
         "ABIP_REPLAY_VARIANTS", "f64,mixed,sprint2,sprint_9t,sprint_6t"
