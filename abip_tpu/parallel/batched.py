@@ -814,7 +814,15 @@ def _solve_lp_batch_twophase(As, bs, cs, mesh=None, **kw) -> DeviceSolveResult:
     switch = kw.pop("sprint_mu_switch", 1e-4)
     kw.pop("mu_stop", None)
     kw.pop("init_state", None)
-    compact_period = kw.pop("compact_period", 1024)
+    # compact_period trades straggler tax against per-round dispatch
+    # cost: every capped round is a separate device dispatch (~0.5-1 s
+    # through the remote tunnel), so a period near the TYPICAL phase-2
+    # lane count (2-6k on the smoke class) dispatched once per ~1k
+    # iterations turned a 1.5-5.8 s whole-batch phase 2 into 10-43 s of
+    # launch overhead (r04 bench capture).  16384 lets typical lanes
+    # finish in ONE round; only genuine tails (20k+ post-650080d) pay
+    # extra rounds, compacted to small buckets.
+    compact_period = kw.pop("compact_period", 16384)
     kw1 = dict(kw, engine="sprint", sprint_mu_switch=switch,
                mu_stop=switch, precision=kw.get("precision", "mixed"))
     r1 = solve_lp_batch(As, bs, cs, mesh=mesh, **kw1)
