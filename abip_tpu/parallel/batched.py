@@ -839,9 +839,14 @@ def _solve_lp_batch_twophase(As, bs, cs, mesh=None, **kw) -> DeviceSolveResult:
             init_state=(u0, v0, mu0, k0, i0, st0, us0, vs0, sj0),
             k_cap=kc, **kw2)))
 
-    if mesh is not None:
-        # sharded batches stay whole-batch (compaction would fight the
-        # fixed per-device lane assignment); single uncapped round
+    if mesh is not None or As.shape[0] <= 32:
+        # whole-batch phase 2 in ONE device call: sharded batches must
+        # (compaction would fight the fixed per-device lane assignment),
+        # and small batches should -- the compaction loop costs ~15
+        # blocking host<->device round trips (~0.3-0.5 s each through
+        # the remote tunnel), which at B<=32 far exceeds the straggler
+        # tax it saves now that 650080d bounds the tails (r04 capture:
+        # 8 s/round compacted vs 1.5-5.8 s whole-batch)
         r2 = fn2(As, bs, cs, r1.u_raw, r1.v_raw, r1.mu, r1.admm_iters,
                  r1.ipm_iters, r1.status, r1.u_sum_raw, r1.v_sum_raw,
                  r1.sj, jnp.full(As.shape[0], max_admm, jnp.int32))
@@ -855,16 +860,16 @@ def _solve_lp_batch_twophase(As, bs, cs, mesh=None, **kw) -> DeviceSolveResult:
 
         return DeviceSolveResult(*[pick(a1, a2) for a1, a2 in zip(r1, r2)])
 
-    As_n = np.asarray(As)
-    bs_n = np.asarray(bs)
-    cs_n = np.asarray(cs)
-    out = [np.array(np.asarray(f)) for f in r1]   # scatter targets
+    As_n, bs_n, cs_n = jax.device_get((As, bs, cs))
+    # ONE bulk device->host fetch: field-by-field np.asarray costs a
+    # blocking tunnel round trip per field
+    out = [np.array(f) for f in jax.device_get(r1)]  # scatter targets
 
     def _resume_state(r):
         return (r.u_raw, r.v_raw, r.mu, r.admm_iters, r.ipm_iters,
                 r.status, r.u_sum_raw, r.v_sum_raw, r.sj)
 
-    state = [np.array(np.asarray(t)) for t in _resume_state(r1)]
+    state = [np.array(t) for t in jax.device_get(_resume_state(r1))]
     _K = 3                                        # admm_iters slot
     _I = 4                                        # ipm_iters slot
     max_ipm = kw.get("max_ipm", 200)
@@ -878,9 +883,9 @@ def _solve_lp_batch_twophase(As, bs, cs, mesh=None, **kw) -> DeviceSolveResult:
                           max_admm).astype(np.int32)
         prev_k = state[_K][active].copy()
         prev_i = state[_I][active].copy()
-        r2 = DeviceSolveResult(*[np.asarray(f) for f in fn2(
+        r2 = DeviceSolveResult(*jax.device_get(fn2(
             As_n[idx], bs_n[idx], cs_n[idx], *[s[idx] for s in state],
-            caps)])
+            caps)))
         live = np.arange(active.size)          # non-duplicate rows
         # a lane is finished when it converged, hit the ADMM cap, hit the
         # IPM cap (outer_cond exits with status 0 and admm_iters < cap --

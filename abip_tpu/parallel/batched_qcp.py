@@ -17,6 +17,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .. import conic_ops
 from ..cones import ConeLayout, ConeSpec
@@ -35,6 +36,13 @@ class ConicDeviceResult(NamedTuple):
     rel_gap: jnp.ndarray
     pobj: jnp.ndarray
     dobj: jnp.ndarray
+    # raw internal state (scaled space) for phase hand-off: the
+    # two-phase conic sprint driver resumes unfinished lanes from these
+    # (mirrors batched.DeviceSolveResult)
+    u_raw: jnp.ndarray = None
+    v_raw: jnp.ndarray = None
+    mu: jnp.ndarray = None
+    tol_inner: jnp.ndarray = None
 
 
 f32 = jnp.float32
@@ -63,7 +71,9 @@ def _device_solve_qcp(A, b, c, Q_diag, layout: ConeLayout, *, eps, max_ipm,
                       inner_check_period, precision="f64", ir_steps=1,
                       inner_crit_period=1, solver="cholesky",
                       normalize=False, anchor_period=100, form="auto",
-                      cadence="cond", probe_period=8, scaling=None):
+                      cadence="cond", probe_period=8, scaling=None,
+                      engine="steps", sprint_mu_switch=1e-3, mu_stop=0.0,
+                      init_state=None):
     """One conic instance entirely on device (no equilibration: callers
     pre-scale, as the reference app configs do).  Dense Schur backend.
 
@@ -87,6 +97,22 @@ def _device_solve_qcp(A, b, c, Q_diag, layout: ConeLayout, *, eps, max_ipm,
             f"{inner_crit_period}, {inner_check_period}, {probe_period}")
     if cadence not in ("cond", "chunk"):
         raise ValueError(f"cadence must be 'cond' or 'chunk'; got {cadence!r}")
+    if engine not in ("steps", "sprint"):
+        raise ValueError(f"engine must be 'steps' or 'sprint'; got {engine!r}")
+    sprint = engine == "sprint"
+    if sprint:
+        # the fused kernel replaces the whole inner chunk; it is pure
+        # f32, so it only runs phase-1 style -- above the mu switch,
+        # with the anchored steps engine taking the accuracy endgame
+        # (the two-phase driver in solve_qcp_batch wires this up)
+        if not (mu_stop and mu_stop >= sprint_mu_switch):
+            raise ValueError("engine='sprint' runs phase-1 style: pass "
+                             "mu_stop >= sprint_mu_switch")
+        if cadence != "chunk":
+            raise ValueError("engine='sprint' requires cadence='chunk'")
+        if not isinstance(layout, ConeLayout):
+            raise ValueError("engine='sprint' requires a static ConeLayout "
+                             "(heterogeneous padded layouts use steps)")
     chunked = cadence == "chunk"
     dtype = A.dtype
     m, n = A.shape
@@ -264,6 +290,27 @@ def _device_solve_qcp(A, b, c, Q_diag, layout: ConeLayout, *, eps, max_ipm,
     r_vec = jnp.concatenate([r_y, r_x])
     a_coef = rho_tau + jnp.dot(rho[: m + n] * r_vec, r_vec)
 
+    if sprint:
+        from ..ops.conic_pallas import (_pad128, cone_kernel_data,
+                                        fused_dr_sprint_stop)
+
+        if full_Q:
+            raise ValueError("engine='sprint' supports diagonal (or no) Q")
+        cdk = cone_kernel_data(layout, _pad128(n))
+        if woodbury:
+            Minv32s = jax.scipy.linalg.cho_solve(
+                (dss.cholG, True), jnp.eye(m, dtype=dtype)).astype(f32)
+            Hinv32s = dss.H_inv.astype(f32)
+        else:
+            Minv32s = jax.scipy.linalg.cho_solve(
+                (dss.chol, True), jnp.eye(n, dtype=dtype)).astype(f32)
+            Hinv32s = jnp.zeros((n,), f32)
+        rvec32 = r_vec.astype(f32)
+        b32s = b.astype(f32)
+        c32s = c.astype(f32)
+        Qd32s = (Q_diag.astype(f32) if Q_diag is not None
+                 else jnp.zeros((n,), f32))
+
     def residuals(u, v_origin, prev, mv, rmv):
         return conic_ops.conic_residuals(
             u, v_origin, prev, mv, rmv, Q_times, b, c,
@@ -391,12 +438,53 @@ def _device_solve_qcp(A, b, c, Q_diag, layout: ConeLayout, *, eps, max_ipm,
         return IC(u=u, v=v, v_origin=v_origin, j=s.j + dk,
                   k=k, err_inner=err_inner, status=st, res=r)
 
+    def sprint_chunk(s: IC, o: "OC"):
+        """One fused-kernel chunk: up to inner_crit_period f32 DR
+        iterations with the in-VMEM inner-criterion stop, then ONE f64
+        residual/status check -- the conic analogue of the LP driver's
+        sprint_chunk (`batched.py`)."""
+        probe = min(probe_period, inner_crit_period)
+        u2, v2, t_done, err = fused_dr_sprint_stop(
+            A32, Minv32s, Hinv32s, rvec32, b32s, c32s, Qd32s, cdk,
+            rho_y, rho_x, rho_tau, a_coef, o.mu, alpha, o.tol_inner,
+            s.u.astype(f32), s.v.astype(f32), s.k.astype(f32),
+            T=inner_crit_period, probe=probe, woodbury=woodbury)
+        u = u2.astype(dtype)
+        v = v2.astype(dtype)
+        v_origin = rho * v
+        k = s.k + t_done
+        r = residuals(u, v_origin, s.res, mv64, rmv64)
+        st = converged(r, (o.i > 0) & (k > 0))
+        return IC(u=u, v=v, v_origin=v_origin, j=s.j + t_done, k=k,
+                  err_inner=err.astype(dtype), status=st, res=r)
+
     def outer_body(o: OC):
         s = o.inner._replace(
             j=jnp.zeros((), jnp.int32),
             err_inner=jnp.full((), jnp.inf, dtype),
             status=jnp.zeros((), jnp.int32),
         )
+        if sprint:
+            # no per-stage anchors: the kernel re-derives its f32 state
+            # from the carried f64 iterate at every chunk entry
+            def icond_s(s: IC):
+                return ((s.err_inner >= o.tol_inner) & (s.status == 0)
+                        & (s.k < max_admm))
+
+            s = jax.lax.while_loop(icond_s, lambda ss: sprint_chunk(ss, o),
+                                   s)
+            r = residuals(s.u, s.v_origin, s.res, mv64, rmv64)
+            st = jnp.where(s.status != 0, s.status,
+                           converged(r, (o.i > 0) & (s.k > 0)))
+            s = s._replace(res=r, status=st)
+            mu, tol = conic_ops.adjust_barrier_device(o.mu, r.error_ratio,
+                                                      eps, psi)
+            done = st != 0
+            cap_exit = s.err_inner >= o.tol_inner
+            mu = jnp.where(done | cap_exit, o.mu, mu)
+            tol = jnp.where(cap_exit, o.tol_inner, tol)
+            di = jnp.where(cap_exit, 0, 1).astype(o.i.dtype)
+            return OC(inner=s, mu=mu, tol_inner=tol, i=o.i + di)
         anc = make_anchor(s.u, s.v)
         mv, rmv, stage_solve = make_ops(anc)
 
@@ -442,22 +530,48 @@ def _device_solve_qcp(A, b, c, Q_diag, layout: ConeLayout, *, eps, max_ipm,
         return OC(inner=s, mu=mu, tol_inner=tol, i=o.i + di)
 
     def outer_cond(o: OC):
-        return (o.inner.status == 0) & (o.i < max_ipm) & (
+        alive = (o.inner.status == 0) & (o.i < max_ipm) & (
             o.inner.k < max_admm
         )
+        if mu_stop > 0.0:
+            # phase-boundary exit (see batched.device_solve_lp): stop
+            # with status 0 once the barrier passes mu_stop so a second
+            # program can continue with a different engine
+            alive = alive & (o.mu >= mu_stop)
+        return alive
 
-    x0 = layout.interior_point(dtype)
-    u0 = jnp.concatenate([jnp.zeros((m,), dtype), x0, jnp.ones((1,), dtype)])
-    init = OC(
-        inner=IC(u=u0, v=u0, v_origin=rho * u0,
-                 j=jnp.zeros((), jnp.int32), k=jnp.zeros((), jnp.int32),
-                 err_inner=jnp.full((), jnp.inf, dtype),
-                 status=jnp.zeros((), jnp.int32),
-                 res=conic_ops.ConicResiduals.init(dtype)),
-        mu=jnp.ones((), dtype),
-        tol_inner=jnp.asarray(4.0, dtype),
-        i=jnp.zeros((), jnp.int32),
-    )
+    if init_state is None:
+        x0 = layout.interior_point(dtype)
+        u0 = jnp.concatenate([jnp.zeros((m,), dtype), x0,
+                              jnp.ones((1,), dtype)])
+        init = OC(
+            inner=IC(u=u0, v=u0, v_origin=rho * u0,
+                     j=jnp.zeros((), jnp.int32), k=jnp.zeros((), jnp.int32),
+                     err_inner=jnp.full((), jnp.inf, dtype),
+                     status=jnp.zeros((), jnp.int32),
+                     res=conic_ops.ConicResiduals.init(dtype)),
+            mu=jnp.ones((), dtype),
+            tol_inner=jnp.asarray(4.0, dtype),
+            i=jnp.zeros((), jnp.int32),
+        )
+    else:
+        # phase hand-off resume: (u, v, mu, tol_inner, k, i, status);
+        # the conic driver carries no stage-average state, so the
+        # 7-tuple is complete
+        u_i, v_i, mu_i, tol_i, k_i, i_i, st_i = init_state
+        u_i = u_i.astype(dtype)
+        v_i = v_i.astype(dtype)
+        init = OC(
+            inner=IC(u=u_i, v=v_i, v_origin=rho * v_i,
+                     j=jnp.zeros((), jnp.int32),
+                     k=k_i.astype(jnp.int32),
+                     err_inner=jnp.full((), jnp.inf, dtype),
+                     status=st_i.astype(jnp.int32),
+                     res=conic_ops.ConicResiduals.init(dtype)),
+            mu=mu_i.astype(dtype),
+            tol_inner=tol_i.astype(dtype),
+            i=i_i.astype(jnp.int32),
+        )
     fin = jax.lax.while_loop(outer_cond, outer_body, init)
 
     s = fin.inner
@@ -470,7 +584,58 @@ def _device_solve_qcp(A, b, c, Q_diag, layout: ConeLayout, *, eps, max_ipm,
         status=s.status, ipm_iters=fin.i, admm_iters=s.k,
         res_pri=r.res_pri, res_dual=r.res_dual, rel_gap=r.rel_gap,
         pobj=r.pobj, dobj=r.dobj,
+        u_raw=s.u, v_raw=s.v, mu=fin.mu, tol_inner=fin.tol_inner,
     )
+
+
+def solve_qcp_batch(As, bs, cs, Q_diags=None, *, engine="steps", **kw
+                    ) -> ConicDeviceResult:
+    """Solve a stacked batch of same-shape conic programs on device.
+
+    Thin dispatcher: engine="steps" (default) runs the single-program
+    nested-while driver; engine="sprint2" runs the TWO-phase conic
+    sprint -- phase 1 drives every lane with the fused DR kernel
+    (`ops/conic_pallas.py`) until its barrier passes `sprint_mu_switch`,
+    phase 2 finishes unfinished lanes with the anchored steps engine
+    (same split as the LP driver; each program stays branch-free under
+    vmap).  See `_solve_qcp_batch_jit` for the full option list.
+    """
+    if engine == "sprint2":
+        return _solve_qcp_batch_twophase(As, bs, cs, Q_diags, **kw)
+    return _solve_qcp_batch_jit(As, bs, cs, Q_diags, engine=engine, **kw)
+
+
+def _solve_qcp_batch_twophase(As, bs, cs, Q_diags=None, *,
+                              sprint_mu_switch=1e-3, **kw
+                              ) -> ConicDeviceResult:
+    """Two-phase conic sprint.  sprint_mu_switch=1e-3: below that the
+    shrinking inner tolerance (gamma * mu^psi) approaches the pure-f32
+    iterate's criterion noise floor and phase-1 stages run away
+    (measured: switch 1e-4 inflated a 456-iteration solve to 48,920 and
+    NaN'd another lane; 1e-3/1e-2/3e-2 all track the f64 stage
+    structure within ~25%)."""
+    kw.pop("mu_stop", None)
+    kw.pop("init_state", None)
+    kw.setdefault("cadence", "chunk")
+    kw.setdefault("solver", "inverse")
+    r1 = _solve_qcp_batch_jit(
+        As, bs, cs, Q_diags, engine="sprint",
+        sprint_mu_switch=sprint_mu_switch, mu_stop=sprint_mu_switch, **kw)
+    done1 = np.asarray(r1.status) != 0
+    if done1.all():
+        return r1
+    init = (r1.u_raw, r1.v_raw, r1.mu, r1.tol_inner, r1.admm_iters,
+            r1.ipm_iters, r1.status)
+    r2 = _solve_qcp_batch_jit(As, bs, cs, Q_diags, engine="steps",
+                              init_state=init, **kw)
+    d = jnp.asarray(done1)
+
+    def pick(a1, a2):
+        if a1 is None:
+            return a2
+        return jnp.where(d.reshape(d.shape + (1,) * (a1.ndim - 1)), a1, a2)
+
+    return ConicDeviceResult(*[pick(a1, a2) for a1, a2 in zip(r1, r2)])
 
 
 @partial(jax.jit, static_argnames=("cones", "eps", "max_ipm", "max_admm",
@@ -478,15 +643,18 @@ def _device_solve_qcp(A, b, c, Q_diag, layout: ConeLayout, *, eps, max_ipm,
                                    "psi", "inner_check_period", "precision",
                                    "ir_steps", "inner_crit_period",
                                    "solver", "normalize", "anchor_period",
-                                   "form", "cadence", "probe_period"))
-def solve_qcp_batch(As, bs, cs, Q_diags=None, *, cones: ConeSpec,
-                    eps=1e-4, max_ipm=200, max_admm=100_000, alpha=1.8,
-                    rho_y=1e-6, rho_x=1.0, rho_tau=1.0, psi=1.0,
-                    inner_check_period=500, precision="f64",
-                    ir_steps=1, inner_crit_period=1,
-                    solver="cholesky", normalize=False,
-                    anchor_period=100, form="auto",
-                    cadence="chunk", probe_period=8) -> ConicDeviceResult:
+                                   "form", "cadence", "probe_period",
+                                   "engine", "sprint_mu_switch", "mu_stop"))
+def _solve_qcp_batch_jit(As, bs, cs, Q_diags=None, *, cones: ConeSpec,
+                         eps=1e-4, max_ipm=200, max_admm=100_000, alpha=1.8,
+                         rho_y=1e-6, rho_x=1.0, rho_tau=1.0, psi=1.0,
+                         inner_check_period=500, precision="f64",
+                         ir_steps=1, inner_crit_period=1,
+                         solver="cholesky", normalize=False,
+                         anchor_period=100, form="auto",
+                         cadence="chunk", probe_period=8,
+                         engine="steps", sprint_mu_switch=1e-3,
+                         mu_stop=0.0, init_state=None) -> ConicDeviceResult:
     """Solve a stacked batch of same-shape conic programs on device.
 
     As: (B, m, n); bs: (B, m); cs: (B, n); Q_diags: optional (B, n)
@@ -511,7 +679,7 @@ def solve_qcp_batch(As, bs, cs, Q_diags=None, *, cones: ConeSpec,
     """
     layout = ConeLayout(cones)
 
-    def one(A, b, c, qd):
+    def one(A, b, c, qd, ist):
         return _device_solve_qcp(
             A, b, c, qd, layout, eps=eps, max_ipm=max_ipm,
             max_admm=max_admm, alpha=alpha, rho_y=rho_y, rho_x=rho_x,
@@ -520,6 +688,8 @@ def solve_qcp_batch(As, bs, cs, Q_diags=None, *, cones: ConeSpec,
             inner_crit_period=inner_crit_period, solver=solver,
             normalize=normalize, anchor_period=anchor_period, form=form,
             cadence=cadence, probe_period=probe_period,
+            engine=engine, sprint_mu_switch=sprint_mu_switch,
+            mu_stop=mu_stop, init_state=ist,
         )
 
     # HIGHEST matmul precision: the TPU MXU rounds f32 matmul operands
@@ -527,9 +697,17 @@ def solve_qcp_batch(As, bs, cs, Q_diags=None, *, cones: ConeSpec,
     # budget of the mixed mode (see device_solve_lp's docstring for the
     # measured straggler pathology this caused on the LP side)
     with jax.default_matmul_precision("highest"):
+        if Q_diags is None and init_state is None:
+            return jax.vmap(lambda A, b, c: one(A, b, c, None, None))(
+                As, bs, cs)
         if Q_diags is None:
-            return jax.vmap(lambda A, b, c: one(A, b, c, None))(As, bs, cs)
-        return jax.vmap(one)(As, bs, cs, Q_diags)
+            return jax.vmap(lambda A, b, c, *ist: one(A, b, c, None, ist))(
+                As, bs, cs, *init_state)
+        if init_state is None:
+            return jax.vmap(lambda A, b, c, qd: one(A, b, c, qd, None))(
+                As, bs, cs, Q_diags)
+        return jax.vmap(lambda A, b, c, qd, *ist: one(A, b, c, qd, ist))(
+            As, bs, cs, Q_diags, *init_state)
 
 
 @partial(jax.jit, static_argnames=("cones", "eps", "max_ipm", "max_admm",

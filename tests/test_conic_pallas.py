@@ -271,3 +271,31 @@ def test_dr_sprint_vmap_consistency(rng):
                                    rtol=2e-5, atol=2e-5)
         np.testing.assert_allclose(np.asarray(uv[1][i]), np.asarray(vi),
                                    rtol=2e-5, atol=2e-5)
+
+
+def test_conic_sprint2_solves_batch():
+    """engine='sprint2' (fused-kernel phase 1 + anchored steps endgame)
+    reaches the randcone analytic optima at 1e-6 with iteration counts
+    near the steps engine's (probe-quantized stage exits cost ~25%)."""
+    from benchmarks.conic_mini import randcone
+    from abip_tpu.parallel.batched_qcp import solve_qcp_batch
+
+    cones = ConeSpec(soc=(25, 25), rsoc=(4,), nonneg=150)
+    m = cones.dim // 3
+    insts = [randcone(f"i{i}", m, cones, 7000 + i) for i in range(3)]
+    As = jnp.asarray(np.stack([x[1] for x in insts]))
+    bs = jnp.asarray(np.stack([x[2] for x in insts]))
+    cs = jnp.asarray(np.stack([x[3] for x in insts]))
+    kw = dict(cones=cones, eps=1e-6, precision="mixed", normalize=True,
+              rho_y=1e-3, max_admm=100_000, solver="inverse",
+              probe_period=8)
+    r_steps = solve_qcp_batch(As, bs, cs, engine="steps",
+                              inner_crit_period=8, **kw)
+    r_spr = solve_qcp_batch(As, bs, cs, engine="sprint2",
+                            inner_crit_period=512, **kw)
+    for i in range(3):
+        assert int(r_spr.status[i]) == 1
+        star = insts[i][5]
+        assert float(r_spr.pobj[i]) == pytest.approx(
+            star, abs=1e-4 * (1 + abs(star)))
+        assert int(r_spr.admm_iters[i]) <= 2 * int(r_steps.admm_iters[i]) + 64
