@@ -37,10 +37,25 @@ if _ROOT not in sys.path:
     sys.path.insert(0, _ROOT)
 
 
+def _spec_norm_sq(X, iters=60, seed=0):
+    """Largest singular value squared by power iteration: the full SVD
+    behind np.linalg.norm(X, 2) costs minutes at the paper scale
+    (5000 x 15000)."""
+    rng = np.random.default_rng(seed)
+    v = rng.standard_normal(X.shape[1])
+    v /= np.linalg.norm(v)
+    s = 0.0
+    for _ in range(iters):
+        w = X.T @ (X @ v)
+        s = np.linalg.norm(w)
+        v = w / max(s, 1e-30)
+    return s * 1.02     # small cushion keeps the ISTA step valid
+
+
 def ista_lasso(X, y, lam, iters=5000, tol=1e-10):
     """Proximal gradient with FISTA momentum: oracle for
     min 1/2||Xw - y||^2 + lam*||w||_1."""
-    L = np.linalg.norm(X, 2) ** 2
+    L = _spec_norm_sq(X)
     w = np.zeros(X.shape[1])
     z = w.copy()
     t = 1.0
@@ -59,7 +74,49 @@ def ista_lasso(X, y, lam, iters=5000, tol=1e-10):
     return w, obj
 
 
-def sweep_lasso(scale, eps, outdir, matrix_free=False, method="abip"):
+def export_ml(path, X, y, lam, prob_type=0):
+    """Binary instance for tools/refqcp/ml_driver.c (the reference
+    abip_ml front door without MATLAB)."""
+    import struct
+
+    import scipy.sparse as sp
+
+    Xs = sp.csc_matrix(X)
+    m, n = Xs.shape
+    with open(path, "wb") as f:
+        f.write(struct.pack("<q", prob_type))
+        f.write(struct.pack("<3q", m, n, Xs.nnz))
+        f.write(np.asarray(Xs.indptr, "<i8").tobytes())
+        f.write(np.asarray(Xs.indices, "<i8").tobytes())
+        f.write(np.asarray(Xs.data, "<f8").tobytes())
+        f.write(np.asarray(y, "<f8").tobytes())
+        f.write(struct.pack("<d", float(lam)))
+
+
+def run_reference_ml(ref_bin, X, y, lam, eps, prob_type=0, tlimit=2000.0):
+    """One reference abip_ml solve on exported data; returns the parsed
+    JSON record or an error dict."""
+    import subprocess
+    import tempfile
+
+    fd, path = tempfile.mkstemp(suffix=".bin")
+    os.close(fd)
+    try:
+        export_ml(path, X, y, lam, prob_type=prob_type)
+        out = subprocess.run([ref_bin, path, f"{eps:g}", f"{tlimit:g}"],
+                             capture_output=True, text=True,
+                             timeout=tlimit + 300)
+        line = [ln for ln in out.stdout.strip().splitlines()
+                if ln.startswith("{")][-1]
+        return json.loads(line)
+    except Exception as e:  # noqa: BLE001 -- record the failure, keep sweeping
+        return {"error": repr(e)}
+    finally:
+        os.unlink(path)
+
+
+def sweep_lasso(scale, eps, outdir, matrix_free=False, method="abip",
+                ref_bin=None, tlimit=2000.0):
     from benchmarks.generate import lasso_instance
 
     from abip_tpu.problems import solve_lasso
@@ -97,6 +154,17 @@ def sweep_lasso(scale, eps, outdir, matrix_free=False, method="abip"):
                 "obj_err": abs(obj - obj_star) / max(1.0, abs(obj_star)),
                 "time": wall,
             }
+            if ref_bin:
+                ref = run_reference_ml(ref_bin, X, y, lam, eps,
+                                       prob_type=0, tlimit=tlimit)
+                rec["ref"] = ref
+                if "time_sec" in ref:
+                    rec["ref_time"] = ref["time_sec"]
+                    rec["ref_status"] = ref["status"]
+                    rec["ref_admm"] = ref["admm"]
+                    rec["ref_obj_err"] = (abs(ref["pobj"] - obj_star)
+                                          / max(1.0, abs(obj_star)))
+                    rec["speedup_vs_ref"] = ref["time_sec"] / max(wall, 1e-9)
             out.append(rec)
             _write(outdir, rec)
             print(json.dumps(rec))
@@ -156,6 +224,12 @@ def main(argv=None):
     ap.add_argument("--method", default="abip", choices=["abip", "pdhg"],
                     help="pdhg = conic restarted PDHG on the same RSOC "
                          "embedding (lasso only; the SCS-conic column)")
+    ap.add_argument("--ref-bin", default=None,
+                    help="reference abip_ml binary (tools/refqcp/"
+                         "ml_driver.c); adds ref_* columns per instance")
+    ap.add_argument("--tlimit", type=float, default=2000.0,
+                    help="per-instance cap, both sides (test_lasso.m: "
+                         "2000 s)")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("-o", "--outdir", default=None)
     args = ap.parse_args(argv)
@@ -167,7 +241,8 @@ def main(argv=None):
 
     if args.kind == "lasso":
         sweep_lasso(args.scale, args.eps, args.outdir,
-                    matrix_free=args.matrix_free, method=args.method)
+                    matrix_free=args.matrix_free, method=args.method,
+                    ref_bin=args.ref_bin, tlimit=args.tlimit)
     else:
         if args.method != "abip":
             raise SystemExit("--method pdhg applies to --kind lasso (the "
