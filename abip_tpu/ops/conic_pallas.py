@@ -52,6 +52,14 @@ _TINY = 1e-30
 _SOC_TOL = 1e-6
 _EPS_TAU = 1e-18
 
+
+def _c(v):
+    """f32 constant for jnp.where branches: under x64 mode a Python
+    literal in `where` promotes to f64, which reaches the Mosaic kernel
+    as an unsupported f64->f32 truncf (measured: dim-1020 remote
+    compile failed to legalize 'tpu.truncf')."""
+    return jnp.float32(v)
+
 f32 = jnp.float32
 
 
@@ -87,12 +95,12 @@ def _soc_rows(a, bsq, lam):
         denom_r + jnp.sqrt(denom_r * denom_r + 32.0 * a * a * lam) + _TINY)
     disc = jnp.sqrt(jnp.maximum(r * (r + 8.0), 0.0))
     s = jnp.where(a > 0, (r + disc) / 2.0, (r - disc) / 2.0)
-    s_safe = jnp.where(jnp.abs(s) < _TINY, _TINY, s)
+    s_safe = jnp.where(jnp.abs(s) < _TINY, _c(_TINY), s)
     eta = (s + 2.0) * a / s_safe
     scale_pos = (s + 2.0) / (s + 4.0)
     small = jnp.abs(a) <= _SOC_TOL
     return (jnp.where(small, x0_zero, eta),
-            jnp.where(small, 0.5, scale_pos))
+            jnp.where(small, _c(0.5), scale_pos))
 
 
 def _rsoc_rows(ze, zn, zxsq, lam):
@@ -101,8 +109,8 @@ def _rsoc_rows(ze, zn, zxsq, lam):
     sum_zz = ze + zn
     d = 2.0 * ze * zn - zxsq
     g = d / (2.0 * lam)
-    g_neg = jnp.where(g < 0, -g, 1.0)
-    g_pos = jnp.where(g > 0, g, 1.0)
+    g_neg = jnp.where(g < 0, -g, _c(1.0))
+    g_pos = jnp.where(g > 0, g, _c(1.0))
     q = 4.0 * (ze * ze + zn * zn + zxsq) / lam + 16.0
     w_neg = (2.0 * sum_zz * sum_zz / lam) / g_neg / (
         1.0 + 4.0 / g_neg + jnp.sqrt(1.0 + q / (g_neg * g_neg)))
@@ -116,14 +124,14 @@ def _rsoc_rows(ze, zn, zxsq, lam):
 
     def heads_std(s):
         den = s * (s + 2.0)
-        den = jnp.where(jnp.abs(den) < _TINY, _TINY, den)
+        den = jnp.where(jnp.abs(den) < _TINY, _c(_TINY), den)
         x1 = (ze * (s + 1.0) ** 2 + zn * (s + 1.0)) / den
         x2 = (zn * (s + 1.0) ** 2 + ze * (s + 1.0)) / den
         return x1, x2, (s + 1.0) / (s + 2.0)
 
     def heads_b(s):
         den = (s - 1.0) * (s + 1.0)
-        den = jnp.where(jnp.abs(den) < _TINY, _TINY, den)
+        den = jnp.where(jnp.abs(den) < _TINY, _c(_TINY), den)
         x1 = (ze * s * s + zn * s) / den
         x2 = (zn * s * s + ze * s) / den
         return x1, x2, s / (s + 1.0)
@@ -140,7 +148,7 @@ def _rsoc_rows(ze, zn, zxsq, lam):
     deg = sum_zz == 0
     x1 = jnp.where(deg, x2_deg + ze, x1)
     x2 = jnp.where(deg, x2_deg, x2)
-    sc = jnp.where(deg, 0.5, sc)
+    sc = jnp.where(deg, _c(0.5), sc)
     return x1, x2, sc
 
 
@@ -265,7 +273,7 @@ def _dr_sprint_compute(scal, A, Minv, H_inv, ry, rx, b, c, Qd, cd,
         c_coef = -jnp.sum(zx * Qd * zx)
         disc = jnp.maximum(b_coef * b_coef - 4.0 * a_coef * c_coef, 0.0)
         tau_t = (-b_coef + jnp.sqrt(disc)) / (2.0 * a_coef)
-        tau_t = jnp.where(k0 + i.astype(f32) > 0, tau_t, 1.0)
+        tau_t = jnp.where(k0 + i.astype(f32) > 0, tau_t, _c(1.0))
         uty = zy - tau_t * ry
         utx = zx - tau_t * rx
         rel_y = alpha * uty + (1.0 - alpha) * y
@@ -288,7 +296,7 @@ def _dr_sprint_compute(scal, A, Minv, H_inv, ry, rx, b, c, Qd, cd,
         Mu_x = (Qd * x - _dot(y, A)) * maskx       # Qx - A'y
         Qu_y = Mu_y - b * tau
         Qu_x = (Mu_x + c * tau) * maskx
-        tau_safe = jnp.where(jnp.abs(tau) < 1e-18, 1e-18, tau)
+        tau_safe = jnp.where(jnp.abs(tau) < _EPS_TAU, _c(_EPS_TAU), tau)
         Qu_tau = (-(jnp.sum(y * Mu_y) + jnp.sum(x * Mu_x)) / tau_safe
                   + jnp.sum(y * b) - jnp.sum(x * c))
         von_y = rho_y * vy
@@ -319,10 +327,11 @@ def _dr_sprint_compute(scal, A, Minv, H_inv, ry, rx, b, c, Qd, cd,
         (jnp.zeros((), jnp.int32), y0, x0, vy0, vx0, tau0, kappa0,
          jnp.full((), jnp.inf, f32)))
     col = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
-    out = jnp.where(col == 0, tau, 0.0)
-    out = out + jnp.where(col == 1, kappa, 0.0)
-    out = out + jnp.where(col == 2, e, 0.0)
-    out = out + jnp.where(col == 3, t.astype(f32), 0.0)
+    z = _c(0.0)
+    out = jnp.where(col == 0, tau, z)
+    out = out + jnp.where(col == 1, kappa, z)
+    out = out + jnp.where(col == 2, e, z)
+    out = out + jnp.where(col == 3, t.astype(f32), z)
     return y, x, vy, vx, out.astype(f32)
 
 
