@@ -115,8 +115,39 @@ def run_reference_ml(ref_bin, X, y, lam, eps, prob_type=0, tlimit=2000.0):
         os.unlink(path)
 
 
+def sweep_lasso_ref_only(scale, eps, outdir, ref_bin, tlimit=2000.0,
+                         oracle=True):
+    """Reference + oracle columns only (CPU): runs concurrently with the
+    TPU pass over the same seeded grid; merge by instance name."""
+    from benchmarks.generate import lasso_instance
+
+    ms = [int(m * scale) for m in (1000, 2000, 5000)]
+    ns = [int(n * scale) for n in (5000, 10000, 15000)]
+    out = []
+    for m in ms:
+        for n in ns:
+            X, y, lam = lasso_instance(m=m, n=n, seed=m + n)
+            ref = run_reference_ml(ref_bin, X, y, lam, eps, prob_type=0,
+                                   tlimit=tlimit)
+            rec = {"name": f"lasso_m{m}_n{n}_ref", "ref": ref}
+            if "time_sec" in ref:
+                rec["ref_time"] = ref["time_sec"]
+                rec["ref_status"] = ref["status"]
+                rec["ref_admm"] = ref["admm"]
+            if oracle:
+                _, obj_star = ista_lasso(X, y, lam)
+                rec["obj_star"] = obj_star
+                if "pobj" in ref:
+                    rec["ref_obj_err"] = (abs(ref["pobj"] - obj_star)
+                                          / max(1.0, abs(obj_star)))
+            out.append(rec)
+            _write(outdir, rec)
+            print(json.dumps(rec), flush=True)
+    return out
+
+
 def sweep_lasso(scale, eps, outdir, matrix_free=False, method="abip",
-                ref_bin=None, tlimit=2000.0):
+                ref_bin=None, tlimit=2000.0, oracle=True):
     from benchmarks.generate import lasso_instance
 
     from abip_tpu.problems import solve_lasso
@@ -142,7 +173,7 @@ def sweep_lasso(scale, eps, outdir, matrix_free=False, method="abip",
                 w, obj, sol = solve_lasso(X, y, lam, eps=eps,
                                           matrix_free=matrix_free)
             wall = time.perf_counter() - t0
-            _, obj_star = ista_lasso(X, y, lam)
+            obj_star = ista_lasso(X, y, lam)[1] if oracle else float("nan")
             rec = {
                 "name": f"lasso_m{m}_n{n}",
                 "status": sol.status_name,
@@ -224,6 +255,12 @@ def main(argv=None):
     ap.add_argument("--method", default="abip", choices=["abip", "pdhg"],
                     help="pdhg = conic restarted PDHG on the same RSOC "
                          "embedding (lasso only; the SCS-conic column)")
+    ap.add_argument("--ref-only", action="store_true",
+                    help="run ONLY the reference + oracle columns (CPU "
+                         "side of a split sweep; merge by name)")
+    ap.add_argument("--no-oracle", action="store_true",
+                    help="skip the ISTA oracle (CPU-expensive at paper "
+                         "scale; the ref-only pass records it instead)")
     ap.add_argument("--ref-bin", default=None,
                     help="reference abip_ml binary (tools/refqcp/"
                          "ml_driver.c); adds ref_* columns per instance")
@@ -240,9 +277,17 @@ def main(argv=None):
         jax.config.update("jax_platforms", "cpu")
 
     if args.kind == "lasso":
-        sweep_lasso(args.scale, args.eps, args.outdir,
-                    matrix_free=args.matrix_free, method=args.method,
-                    ref_bin=args.ref_bin, tlimit=args.tlimit)
+        if args.ref_only:
+            if not args.ref_bin:
+                raise SystemExit("--ref-only needs --ref-bin")
+            sweep_lasso_ref_only(args.scale, args.eps, args.outdir,
+                                 args.ref_bin, tlimit=args.tlimit,
+                                 oracle=not args.no_oracle)
+        else:
+            sweep_lasso(args.scale, args.eps, args.outdir,
+                        matrix_free=args.matrix_free, method=args.method,
+                        ref_bin=args.ref_bin, tlimit=args.tlimit,
+                        oracle=not args.no_oracle)
     else:
         if args.method != "abip":
             raise SystemExit("--method pdhg applies to --kind lasso (the "
