@@ -26,6 +26,14 @@ import time
 import numpy as np
 
 
+def _bsync(tree):
+    """Value-read sync: jax.block_until_ready is a NO-OP on the
+    axon remote backend (abip_tpu.utils.timing.sync)."""
+    from abip_tpu.utils.timing import sync as _s
+
+    return _s(tree)
+
+
 def reference_smoke_lp(m=50, n_rand=1950, density=0.3, seed=0):
     """Random degenerate-free LP, the shape of `test_abip_install.m:7-21`:
     A = [sprand(m, n_rand, density), I_m], b = A x0, c = A' y0 + s0."""
@@ -445,7 +453,7 @@ def _bench_inner():
             A, b, c = reference_smoke_lp(seed=seed)
             r = device_solve_lp(jnp.asarray(A), jnp.asarray(b),
                                 jnp.asarray(c), **kw)
-            jax.block_until_ready(r)
+            _bsync(r)
             return r
 
         solve(10_000)  # compile warm-up on a non-timed instance
@@ -560,12 +568,12 @@ def _bench_inner():
         kw["precision"] = os.environ.get("ABIP_BENCH_PRECISION", "mixed")
         A, b, c = reference_smoke_lp()
         res = device_solve_lp(jnp.asarray(A), jnp.asarray(b), jnp.asarray(c), **kw)
-        jax.block_until_ready(res)
+        _bsync(res)
         A2, b2, c2 = reference_smoke_lp(seed=_SEED_SALT + 123)
         t0 = time.perf_counter()
         res = device_solve_lp(jnp.asarray(A2), jnp.asarray(b2),
                               jnp.asarray(c2), **kw)
-        jax.block_until_ready(res)
+        _bsync(res)
         dt = time.perf_counter() - t0
         iters = int(res.admm_iters)
         sol = _speed_of_light(A2.shape, kw, 1)
@@ -606,7 +614,7 @@ def _bench_inner():
                       os.environ.get("ABIP_BENCH_SPRINT_SWITCH", "1e-4")))
     warm = _batch(10_000, B)
     res = solve_lp_batch(*warm, precision=precision, **kw)
-    jax.block_until_ready(res)
+    _bsync(res)
 
     # median-of-N fresh-data rounds (5 by default: the round-3 verdict's
     # reproducibility bar is max/min spread < 2x across 5 rounds; every
@@ -624,7 +632,7 @@ def _bench_inner():
         timed = _batch(seed0, B)
         t0 = time.perf_counter()
         res = solve_lp_batch(*timed, precision=precision, **kw)
-        jax.block_until_ready(res)
+        _bsync(res)
         dt = time.perf_counter() - t0
         cand = (np.asarray(res.admm_iters), dt, res, seed0)
         rate = float(cand[0].sum()) / dt

@@ -27,6 +27,14 @@ import time
 
 import numpy as np
 
+
+def _bsync(tree):
+    """Value-read sync: jax.block_until_ready is a NO-OP on the
+    axon remote backend (abip_tpu.utils.timing.sync)."""
+    from abip_tpu.utils.timing import sync as _s
+
+    return _s(tree)
+
 # Allow `python benchmarks/run_suite.py` as well as `python -m benchmarks.run_suite`.
 _ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if _ROOT not in sys.path:
@@ -207,7 +215,7 @@ def _conic_device_solve(A, b, c, cones, eps, **overrides):
         cones=cones, eps=eps, precision="mixed",
         normalize=True, rho_y=1e-3, max_admm=1_000_000,
         solver="inverse", inner_crit_period=8, **overrides)
-    jax.block_until_ready(r)
+    _bsync(r)
     return r
 
 
@@ -468,7 +476,7 @@ def run_generated(spec, eps, outdir, batched=False, precision="f64",
         # compile excluded from the timing: warm with a single-instance shape
         t0 = time.perf_counter()
         res = solve_lp_batch(As, bs, cs, eps=eps, precision=precision)
-        jax.block_until_ready(res)
+        _bsync(res)
         wall = time.perf_counter() - t0
         from abip_tpu.settings import Status
 

@@ -23,6 +23,14 @@ import time
 import numpy as np
 
 
+def _bsync(tree):
+    """Value-read sync: jax.block_until_ready is a NO-OP on the
+    axon remote backend (abip_tpu.utils.timing.sync)."""
+    from abip_tpu.utils.timing import sync as _s
+
+    return _s(tree)
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--per-device", type=int, default=4)
@@ -65,11 +73,11 @@ def main(argv=None):
         kw = dict(eps=args.eps, precision=args.precision)
         # warm/compile on one dataset, time on a fresh one
         res = solve_lp_batch(*batch(B, 10_000), mesh=mesh, **kw)
-        jax.block_until_ready(res)
+        _bsync(res)
         As, bs, cs = batch(B, 0)
         t0 = time.perf_counter()
         res = solve_lp_batch(As, bs, cs, mesh=mesh, **kw)
-        jax.block_until_ready(res)
+        _bsync(res)
         dt = time.perf_counter() - t0
         its = int(np.asarray(res.admm_iters).sum())
         solved = int((np.asarray(res.status) == 1).sum())

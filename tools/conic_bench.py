@@ -38,6 +38,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from tools.parity_qcp import export_conic  # noqa: E402
 
 
+def _bsync(tree):
+    """Value-read sync: jax.block_until_ready is a NO-OP on the
+    axon remote backend (abip_tpu.utils.timing.sync)."""
+    from abip_tpu.utils.timing import sync as _s
+
+    return _s(tree)
+
+
 def family(n_inst, seed0=7_000, scale=1, qp=False):
     """Mixed-cone instances: dim 204*scale, m = dim//3.
 
@@ -227,7 +235,7 @@ def main(argv=None):
                              jnp.asarray(c),
                              jnp.asarray(Q) if Q is not None else None,
                              **dkw)
-        jax.block_until_ready(r)
+        _bsync(r)
         return int(r.admm_iters), int(r.status)
 
     solve_device(insts[0])  # warm the jit cache off the clock
@@ -283,7 +291,7 @@ def _batched_sections(args, out, insts, cones, jnp, solve_qcp_batch):
               rho_y=1e-3, max_admm=1_000_000, solver="inverse",
               inner_crit_period=8)
     rb = solve_qcp_batch(As, bs, cs, Qs, **kw)
-    jax.block_until_ready(rb)          # compile + warm run off the clock
+    _bsync(rb)          # compile + warm run off the clock
     insts2, _ = family(args.n, seed0=8_000,  # FRESH data for the timed run
                        scale=args.scale, qp=args.qp)
     As2 = jnp.asarray(np.stack([t[1] for t in insts2]))
@@ -295,7 +303,7 @@ def _batched_sections(args, out, insts, cones, jnp, solve_qcp_batch):
     def run_batched():
         t0 = time.perf_counter()
         rb = solve_qcp_batch(As2, bs2, cs2, Qs2, **kw)
-        jax.block_until_ready(rb)
+        _bsync(rb)
         dt = time.perf_counter() - t0
         its = np.asarray(rb.admm_iters)
         return (int(its.sum()), dt,
@@ -312,7 +320,7 @@ def _batched_sections(args, out, insts, cones, jnp, solve_qcp_batch):
     if not args.qp:
         kws = dict(kw, inner_crit_period=512, probe_period=8)
         rb = solve_qcp_batch(As, bs, cs, None, engine="sprint2", **kws)
-        jax.block_until_ready(rb)      # compile/warm off the clock
+        _bsync(rb)      # compile/warm off the clock
         salt = (int(time.time()) % 1_000_000) * 100
         rounds = []
         for r_i in range(max(1, args.repeats)):
@@ -323,7 +331,7 @@ def _batched_sections(args, out, insts, cones, jnp, solve_qcp_batch):
             cf = jnp.asarray(np.stack([t[3] for t in fr]))
             t0 = time.perf_counter()
             rb = solve_qcp_batch(Af, bf, cf, None, engine="sprint2", **kws)
-            jax.block_until_ready(rb)
+            _bsync(rb)
             dt = time.perf_counter() - t0
             its = int(np.asarray(rb.admm_iters).sum())
             rounds.append((its / dt, its, dt,

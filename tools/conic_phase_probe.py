@@ -20,6 +20,14 @@ import time
 
 import numpy as np
 
+
+def _bsync(tree):
+    """Value-read sync: jax.block_until_ready is a NO-OP on the
+    axon remote backend (abip_tpu.utils.timing.sync)."""
+    from abip_tpu.utils.timing import sync as _s
+
+    return _s(tree)
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
@@ -61,15 +69,15 @@ def main(argv=None):
     r1 = _solve_qcp_batch_jit(As, bs, cs, None, cones=cones,
                               engine="sprint", sprint_mu_switch=args.switch,
                               mu_stop=args.switch, **kw)
-    jax.block_until_ready(r1)
+    _bsync(r1)
     init = (r1.u_raw, r1.v_raw, r1.mu, r1.tol_inner, r1.admm_iters,
             r1.ipm_iters, r1.status)
     r2 = _solve_qcp_batch_jit(As, bs, cs, None, cones=cones,
                               engine="steps", init_state=init, **kw)
-    jax.block_until_ready(r2)
+    _bsync(r2)
     rs = _solve_qcp_batch_jit(As, bs, cs, None, cones=cones,
                               engine="steps", **kw)
-    jax.block_until_ready(rs)
+    _bsync(rs)
 
     salt = (int(time.time()) % 100_000) * 100
     As, bs, cs, cones = batch(salt)
@@ -78,17 +86,17 @@ def main(argv=None):
     r1 = _solve_qcp_batch_jit(As, bs, cs, None, cones=cones,
                               engine="sprint", sprint_mu_switch=args.switch,
                               mu_stop=args.switch, **kw)
-    jax.block_until_ready(r1)
+    _bsync(r1)
     t1 = time.perf_counter()
     init = (r1.u_raw, r1.v_raw, r1.mu, r1.tol_inner, r1.admm_iters,
             r1.ipm_iters, r1.status)
     r2 = _solve_qcp_batch_jit(As, bs, cs, None, cones=cones,
                               engine="steps", init_state=init, **kw)
-    jax.block_until_ready(r2)
+    _bsync(r2)
     t2 = time.perf_counter()
     rs = _solve_qcp_batch_jit(As, bs, cs, None, cones=cones,
                               engine="steps", **kw)
-    jax.block_until_ready(rs)
+    _bsync(rs)
     t3 = time.perf_counter()
 
     it1 = np.asarray(r1.admm_iters)

@@ -28,6 +28,14 @@ import time
 
 import numpy as np
 
+
+def _bsync(tree):
+    """Value-read sync: jax.block_until_ready is a NO-OP on the
+    axon remote backend (abip_tpu.utils.timing.sync)."""
+    from abip_tpu.utils.timing import sync as _s
+
+    return _s(tree)
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
@@ -87,7 +95,7 @@ def main(argv=None):
         probs = [(A, b, c, None, spec) for (_n, A, b, c, spec, _p) in suite]
         t0 = time.perf_counter()
         r = solve_qcp_het_batch(probs, normalize=True, **kw)
-        jax.block_until_ready(r)
+        _bsync(r)
         dt = time.perf_counter() - t0
         its = int(np.asarray(r.admm_iters).sum())
         solved = int((np.asarray(r.status) == 1).sum())
@@ -108,7 +116,7 @@ def main(argv=None):
             r = solve_qcp_device(jnp.asarray(A), jnp.asarray(b),
                                  jnp.asarray(c), None, cones=spec,
                                  normalize=True, **kw)
-            jax.block_until_ready(r)
+            _bsync(r)
             its += int(r.admm_iters)
             solved += int(r.status) == 1
             if star is not None and int(r.status) == 1:

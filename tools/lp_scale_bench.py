@@ -41,6 +41,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from tools.parity_run import export_instance  # noqa: E402
 
 
+def _bsync(tree):
+    """Value-read sync: jax.block_until_ready is a NO-OP on the
+    axon remote backend (abip_tpu.utils.timing.sync)."""
+    from abip_tpu.utils.timing import sync as _s
+
+    return _s(tree)
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--ref-bin", default="/tmp/refbench/refparity")
@@ -114,7 +122,7 @@ def main(argv=None):
         A, b, c = insts[i % args.count]
         r = device_solve_lp(jnp.asarray(A), jnp.asarray(b), jnp.asarray(c),
                             **kw)
-        jax.block_until_ready(r)
+        _bsync(r)
         return int(r.admm_iters), int(r.status)
 
     solve(0)  # warm the jit cache off the clock

@@ -29,6 +29,14 @@ import time
 
 import numpy as np
 
+
+def _bsync(tree):
+    """Value-read sync: jax.block_until_ready is a NO-OP on the
+    axon remote backend (abip_tpu.utils.timing.sync)."""
+    from abip_tpu.utils.timing import sync as _s
+
+    return _s(tree)
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
@@ -61,7 +69,7 @@ def main():
     def run(tag, fn):
         t0 = time.perf_counter()
         r = fn()
-        jax.block_until_ready(r)
+        _bsync(r)
         dt = time.perf_counter() - t0
         out = {"tag": tag, "status": int(np.asarray(r.status).reshape(-1)[0]),
                "admm": int(np.asarray(r.admm_iters).reshape(-1)[0]),
@@ -82,7 +90,7 @@ def main():
         r1 = solve_lp_batch(As_j, bs_j, cs_j, precision="mixed",
                             engine="sprint", sprint_mu_switch=switch,
                             mu_stop=switch, **kwb)
-        jax.block_until_ready(r1)
+        _bsync(r1)
         it1 = np.asarray(r1.admm_iters)
         print(json.dumps({"phase1_iters": it1.astype(int).tolist(),
                           "mu": [float(f"{x:.3e}")
@@ -95,7 +103,7 @@ def main():
             t0 = time.perf_counter()
             r2 = fn2(As_j, bs_j, cs_j, r1.u_raw, r1.v_raw, r1.mu,
                      r1.admm_iters, r1.ipm_iters, r1.status, *extra)
-            jax.block_until_ready(r2)
+            _bsync(r2)
             dt = time.perf_counter() - t0
             it2 = np.asarray(r2.admm_iters) - it1
             print(json.dumps({
@@ -135,7 +143,7 @@ def main():
             r1 = device_solve_lp(A, b, c, precision="mixed", engine="sprint",
                                  sprint_mu_switch=switch, mu_stop=switch,
                                  **kw)
-            jax.block_until_ready(r1)
+            _bsync(r1)
             rec["p1_iters"] = int(r1.admm_iters)
             rec["p1_mu"] = float(r1.mu)
         if "sprint_9t" in variants:

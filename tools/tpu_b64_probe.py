@@ -26,6 +26,14 @@ import subprocess
 import sys
 import time
 
+
+def _bsync(tree):
+    """Value-read sync: jax.block_until_ready is a NO-OP on the
+    axon remote backend (abip_tpu.utils.timing.sync)."""
+    from abip_tpu.utils.timing import sync as _s
+
+    return _s(tree)
+
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
@@ -56,7 +64,7 @@ def _probe_solve(B: int, engine: str):
         kw.update(engine="sprint2", sprint_T=32, sprint_mu_switch=1e-4)
     t0 = time.perf_counter()
     res = solve_lp_batch(*batch, **kw)
-    jax.block_until_ready(res)
+    _bsync(res)
     first = time.perf_counter() - t0
     # fresh draws for the steady-state wall (replay hygiene)
     As, bs, cs = [], [], []
@@ -66,7 +74,7 @@ def _probe_solve(B: int, engine: str):
     batch = tuple(map(np.stack, (As, bs, cs)))
     t0 = time.perf_counter()
     res = solve_lp_batch(*batch, **kw)
-    jax.block_until_ready(res)
+    _bsync(res)
     steady = time.perf_counter() - t0
     st = np.asarray(res.status)
     it = np.asarray(res.admm_iters)
@@ -103,7 +111,7 @@ def _probe_kernel(B: int):
 
     t0 = time.perf_counter()
     outs = jax.vmap(one)(A, Ninv, h, g, u0, v0)
-    jax.block_until_ready(outs)
+    _bsync(outs)
     first = time.perf_counter() - t0
     return {"ok": True, "first_call_sec": round(first, 2), "B": B,
             "note": "kernel-only vmapped grid launch"}

@@ -25,6 +25,14 @@ import time
 
 import numpy as np
 
+
+def _bsync(tree):
+    """Value-read sync: jax.block_until_ready is a NO-OP on the
+    axon remote backend (abip_tpu.utils.timing.sync)."""
+    from abip_tpu.utils.timing import sync as _s
+
+    return _s(tree)
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 OUT = os.environ.get("ABIP_SINGLE_OUT") or os.path.join(
@@ -84,7 +92,7 @@ def main():
             A, b, c = reference_smoke_lp(seed=seed)
             r = device_solve_lp(jnp.asarray(A), jnp.asarray(b),
                                 jnp.asarray(c), **kw)
-            jax.block_until_ready(r)
+            _bsync(r)
             seed += 1
             rounds = []
             for _ in range(3):
@@ -93,7 +101,7 @@ def main():
                 t0 = time.perf_counter()
                 r = device_solve_lp(jnp.asarray(A), jnp.asarray(b),
                                     jnp.asarray(c), **kw)
-                jax.block_until_ready(r)
+                _bsync(r)
                 dt = time.perf_counter() - t0
                 its = int(r.admm_iters)
                 rounds.append({

@@ -20,6 +20,14 @@ import time
 
 import numpy as np
 
+
+def _bsync(tree):
+    """Value-read sync: jax.block_until_ready is a NO-OP on the
+    axon remote backend (abip_tpu.utils.timing.sync)."""
+    from abip_tpu.utils.timing import sync as _s
+
+    return _s(tree)
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 OUT = os.environ.get("ABIP_STRAGGLER_OUT") or os.path.join(
@@ -68,7 +76,7 @@ def main():
     # warm-up compile on a throwaway batch (both phases)
     r = solve_lp_batch(*batch(seed), engine="sprint2",
                        sprint_mu_switch=switch, **kw)
-    jax.block_until_ready(r)
+    _bsync(r)
     seed += B
 
     for bi in range(nbatch):
@@ -78,7 +86,7 @@ def main():
         # per-phase counts are observable
         r1 = solve_lp_batch(As, bs, cs, engine="sprint",
                             sprint_mu_switch=switch, mu_stop=switch, **kw)
-        jax.block_until_ready(r1)
+        _bsync(r1)
         t1 = time.perf_counter()
         it1 = np.asarray(r1.admm_iters).copy()
         st1 = np.asarray(r1.status).copy()
@@ -97,7 +105,7 @@ def main():
                                         us0, vs0, sj0),
                             engine="steps", **kw))
         r2 = fn2(As, bs, cs, *init)
-        jax.block_until_ready(r2)
+        _bsync(r2)
         t2 = time.perf_counter()
         it2 = np.asarray(r2.admm_iters)
         st2 = np.asarray(r2.status)

@@ -19,6 +19,14 @@ import time
 
 import numpy as np
 
+
+def _bsync(tree):
+    """Value-read sync: jax.block_until_ready is a NO-OP on the
+    axon remote backend (abip_tpu.utils.timing.sync)."""
+    from abip_tpu.utils.timing import sync as _s
+
+    return _s(tree)
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 OUT = os.environ.get("ABIP_SWEEP_OUT") or os.path.join(
@@ -93,14 +101,14 @@ def main():
         try:
             t0 = time.perf_counter()
             r = solve_lp_batch(*batch(seed, B), **kw)
-            jax.block_until_ready(r)
+            _bsync(r)
             first = time.perf_counter() - t0
             seed += B
             rounds, seen_iters = [], []
             for _ in range(3):  # fresh-data rounds (host noise)
                 t0 = time.perf_counter()
                 r = solve_lp_batch(*batch(seed, B), **kw)
-                jax.block_until_ready(r)
+                _bsync(r)
                 dt = time.perf_counter() - t0
                 seed += B
                 per_lane = np.asarray(r.admm_iters)
