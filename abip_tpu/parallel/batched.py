@@ -173,10 +173,13 @@ def _device_solve_lp_impl(A, b, c, *, eps=1e-6, max_ipm=200, max_admm=200_000,
     """
     if precision not in ("f64", "mixed"):
         raise ValueError(f"precision must be 'f64' or 'mixed'; got {precision!r}")
-    if engine not in ("steps", "sprint"):
-        raise ValueError(f"engine must be 'steps' or 'sprint'; got {engine!r}")
+    if engine not in ("steps", "sprint", "delta"):
+        raise ValueError(
+            f"engine must be 'steps', 'sprint', or 'delta'; got {engine!r}")
     if engine == "sprint" and precision != "mixed":
         raise ValueError("engine='sprint' requires precision='mixed'")
+    if engine == "delta" and cadence != "chunk":
+        raise ValueError("engine='delta' requires cadence='chunk'")
     # cadence knobs must be >= 1: anchor_period < 1 in mixed mode makes the
     # jitted outer loop non-terminating (stage_cap=0 => j stays 0, cap_exit
     # re-anchors forever without advancing k), and period 0 is a traced
@@ -191,6 +194,7 @@ def _device_solve_lp_impl(A, b, c, *, eps=1e-6, max_ipm=200, max_admm=200_000,
         raise ValueError(f"cadence must be 'cond' or 'chunk'; got {cadence!r}")
     chunked = cadence == "chunk"
     sprint = engine == "sprint"
+    delta = engine == "delta"
     # per-call ADMM-iteration ceiling: a TRACED operand (unlike the
     # static max_admm), so the compacted phase-2 driver can run capped
     # rounds without recompiling per cap value
@@ -249,6 +253,16 @@ def _device_solve_lp_impl(A, b, c, *, eps=1e-6, max_ipm=200, max_admm=200_000,
 
     def solve64(rhs):
         return jax.scipy.linalg.cho_solve((chol64, True), rhs)
+
+    if delta:
+        # loop-invariant padded f32 operator blocks for the delta kernel
+        from ..ops.admm_delta import _pad128 as _p128
+
+        _mp, _np = _p128(m), _p128(n)
+        A32pad = jnp.zeros((_mp, _np), f32).at[:m, :n].set(A32)
+        Ninvpad = jnp.zeros((_mp, _mp), f32).at[:m, :m].set(
+            jax.scipy.linalg.cho_solve(
+                (chol64, True), jnp.eye(m, dtype=dtype)).astype(f32))
 
     matvec64 = lambda x: A_s @ x
     rmatvec64 = lambda y: A_s.T @ y
@@ -358,10 +372,65 @@ def _device_solve_lp_impl(A, b, c, *, eps=1e-6, max_ipm=200, max_admm=200_000,
         status: jnp.ndarray
         res: hsd.LPResiduals
 
+    def inner_delta(carry: C):
+        """One barrier stage driven by the anchored-delta kernel
+        (`ops/admm_delta.py`): each while trip runs ONE delta chunk of
+        up to qres_period f32 kernel iterations (re-anchored at every
+        chunk entry, so no anchor_period cap is needed), then the
+        f64-authority residual check -- the same chunk structure as
+        `steps_chunk`/`sprint_chunk` at f32-sprint per-iteration cost.
+
+        The traced `kcap` is only enforced BETWEEN chunks (the kernel's
+        T is static), so a capped lane may overrun its cap by up to
+        qres_period-1 iterations -- the compaction driver's round
+        accounting tolerates the overshoot (it checks >=, not ==)."""
+        from ..ops.admm_delta import run_delta_chunk
+
+        mu = carry.mu
+        probe = min(probe_period, qres_period)
+
+        def cond(s: IC):
+            return ((s.qres >= gamma0 * mu) & (s.status == 0)
+                    & (s.k < kcap))
+
+        def body(s: IC):
+            res = run_delta_chunk(
+                A_s, solve64, h, g, g_th, rho_y, mu, alpha,
+                gamma0 * mu, s.u, s.v, s.u_sum, s.v_sum,
+                carry.sj + s.j, s.qres, T=qres_period, probe=probe,
+                A32p=A32pad, Ninvp=Ninvpad)
+            dom = jnp.maximum(
+                (carry.sj + s.j + res.t_done).astype(res.u.dtype), 1.0)
+            u_sel = jnp.where(res.avg_crit, res.u_sum / dom, res.u)
+            v_sel = jnp.where(res.avg_crit, res.v_sum / dom, res.v)
+            r = residuals(u_sel, v_sel, matvec64, rmatvec64)
+            st = jnp.where(
+                carry.final_check,
+                hsd.lp_converged_code(
+                    r, eps, False,
+                    (carry.i > 0) & (s.k + res.t_done > 0)),
+                0,
+            ).astype(jnp.int32)
+            return IC(u=res.u, v=res.v, u_sum=res.u_sum,
+                      v_sum=res.v_sum, avg_crit=res.avg_crit,
+                      j=s.j + res.t_done, k=s.k + res.t_done,
+                      qres=res.qres, status=st, res=r)
+
+        init = IC(u=carry.u, v=carry.v, u_sum=carry.u_sum,
+                  v_sum=carry.v_sum,
+                  avg_crit=jnp.zeros((), bool),
+                  j=jnp.zeros((), jnp.int32),
+                  k=carry.k, qres=jnp.full((), jnp.inf, dtype),
+                  status=jnp.zeros((), jnp.int32), res=carry.res)
+        return (jax.lax.while_loop(cond, body, init),
+                matvec64, rmatvec64)
+
     def inner(carry: C):
         """One barrier stage: inner ADMM while_loop (`abip.c:2131-2215`),
         with the cumulative-average candidate (`compute_avg` `:635-659`,
         `iterate_Q_norm_resd` `:1999-2050`)."""
+        if delta:
+            return inner_delta(carry)
         mu = carry.mu
         anc = make_anchor(carry.u, carry.v)
         mv, rmv, project = make_ops(anc)
@@ -767,6 +836,7 @@ def solve_lp_batch(As, bs, cs, mesh=None, **kw) -> DeviceSolveResult:
     kw.setdefault("cadence", "chunk")
     if kw.get("engine") == "sprint2":
         return _solve_lp_batch_twophase(As, bs, cs, mesh=mesh, **kw)
+    kw.pop("endgame", None)   # sprint2-only knob
     fn = jax.vmap(lambda A, b, c: device_solve_lp(A, b, c, **kw))
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
@@ -814,6 +884,14 @@ def _solve_lp_batch_twophase(As, bs, cs, mesh=None, **kw) -> DeviceSolveResult:
     switch = kw.pop("sprint_mu_switch", 1e-4)
     kw.pop("mu_stop", None)
     kw.pop("init_state", None)
+    # endgame="delta" continues unfinished lanes with the anchored-delta
+    # kernel engine (f32 sprint speed at f64-quality accuracy,
+    # `ops/admm_delta.py`) instead of the per-iteration anchored-f64
+    # steps engine
+    endgame = kw.pop("endgame", "steps")
+    if endgame not in ("steps", "delta"):
+        raise ValueError(f"endgame must be 'steps' or 'delta'; "
+                         f"got {endgame!r}")
     # compact_period trades straggler tax against per-round dispatch
     # cost: every capped round is a separate device dispatch (~0.5-1 s
     # through the remote tunnel), so a period near the TYPICAL phase-2
@@ -829,7 +907,7 @@ def _solve_lp_batch_twophase(As, bs, cs, mesh=None, **kw) -> DeviceSolveResult:
     done1 = np.asarray(r1.status) != 0
     if done1.all():
         return r1
-    kw2 = dict(kw, engine="steps")
+    kw2 = dict(kw, engine="delta" if endgame == "delta" else "steps")
     max_admm = kw.get("max_admm", 200_000)
 
     fn2 = jax.jit(jax.vmap(

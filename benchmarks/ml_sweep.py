@@ -126,6 +126,15 @@ def sweep_lasso_ref_only(scale, eps, outdir, ref_bin, tlimit=2000.0,
     out = []
     for m in ms:
         for n in ns:
+            # resumable: a ref run at paper scale costs 27-550+ s, so a
+            # re-launched sweep must not repeat finished instances
+            done = os.path.join(outdir or ".", f"lasso_m{m}_n{n}_ref.json")
+            if outdir and os.path.exists(done):
+                with open(done) as f:
+                    rec = json.load(f)
+                out.append(rec)
+                print(json.dumps(rec) + "  # cached", flush=True)
+                continue
             X, y, lam = lasso_instance(m=m, n=n, seed=m + n)
             ref = run_reference_ml(ref_bin, X, y, lam, eps, prob_type=0,
                                    tlimit=tlimit)
