@@ -30,7 +30,7 @@ Everything reuses the shared step math in `abip_tpu.hsd`.
 """
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache as _lru_cache, partial
 from typing import NamedTuple
 
 import jax
@@ -812,6 +812,33 @@ def solve_lp_suite(problems, mesh=None, **kw):
     return out
 
 
+def _opts_key(kw):
+    return tuple(sorted(kw.items()))
+
+
+@_lru_cache(maxsize=128)
+def _vmapped_solver(opts_key):
+    """Cached traced callable: re-creating `jax.vmap(lambda ...)` per
+    call re-TRACES the whole ~1000-op program on every bench round
+    (~3 s of host work per call at B=16 -- the dominant term of the r04
+    honest wall once the delta engine cut device time to ~1 s)."""
+    opts = dict(opts_key)
+    return jax.jit(jax.vmap(
+        lambda A, b, c: device_solve_lp(A, b, c, **opts)))
+
+
+@_lru_cache(maxsize=128)
+def _vmapped_resume_solver(opts_key):
+    """Cached phase-2/resume variant (9-tuple init_state + traced cap)."""
+    opts = dict(opts_key)
+    return jax.jit(jax.vmap(
+        lambda A, b, c, u0, v0, mu0, k0, i0, st0, us0, vs0, sj0, kc:
+        device_solve_lp(
+            A, b, c,
+            init_state=(u0, v0, mu0, k0, i0, st0, us0, vs0, sj0),
+            k_cap=kc, **opts)))
+
+
 def solve_lp_batch(As, bs, cs, mesh=None, **kw) -> DeviceSolveResult:
     """Solve a stacked batch of same-shape LPs, one XLA program.
 
@@ -837,7 +864,7 @@ def solve_lp_batch(As, bs, cs, mesh=None, **kw) -> DeviceSolveResult:
     if kw.get("engine") == "sprint2":
         return _solve_lp_batch_twophase(As, bs, cs, mesh=mesh, **kw)
     kw.pop("endgame", None)   # sprint2-only knob
-    fn = jax.vmap(lambda A, b, c: device_solve_lp(A, b, c, **kw))
+    fn = _vmapped_solver(_opts_key(kw))
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -910,12 +937,7 @@ def _solve_lp_batch_twophase(As, bs, cs, mesh=None, **kw) -> DeviceSolveResult:
     kw2 = dict(kw, engine="delta" if endgame == "delta" else "steps")
     max_admm = kw.get("max_admm", 200_000)
 
-    fn2 = jax.jit(jax.vmap(
-        lambda A, b, c, u0, v0, mu0, k0, i0, st0, us0, vs0, sj0, kc:
-        device_solve_lp(
-            A, b, c,
-            init_state=(u0, v0, mu0, k0, i0, st0, us0, vs0, sj0),
-            k_cap=kc, **kw2)))
+    fn2 = _vmapped_resume_solver(_opts_key(kw2))
 
     if mesh is not None or As.shape[0] <= 32:
         # whole-batch phase 2 in ONE device call: sharded batches must

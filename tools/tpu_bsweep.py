@@ -78,6 +78,9 @@ def probe_b(B: int, rounds: int):
     cp = os.environ.get("ABIP_SWEEP_COMPACT")
     if cp:
         kw["compact_period"] = int(cp)
+    eg = os.environ.get("ABIP_SWEEP_ENDGAME")
+    if eg:
+        kw["endgame"] = eg
 
     def batch(s0):
         data = [reference_smoke_lp(seed=s0 + i) for i in range(B)]
@@ -105,7 +108,8 @@ def probe_b(B: int, rounds: int):
     return {"ok": True, "B": B, "first_call_sec": round(first, 2),
             "knobs": {k: v for k, v in kw.items()
                       if k in ("qres_period", "sprint_T",
-                               "sprint_mu_switch", "compact_period")},
+                               "sprint_mu_switch", "compact_period",
+                               "endgame")},
             "rounds": recs}
 
 
