@@ -81,6 +81,13 @@ def probe_b(B: int, rounds: int):
     eg = os.environ.get("ABIP_SWEEP_ENDGAME")
     if eg:
         kw["endgame"] = eg
+    en = os.environ.get("ABIP_SWEEP_ENGINE")
+    if en:
+        # single-phase engine override (e.g. "delta": whole solve in
+        # anchored-delta chunks, no sprint phase, no twophase driver)
+        kw["engine"] = en
+        for k in ("sprint_T", "sprint_mu_switch", "endgame"):
+            kw.pop(k, None)
 
     def batch(s0):
         data = [reference_smoke_lp(seed=s0 + i) for i in range(B)]
