@@ -600,18 +600,26 @@ def _bench_inner():
 
     B = int(os.environ.get("ABIP_BENCH_B", "16"))
     precision = os.environ.get("ABIP_BENCH_PRECISION", "mixed")
-    # TPU default engine is the two-phase sprint (stopping-sprint f32 bulk
-    # + anchored-f64 endgame): measured 12.2 inst/s / 10.6x iters-rate at
-    # B=16 q=768 probe=8 vs 5.3 inst/s for plain steps
-    # (benchmarks/results/r03_tpu_sweep_sprint2.json); CPU keeps steps
+    # TPU default engine is the single-phase anchored-delta kernel
+    # (ops/admm_delta.py): every ADMM iteration runs as an f32 delta
+    # from a per-chunk f64 anchor inside one Pallas kernel, with
+    # per-lane in-kernel stopping.  Honest value-read-synced rounds at
+    # B=16: 68-71k it/s / 15-20 inst/s vs 44-55k (sprint2+delta) and
+    # 11k (sprint2+steps) -- r04_bsweep_delta1p.json.  CPU keeps steps
     # (no Pallas there).
-    default_engine = "steps" if jax.default_backend() == "cpu" else "sprint2"
+    default_engine = "steps" if jax.default_backend() == "cpu" else "delta"
     engine = os.environ.get("ABIP_BENCH_ENGINE", default_engine)
     if engine in ("sprint", "sprint2"):
         kw.update(engine=engine,
                   sprint_T=int(os.environ.get("ABIP_BENCH_SPRINT_T", "32")),
                   sprint_mu_switch=float(
                       os.environ.get("ABIP_BENCH_SPRINT_SWITCH", "1e-4")))
+        if engine == "sprint2":
+            eg = os.environ.get("ABIP_BENCH_ENDGAME")
+            if eg:
+                kw.update(endgame=eg)
+    elif engine == "delta":
+        kw.update(engine="delta")
     warm = _batch(10_000, B)
     res = solve_lp_batch(*warm, precision=precision, **kw)
     _bsync(res)
