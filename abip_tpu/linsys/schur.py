@@ -26,6 +26,46 @@ import jax
 import jax.numpy as jnp
 
 
+def _newton_inverse(S, steps=3):
+    """f64-quality explicit inverse WITHOUT f64 triangular solves.
+
+    f64 trisolves are software-emulated and sequential on TPU v5e (the
+    dominant per-call setup cost of the conic device route: the n x n
+    explicit inverse at dim-1020 runs 1020 emulated trisolves).  Jacobi-
+    equilibrate (S_hat = D S D has unit diagonal, so its f32 Cholesky
+    inverse is accurate at cond(S_hat) << cond(S) ~ 1/rho_y), invert in
+    f32, then Newton steps X <- X + X(I - S_hat X) against the f64
+    S_hat: the residual SQUARES each step (cond*eps32 ~ 1e-2 -> 1e-4 ->
+    1e-8 -> 1e-16), and each step is two f64 MATMULS (fast on MXU even
+    emulated, unlike trisolves).  3 steps reach f64 roundoff for
+    cond(S_hat) up to ~1e5."""
+    d = 1.0 / jnp.sqrt(jnp.diag(S))
+    S_hat = S * d[:, None] * d[None, :]
+    n = S.shape[0]
+    eye32 = jnp.eye(n, dtype=jnp.float32)
+    X = jax.scipy.linalg.cho_solve(
+        (jax.lax.linalg.cholesky(S_hat.astype(jnp.float32)), True),
+        eye32).astype(S.dtype)
+    eye = jnp.eye(n, dtype=S.dtype)
+    for _ in range(steps):
+        X = X + X @ (eye - S_hat @ X)
+    return X * d[:, None] * d[None, :]
+
+
+def _ir_apply(Minv, M, rhs, steps=2):
+    """Backward-stable-quality solve from an explicit inverse: an
+    inverse APPLY is not backward stable (||I - X M|| ~ cond * eps even
+    for a Newton-exact X: measured 3.9e-6 at cond 1.6e6, which floored
+    the conic dual residual at ~4e-6 and stalled solves that converge
+    in ~100 iterations with trisolves).  Two vector-IR steps against
+    the f64 matrix contract that error by ||I - X M|| each:
+    4e-6 -> 1.6e-11 -> 6e-17.  All matmuls -- no emulated trisolves."""
+    z = Minv @ rhs
+    for _ in range(steps):
+        z = z + Minv @ (rhs - M @ z)
+    return z
+
+
 class DenseSchurSolver:
     """Cached-Cholesky Schur solver for the conic block system.
 
@@ -37,10 +77,11 @@ class DenseSchurSolver:
     """
 
     def __init__(self, A, Q, rho_y_vec, rho_x_vec, mode="chol",
-                 form="auto"):
+                 form="auto", newton_steps=3):
         # A: (m, n) dense; Q: (n, n) dense, (n,) diagonal, or None
-        if mode not in ("chol", "inverse_mixed"):
+        if mode not in ("chol", "inverse_mixed", "newton"):
             raise ValueError(f"unknown dense mode: {mode!r}")
+        self.newton_steps = newton_steps
         if form not in ("auto", "primal", "woodbury"):
             raise ValueError(f"unknown form: {form!r}")
         self.A = A
@@ -74,8 +115,8 @@ class DenseSchurSolver:
                              "primal Schur complement S")
         use_woodbury = (
             form == "woodbury"
-            or (form == "auto" and mode == "chol" and diagonal_H
-                and 4 * m <= 3 * n)
+            or (form == "auto" and mode in ("chol", "newton")
+                and diagonal_H and 4 * m <= 3 * n)
         )
         self.form = "primal"
         if use_woodbury:
@@ -83,12 +124,20 @@ class DenseSchurSolver:
             H = rho_x_vec + (q_diag if q_diag is not None else 0.0)
             self.H_inv = 1.0 / H
             G = jnp.diag(rho_y_vec) + (A * self.H_inv[None, :]) @ A.T
-            self.cholG = jax.lax.linalg.cholesky(G)
+            if mode == "newton":
+                self.G64 = G
+                self.Ginv64 = _newton_inverse(G, newton_steps)
+            else:
+                self.cholG = jax.lax.linalg.cholesky(G)
             return
 
         S = (A * self.ry_inv[:, None]).T @ A + jnp.diag(rho_x_vec)
         if Q is not None:
             S = S + (jnp.diag(q_diag) if q_diag is not None else Q)
+        if mode == "newton":
+            self.S64n = S
+            self.Sinv64 = _newton_inverse(S, newton_steps)
+            return
         self.chol = jax.lax.linalg.cholesky(S)
         if mode == "inverse_mixed":
             # S's conditioning is dominated by 1/rho_y (1e6 at conic
@@ -105,6 +154,8 @@ class DenseSchurSolver:
             ).astype(jnp.float32)
 
     def _apply_inv(self, rhs, tol_hint=None):
+        if self.mode == "newton":
+            return _ir_apply(self.Sinv64, self.S64n, rhs)
         if self.mode == "chol":
             return jax.scipy.linalg.cho_solve((self.chol, True), rhs)
 
@@ -138,7 +189,10 @@ class DenseSchurSolver:
         rhs = w_x + self.A.T @ (self.ry_inv * w_y)
         if self.form == "woodbury":
             t = self.H_inv * rhs
-            u = jax.scipy.linalg.cho_solve((self.cholG, True), self.A @ t)
+            u = (_ir_apply(self.Ginv64, self.G64, self.A @ t)
+                 if self.mode == "newton"
+                 else jax.scipy.linalg.cho_solve((self.cholG, True),
+                                                 self.A @ t))
             z_x = t - self.H_inv * (self.A.T @ u)
             # A z_x = rho_y o u exactly (G u = A t), so
             # z_y = ry_inv*(w_y - A z_x) simplifies:
@@ -160,17 +214,25 @@ def _dense_schur_flatten(s):
                 getattr(s, "chol", None),
                 getattr(s, "H_inv", None), getattr(s, "cholG", None),
                 getattr(s, "S64", None), getattr(s, "d_S", None),
-                getattr(s, "Shat_inv32", None))
-    return children, (s.mode, s.form)
+                getattr(s, "Shat_inv32", None),
+                getattr(s, "Sinv64", None), getattr(s, "Ginv64", None),
+                getattr(s, "S64n", None), getattr(s, "G64", None))
+    return children, (s.mode, s.form, getattr(s, "newton_steps", 3))
 
 
 def _dense_schur_unflatten(aux, children):
     s = object.__new__(DenseSchurSolver)
-    s.mode, s.form = aux
+    s.mode, s.form, s.newton_steps = aux
     (s.A, s.Q, s.ry_inv, chol, H_inv, cholG, S64, d_S,
-     Shat_inv32) = children
+     Shat_inv32, Sinv64, Ginv64, S64n, G64) = children
     if s.form == "woodbury":
-        s.H_inv, s.cholG = H_inv, cholG
+        s.H_inv = H_inv
+        if s.mode == "newton":
+            s.Ginv64, s.G64 = Ginv64, G64
+        else:
+            s.cholG = cholG
+    elif s.mode == "newton":
+        s.Sinv64, s.S64n = Sinv64, S64n
     else:
         s.chol = chol
         if s.mode == "inverse_mixed":

@@ -185,8 +185,12 @@ def _device_solve_qcp(A, b, c, Q_diag, layout: ConeLayout, *, eps, max_ipm,
     # The f64 factor + solve algebra lives ONCE in DenseSchurSolver
     # (registered pytree, safe to close over in the jitted program); the
     # driver only adds the f32/anchored variants around its factors.
+    # mixed mode factors in f32 + Newton-refined explicit inverse
+    # (mode="newton"): the f64 Cholesky + n (or m) software-emulated f64
+    # trisolves of the explicit-inverse build were the dominant per-call
+    # setup cost on v5e (see linsys.schur._newton_inverse)
     dss = DenseSchurSolver(A, Q_diag, rho[:m], rho[m : m + n],
-                           mode="chol",
+                           mode="newton" if mixed else "chol",
                            form="woodbury" if woodbury else "primal")
 
     def solve_fn(w_y, w_x, k, warm):
@@ -196,14 +200,20 @@ def _device_solve_qcp(A, b, c, Q_diag, layout: ConeLayout, *, eps, max_ipm,
         H_inv = dss.H_inv
         H = 1.0 / H_inv
         H_inv32 = H_inv.astype(f32)
-        cholG32 = dss.cholG.astype(f32)
-        if solver == "inverse":
+        if mixed:
+            Ginv32 = dss.Ginv64.astype(f32)
+
+            def gsolve32(r32):
+                return Ginv32 @ r32
+        elif solver == "inverse":
             Ginv32 = jax.scipy.linalg.cho_solve(
                 (dss.cholG, True), jnp.eye(m, dtype=dtype)).astype(f32)
 
             def gsolve32(r32):
                 return Ginv32 @ r32
         else:
+            cholG32 = dss.cholG.astype(f32)
+
             def gsolve32(r32):
                 return jax.scipy.linalg.cho_solve((cholG32, True), r32)
 
@@ -224,8 +234,12 @@ def _device_solve_qcp(A, b, c, Q_diag, layout: ConeLayout, *, eps, max_ipm,
         elif Q_diag is not None:
             S = S + jnp.diag(Q_diag)
         S32 = S.astype(f32)
-        chol32 = dss.chol.astype(f32)
-        if solver == "inverse":
+        if mixed:
+            Sinv32 = dss.Sinv64.astype(f32)
+
+            def solve32(r32):
+                return Sinv32 @ r32
+        elif solver == "inverse":
             # explicit inverse: one f32 matmul per apply instead of two
             # triangular solves (MXU-friendly; same trick as the LP driver,
             # accuracy restored by the anchored IR against S)
@@ -235,6 +249,8 @@ def _device_solve_qcp(A, b, c, Q_diag, layout: ConeLayout, *, eps, max_ipm,
             def solve32(r32):
                 return Sinv32 @ r32
         else:
+            chol32 = dss.chol.astype(f32)
+
             def solve32(r32):
                 return jax.scipy.linalg.cho_solve((chol32, True), r32)
 
@@ -298,12 +314,16 @@ def _device_solve_qcp(A, b, c, Q_diag, layout: ConeLayout, *, eps, max_ipm,
             raise ValueError("engine='sprint' supports diagonal (or no) Q")
         cdk = cone_kernel_data(layout, _pad128(n))
         if woodbury:
-            Minv32s = jax.scipy.linalg.cho_solve(
-                (dss.cholG, True), jnp.eye(m, dtype=dtype)).astype(f32)
+            Minv32s = (dss.Ginv64.astype(f32) if mixed
+                       else jax.scipy.linalg.cho_solve(
+                           (dss.cholG, True),
+                           jnp.eye(m, dtype=dtype)).astype(f32))
             Hinv32s = dss.H_inv.astype(f32)
         else:
-            Minv32s = jax.scipy.linalg.cho_solve(
-                (dss.chol, True), jnp.eye(n, dtype=dtype)).astype(f32)
+            Minv32s = (dss.Sinv64.astype(f32) if mixed
+                       else jax.scipy.linalg.cho_solve(
+                           (dss.chol, True),
+                           jnp.eye(n, dtype=dtype)).astype(f32))
             Hinv32s = jnp.zeros((n,), f32)
         rvec32 = r_vec.astype(f32)
         b32s = b.astype(f32)
