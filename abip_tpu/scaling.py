@@ -181,13 +181,30 @@ def equilibrate_conic(A, Q, b, c, layout, settings):
             Q = Q / (E * E) if q_diag else Q / E[None, :] / E[:, None]
         return A, Q, D_hat * D, E_hat * E
 
+    # The scaling-factor loop runs in f32: each pass rewrites the full
+    # matrix (11 full (m, n) elementwise passes at ruiz_iter=10), which
+    # in f64 is software-emulated on v5e and dominated the conic
+    # device-route per-call setup (~1-2 s at dim-1020 B=16).  Scalings
+    # are equilibration HEURISTICS -- 3 significant digits is plenty --
+    # so the factors are accumulated in f32 and applied ONCE to the f64
+    # data at the end (one f64 pass instead of 11).
+    A_it, Q_it = A.astype(jnp.float32), (
+        None if Q is None else Q.astype(jnp.float32))
+    D32 = D_hat.astype(jnp.float32)
+    E32 = E_hat.astype(jnp.float32)
     if settings.pc_ruiz_rescale:  # ruiz_scaling in the conic reference
         for _ in range(settings.ruiz_iter):
-            A, Q, D_hat, E_hat = one_pass(A, Q, D_hat, E_hat, "inf")
+            A_it, Q_it, D32, E32 = one_pass(A_it, Q_it, D32, E32, "inf")
     if settings.origin_rescale:
-        A, Q, D_hat, E_hat = one_pass(A, Q, D_hat, E_hat, "l2")
+        A_it, Q_it, D32, E32 = one_pass(A_it, Q_it, D32, E32, "l2")
     if settings.qp_rescale:  # pc_scaling slot in the conic reference
-        A, Q, D_hat, E_hat = one_pass(A, Q, D_hat, E_hat, "l1")
+        A_it, Q_it, D32, E32 = one_pass(A_it, Q_it, D32, E32, "l1")
+    D_hat = D32.astype(dtype)
+    E_hat = E32.astype(dtype)
+    A = A / E_hat[None, :] / D_hat[:, None]
+    if Q is not None:
+        Q = Q / (E_hat * E_hat) if q_diag else \
+            Q / E_hat[None, :] / E_hat[:, None]
 
     b = b / D_hat * (sc_b * settings.scale)
     c = c / E_hat * (sc_c * settings.scale)
@@ -267,21 +284,31 @@ def equilibrate(A: jnp.ndarray, settings) -> tuple[jnp.ndarray, ScalingData]:
     accumulated D/E plus the mean row/col norms used by b/c normalization.
     """
     m, n = A.shape
-    D = jnp.ones((m,), A.dtype)
-    E = jnp.ones((n,), A.dtype)
+    # scaling-factor passes in f32 (heuristics: 3 digits is plenty), ONE
+    # f64 application at the end -- each pass rewrites the full matrix,
+    # and ~13 f64 elementwise passes are software-emulated on v5e (same
+    # optimization as equilibrate_conic; D/E/trajectory differences are
+    # in the scalings' low bits only)
+    A_it = A.astype(jnp.float32)
+    D = jnp.ones((m,), jnp.float32)
+    E = jnp.ones((n,), jnp.float32)
 
     if settings.pc_ruiz_rescale:
-        A, Dp, Ep = _pc_pass(A)
+        A_it, Dp, Ep = _pc_pass(A_it)
         D, E = D * Dp, E * Ep
     if settings.origin_rescale:
-        A, Do, Eo = _origin_pass(A)
+        A_it, Do, Eo = _origin_pass(A_it)
         D, E = D * Do, E * Eo
     if settings.pc_ruiz_rescale:
-        A, Dr, Er = _ruiz_pass(A, settings.ruiz_iter)
+        A_it, Dr, Er = _ruiz_pass(A_it, settings.ruiz_iter)
         D, E = D * Dr, E * Er
     if settings.qp_rescale:
-        A, Dq, Eq = _qp_pass(A)
+        A_it, Dq, Eq = _qp_pass(A_it)
         D, E = D * Dq, E * Eq
+
+    D = D.astype(A.dtype)
+    E = E.astype(A.dtype)
+    A = A / E[None, :] / D[:, None]
 
     mean_norm_row = jnp.mean(jnp.linalg.norm(A, axis=1))
     mean_norm_col = jnp.mean(jnp.linalg.norm(A, axis=0))

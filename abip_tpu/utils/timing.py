@@ -23,3 +23,35 @@ def sync(tree):
     numpy pytree.  The only reliable execution barrier on the axon
     remote backend (see module docstring)."""
     return jax.device_get(tree)
+
+
+def sync_packed(tree):
+    """Like `sync`, but delivers the whole tree in ONE device->host
+    transfer.
+
+    `jax.device_get` fetches one leaf per RPC; through the remote
+    tunnel each fetch costs ~35-60 ms of latency, so a 15-leaf result
+    pytree pays ~0.5-0.9 s regardless of size (profiled on the conic
+    batch result: 101 ms of device compute vs 945 ms of fetch).  Here
+    every leaf is raveled, cast to f64 (exact for int32/bool counts),
+    and concatenated ON DEVICE (async dispatches -- nothing blocks
+    until the single value read), then split/reshaped/recast on host.
+    On directly-attached backends this is a wash; through the tunnel it
+    replaces N latency hits with one."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    if not leaves:
+        return tree
+    arrs = [jnp.asarray(x) for x in leaves]
+    packed = jnp.concatenate(
+        [x.ravel().astype(jnp.float64) for x in arrs]) \
+        if len(arrs) > 1 else arrs[0].ravel().astype(jnp.float64)
+    flat = np.asarray(packed)
+    out, off = [], 0
+    for x in arrs:
+        k = int(np.prod(x.shape)) if x.shape else 1
+        out.append(flat[off:off + k].reshape(x.shape).astype(x.dtype))
+        off += k
+    return jax.tree_util.tree_unflatten(treedef, out)

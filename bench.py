@@ -27,9 +27,11 @@ import numpy as np
 
 
 def _bsync(tree):
-    """Value-read sync: jax.block_until_ready is a NO-OP on the
-    axon remote backend (abip_tpu.utils.timing.sync)."""
-    from abip_tpu.utils.timing import sync as _s
+    """Value-read sync in ONE transfer: jax.block_until_ready is a
+    NO-OP on the axon remote backend, and per-leaf device_get pays
+    ~35-60 ms tunnel latency PER LEAF (abip_tpu.utils.timing
+    docstrings)."""
+    from abip_tpu.utils.timing import sync_packed as _s
 
     return _s(tree)
 

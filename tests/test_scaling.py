@@ -43,11 +43,15 @@ def test_sparse_equilibrate_matches_dense(rng):
     stgs = Settings()
     Ad, scal_d = equilibrate(jnp.asarray(A), stgs)
     Asp, scal_s = equilibrate_sparse(sp.csr_matrix(A), stgs)
+    # the dense pipeline accumulates its scaling factors in f32 (they
+    # are equilibration heuristics; see the equilibrate docstring), the
+    # host sparse pipeline in f64 -- agreement is f32-grade
     np.testing.assert_allclose(np.asarray(scal_d.D), np.asarray(scal_s.D),
-                               rtol=1e-10)
+                               rtol=3e-5)
     np.testing.assert_allclose(np.asarray(scal_d.E), np.asarray(scal_s.E),
-                               rtol=1e-10)
-    np.testing.assert_allclose(Asp.toarray(), np.asarray(Ad), rtol=1e-10)
+                               rtol=3e-5)
+    np.testing.assert_allclose(Asp.toarray(), np.asarray(Ad), rtol=3e-5,
+                               atol=1e-7)
 
 
 def test_conic_equilibrate_preserves_cone_blocks(rng):
