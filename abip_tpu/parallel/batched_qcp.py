@@ -73,7 +73,7 @@ def _device_solve_qcp(A, b, c, Q_diag, layout: ConeLayout, *, eps, max_ipm,
                       normalize=False, anchor_period=100, form="auto",
                       cadence="cond", probe_period=8, scaling=None,
                       engine="steps", sprint_mu_switch=1e-3, mu_stop=0.0,
-                      init_state=None):
+                      init_state=None, k_cap=None):
     """One conic instance entirely on device (no equilibration: callers
     pre-scale, as the reference app configs do).  Dense Schur backend.
 
@@ -97,6 +97,10 @@ def _device_solve_qcp(A, b, c, Q_diag, layout: ConeLayout, *, eps, max_ipm,
             f"{inner_crit_period}, {inner_check_period}, {probe_period}")
     if cadence not in ("cond", "chunk"):
         raise ValueError(f"cadence must be 'cond' or 'chunk'; got {cadence!r}")
+    if k_cap is None:
+        kcap = jnp.asarray(max_admm, jnp.int32)
+    else:
+        kcap = jnp.minimum(jnp.asarray(k_cap, jnp.int32), max_admm)
     if engine not in ("steps", "sprint"):
         raise ValueError(f"engine must be 'steps' or 'sprint'; got {engine!r}")
     sprint = engine == "sprint"
@@ -438,7 +442,7 @@ def _device_solve_qcp(A, b, c, Q_diag, layout: ConeLayout, *, eps, max_ipm,
         def micro_cond(t):
             _u, _v, dk, err = t
             return ((err >= tol_inner) & (dk < inner_crit_period)
-                    & (s.j + dk < stage_cap) & (s.k + dk < max_admm))
+                    & (s.j + dk < stage_cap) & (s.k + dk < kcap))
 
         def micro_body(t):
             u, v, dk, _err = t
@@ -489,7 +493,7 @@ def _device_solve_qcp(A, b, c, Q_diag, layout: ConeLayout, *, eps, max_ipm,
             # from the carried f64 iterate at every chunk entry
             def icond_s(s: IC):
                 return ((s.err_inner >= o.tol_inner) & (s.status == 0)
-                        & (s.k < max_admm))
+                        & (s.k < kcap))
 
             s = jax.lax.while_loop(icond_s, lambda ss: sprint_chunk(ss, o),
                                    s)
@@ -522,7 +526,7 @@ def _device_solve_qcp(A, b, c, Q_diag, layout: ConeLayout, *, eps, max_ipm,
                 (s.j < stage_cap)
                 & (s.err_inner >= o.tol_inner)
                 & (s.status == 0)
-                & (s.k < max_admm)
+                & (s.k < kcap)
             )
 
         if chunked:
@@ -551,7 +555,7 @@ def _device_solve_qcp(A, b, c, Q_diag, layout: ConeLayout, *, eps, max_ipm,
 
     def outer_cond(o: OC):
         alive = (o.inner.status == 0) & (o.i < max_ipm) & (
-            o.inner.k < max_admm
+            o.inner.k < kcap
         )
         if mu_stop > 0.0:
             # phase-boundary exit (see batched.device_solve_lp): stop
@@ -674,7 +678,8 @@ def _solve_qcp_batch_jit(As, bs, cs, Q_diags=None, *, cones: ConeSpec,
                          anchor_period=100, form="auto",
                          cadence="chunk", probe_period=8,
                          engine="steps", sprint_mu_switch=1e-3,
-                         mu_stop=0.0, init_state=None) -> ConicDeviceResult:
+                         mu_stop=0.0, init_state=None,
+                         k_cap=None) -> ConicDeviceResult:
     """Solve a stacked batch of same-shape conic programs on device.
 
     As: (B, m, n); bs: (B, m); cs: (B, n); Q_diags: optional (B, n)
@@ -699,7 +704,7 @@ def _solve_qcp_batch_jit(As, bs, cs, Q_diags=None, *, cones: ConeSpec,
     """
     layout = ConeLayout(cones)
 
-    def one(A, b, c, qd, ist):
+    def one(A, b, c, qd, ist, kc):
         return _device_solve_qcp(
             A, b, c, qd, layout, eps=eps, max_ipm=max_ipm,
             max_admm=max_admm, alpha=alpha, rho_y=rho_y, rho_x=rho_x,
@@ -709,25 +714,27 @@ def _solve_qcp_batch_jit(As, bs, cs, Q_diags=None, *, cones: ConeSpec,
             normalize=normalize, anchor_period=anchor_period, form=form,
             cadence=cadence, probe_period=probe_period,
             engine=engine, sprint_mu_switch=sprint_mu_switch,
-            mu_stop=mu_stop, init_state=ist,
+            mu_stop=mu_stop, init_state=ist, k_cap=kc,
         )
+
+    if k_cap is not None:
+        k_cap = jnp.asarray(k_cap, jnp.int32)
 
     # HIGHEST matmul precision: the TPU MXU rounds f32 matmul operands
     # to bf16 at DEFAULT precision, breaking the anchored-delta error
     # budget of the mixed mode (see device_solve_lp's docstring for the
     # measured straggler pathology this caused on the LP side)
     with jax.default_matmul_precision("highest"):
-        if Q_diags is None and init_state is None:
-            return jax.vmap(lambda A, b, c: one(A, b, c, None, None))(
-                As, bs, cs)
-        if Q_diags is None:
-            return jax.vmap(lambda A, b, c, *ist: one(A, b, c, None, ist))(
-                As, bs, cs, *init_state)
-        if init_state is None:
-            return jax.vmap(lambda A, b, c, qd: one(A, b, c, qd, None))(
-                As, bs, cs, Q_diags)
-        return jax.vmap(lambda A, b, c, qd, *ist: one(A, b, c, qd, ist))(
-            As, bs, cs, Q_diags, *init_state)
+        if Q_diags is None and init_state is None and k_cap is None:
+            return jax.vmap(lambda A, b, c: one(A, b, c, None, None,
+                                                None))(As, bs, cs)
+        qd_b = 0 if Q_diags is not None else None
+        kc_b = 0 if k_cap is not None else None
+        ist_b = (0,) * len(init_state) if init_state is not None else None
+        f = jax.vmap(
+            lambda A, b, c, qd, ist, kc: one(A, b, c, qd, ist, kc),
+            in_axes=(0, 0, 0, qd_b, ist_b, kc_b))
+        return f(As, bs, cs, Q_diags, init_state, k_cap)
 
 
 @partial(jax.jit, static_argnames=("cones", "eps", "max_ipm", "max_admm",

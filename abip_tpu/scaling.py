@@ -29,6 +29,20 @@ class ScalingData(NamedTuple):
     mean_norm_col: jnp.ndarray  # mean col 2-norm of the scaled A
 
 
+
+# f32 scaling-factor loops pay only at size (the full-matrix passes are
+# the cost) and ppm-level factor noise can flip marginal SMALL conic
+# instances across a stability edge (measured: an 8x20 SOC instance
+# NaN'd at 7k iterations with f32 factors, solved in 497 with f64 --
+# the factors differed by 1.6e-7 relative).  Below this element count
+# the loops stay f64 (trajectories bit-match the pre-optimization
+# behavior); above it the f32 loop saves ~1-2 s per call at dim-1020.
+_F32_SCALING_MIN_ELEMS = 1 << 18
+
+
+def _factor_dtype(A):
+    return jnp.float32 if A.size >= _F32_SCALING_MIN_ELEMS else A.dtype
+
 def _clip_col(e, n_rows):
     """Column-scale guard (`common.c:224-229`): tiny -> 1, huge -> cap."""
     lo = MIN_SCALE * jnp.sqrt(jnp.asarray(n_rows, e.dtype))
@@ -188,10 +202,10 @@ def equilibrate_conic(A, Q, b, c, layout, settings):
     # are equilibration HEURISTICS -- 3 significant digits is plenty --
     # so the factors are accumulated in f32 and applied ONCE to the f64
     # data at the end (one f64 pass instead of 11).
-    A_it, Q_it = A.astype(jnp.float32), (
-        None if Q is None else Q.astype(jnp.float32))
-    D32 = D_hat.astype(jnp.float32)
-    E32 = E_hat.astype(jnp.float32)
+    fdt = _factor_dtype(A)
+    A_it, Q_it = A.astype(fdt), (None if Q is None else Q.astype(fdt))
+    D32 = D_hat.astype(fdt)
+    E32 = E_hat.astype(fdt)
     if settings.pc_ruiz_rescale:  # ruiz_scaling in the conic reference
         for _ in range(settings.ruiz_iter):
             A_it, Q_it, D32, E32 = one_pass(A_it, Q_it, D32, E32, "inf")
@@ -289,9 +303,10 @@ def equilibrate(A: jnp.ndarray, settings) -> tuple[jnp.ndarray, ScalingData]:
     # and ~13 f64 elementwise passes are software-emulated on v5e (same
     # optimization as equilibrate_conic; D/E/trajectory differences are
     # in the scalings' low bits only)
-    A_it = A.astype(jnp.float32)
-    D = jnp.ones((m,), jnp.float32)
-    E = jnp.ones((n,), jnp.float32)
+    fdt = _factor_dtype(A)
+    A_it = A.astype(fdt)
+    D = jnp.ones((m,), fdt)
+    E = jnp.ones((n,), fdt)
 
     if settings.pc_ruiz_rescale:
         A_it, Dp, Ep = _pc_pass(A_it)

@@ -155,6 +155,46 @@ def sweep_lasso_ref_only(scale, eps, outdir, ref_bin, tlimit=2000.0,
     return out
 
 
+def solve_lasso_device(X, y, lam, eps):
+    """LASSO through the whole-solve-on-device conic driver (B=1).
+
+    The TPU route for the paper-scale grid: the dense RSOC embedding
+    (`lasso_to_conic`) solved by `solve_qcp_batch` -- Woodbury dual
+    form factors the (m+1)^2 G, so even m=5000 x n=15000 is a ~5001^2
+    factor + matmul-only iterations.  The matrix-free host driver's
+    per-CG-dispatch overhead made it ~200 s at m=1000 x n=5000 on the
+    remote TPU where this route is expected in seconds."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from abip_tpu.parallel.batched_qcp import solve_qcp_batch
+    from abip_tpu.problems.lasso import lasso_to_conic
+
+    prob = lasso_to_conic(X, y, lam)
+    res = solve_qcp_batch(
+        jnp.asarray(prob.A)[None], jnp.asarray(prob.b)[None],
+        jnp.asarray(prob.c)[None], cones=prob.cones, eps=eps,
+        precision="mixed", rho_y=1e-3, normalize=True, solver="inverse",
+        cadence="chunk", inner_crit_period=512, probe_period=8,
+        max_admm=1_000_000)
+    m = X.shape[0]
+    n = X.shape[1]
+    z = np.asarray(res.x[0])
+    w = z[2 + m:2 + m + n] - z[2 + m + n:]
+    obj = 0.5 * np.sum((X @ w - y) ** 2) + lam * np.abs(w).sum()
+
+    class _Sol:
+        status_name = ("Solved" if int(res.status[0]) == 1
+                       else f"status{int(res.status[0])}")
+        ipm_iters = int(res.ipm_iters[0])
+        admm_iters = int(res.admm_iters[0])
+        res_pri = float(res.res_pri[0])
+        res_dual = float(res.res_dual[0])
+        rel_gap = float(res.rel_gap[0])
+
+    return w, obj, _Sol()
+
+
 def sweep_lasso(scale, eps, outdir, matrix_free=False, method="abip",
                 ref_bin=None, tlimit=2000.0, oracle=True):
     from benchmarks.generate import lasso_instance
@@ -167,8 +207,17 @@ def sweep_lasso(scale, eps, outdir, matrix_free=False, method="abip",
     for m in ms:
         for n in ns:
             X, y, lam = lasso_instance(m=m, n=n, seed=m + n)
+            done = os.path.join(outdir or ".", f"lasso_m{m}_n{n}.json")
+            if outdir and os.path.exists(done):
+                with open(done) as f:
+                    rec = json.load(f)
+                out.append(rec)
+                print(json.dumps(rec) + "  # cached", flush=True)
+                continue
             t0 = time.perf_counter()
-            if method == "pdhg":
+            if method == "device":
+                w, obj, sol = solve_lasso_device(X, y, lam, eps)
+            elif method == "pdhg":
                 # first-order competitor on the same RSOC embedding
                 # (the SCS-conic column of `test_lasso.m:36-120`)
                 from abip_tpu.pdhg import solve_qcp_pdhg
@@ -261,7 +310,8 @@ def main(argv=None):
                          "test_lasso.m's m up to 5000, n up to 15000)")
     ap.add_argument("--eps", type=float, default=1e-4)
     ap.add_argument("--matrix-free", action="store_true")
-    ap.add_argument("--method", default="abip", choices=["abip", "pdhg"],
+    ap.add_argument("--method", default="abip",
+                    choices=["abip", "pdhg", "device"],
                     help="pdhg = conic restarted PDHG on the same RSOC "
                          "embedding (lasso only; the SCS-conic column)")
     ap.add_argument("--ref-only", action="store_true",
