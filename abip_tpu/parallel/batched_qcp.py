@@ -642,24 +642,80 @@ def _solve_qcp_batch_twophase(As, bs, cs, Q_diags=None, *,
     kw.pop("init_state", None)
     kw.setdefault("cadence", "chunk")
     kw.setdefault("solver", "inverse")
+    # phase-2 straggler COMPACTION (LP twophase analogue): the conic
+    # endgame holds ~97% of the iterations (the mu ladder passes the
+    # 1e-3 switch after ~32), and one straggler lane taxes the whole
+    # vmapped batch in lockstep (measured max-lane 7x the mean at
+    # dim-1020).  Capped rounds of `compact_period` iterations retire
+    # finished lanes into power-of-two buckets between rounds; the caps
+    # also bound each device execution (the remote worker kills
+    # executions around ~60-100 s).  compact_period=0 disables.
+    compact_period = kw.pop("compact_period", 2048)
     r1 = _solve_qcp_batch_jit(
         As, bs, cs, Q_diags, engine="sprint",
         sprint_mu_switch=sprint_mu_switch, mu_stop=sprint_mu_switch, **kw)
     done1 = np.asarray(r1.status) != 0
     if done1.all():
         return r1
-    init = (r1.u_raw, r1.v_raw, r1.mu, r1.tol_inner, r1.admm_iters,
-            r1.ipm_iters, r1.status)
-    r2 = _solve_qcp_batch_jit(As, bs, cs, Q_diags, engine="steps",
-                              init_state=init, **kw)
-    d = jnp.asarray(done1)
 
-    def pick(a1, a2):
-        if a1 is None:
-            return a2
-        return jnp.where(d.reshape(d.shape + (1,) * (a1.ndim - 1)), a1, a2)
+    def _resume(r):
+        return (r.u_raw, r.v_raw, r.mu, r.tol_inner, r.admm_iters,
+                r.ipm_iters, r.status)
 
-    return ConicDeviceResult(*[pick(a1, a2) for a1, a2 in zip(r1, r2)])
+    if not compact_period:
+        init = _resume(r1)
+        r2 = _solve_qcp_batch_jit(As, bs, cs, Q_diags, engine="steps",
+                                  init_state=init, **kw)
+        d = jnp.asarray(done1)
+
+        def pick(a1, a2):
+            if a1 is None:
+                return a2
+            return jnp.where(d.reshape(d.shape + (1,) * (a1.ndim - 1)),
+                             a1, a2)
+
+        return ConicDeviceResult(*[pick(a1, a2) for a1, a2 in zip(r1, r2)])
+
+    max_admm = kw.get("max_admm", 100_000)
+    max_ipm = kw.get("max_ipm", 200)
+    As_n, bs_n, cs_n = jax.device_get((As, bs, cs))
+    Qd_n = None if Q_diags is None else np.asarray(jax.device_get(Q_diags))
+    out = [np.array(f) for f in jax.device_get(r1)]
+    state = [np.array(t) for t in jax.device_get(_resume(r1))]
+    _K, _I = 4, 5                    # admm_iters / ipm_iters slots
+    active = np.where(~done1)[0]
+
+    def _bucket(size):
+        b = 4
+        while b < size:
+            b *= 2
+        return b
+
+    while active.size:
+        nb = _bucket(active.size)
+        idx = active[np.arange(nb) % active.size]
+        caps = np.minimum(state[_K][idx] + compact_period,
+                          max_admm).astype(np.int32)
+        prev_k = state[_K][active].copy()
+        prev_i = state[_I][active].copy()
+        r2 = ConicDeviceResult(*jax.device_get(_solve_qcp_batch_jit(
+            As_n[idx], bs_n[idx], cs_n[idx],
+            None if Qd_n is None else Qd_n[idx], engine="steps",
+            init_state=tuple(s[idx] for s in state), k_cap=caps,
+            **kw)))
+        live = np.arange(active.size)
+        fin = ((r2.status[live] != 0)
+               | (r2.admm_iters[live] >= max_admm)
+               | (r2.ipm_iters[live] >= max_ipm)
+               | ((r2.admm_iters[live] <= prev_k)
+                  & (r2.ipm_iters[live] <= prev_i)))
+        for f_out, f_new in zip(out, r2):
+            f_out[active[fin]] = f_new[live][fin]
+        keep = ~fin
+        for s_arr, f_new in zip(state, _resume(r2)):
+            s_arr[active[keep]] = np.asarray(f_new)[live][keep]
+        active = active[keep]
+    return ConicDeviceResult(*[jnp.asarray(f) for f in out])
 
 
 @partial(jax.jit, static_argnames=("cones", "eps", "max_ipm", "max_admm",

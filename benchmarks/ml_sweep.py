@@ -171,12 +171,32 @@ def solve_lasso_device(X, y, lam, eps):
     from abip_tpu.problems.lasso import lasso_to_conic
 
     prob = lasso_to_conic(X, y, lam)
-    res = solve_qcp_batch(
-        jnp.asarray(prob.A)[None], jnp.asarray(prob.b)[None],
-        jnp.asarray(prob.c)[None], cones=prob.cones, eps=eps,
-        precision="mixed", rho_y=1e-3, normalize=True, solver="inverse",
-        cadence="chunk", inner_crit_period=512, probe_period=8,
-        max_admm=1_000_000)
+    kw = dict(cones=prob.cones, eps=eps, precision="mixed", rho_y=1e-3,
+              normalize=True, solver="inverse", cadence="chunk",
+              inner_crit_period=512, probe_period=8, max_admm=1_000_000)
+    Ab = jnp.asarray(prob.A)[None]
+    bb = jnp.asarray(prob.b)[None]
+    cb = jnp.asarray(prob.c)[None]
+    # capped resume rounds: the remote TPU worker kills executions
+    # around ~60-100 s, so each device call runs at most `chunk` ADMM
+    # iterations (adapted toward ~20 s/round) and resumes from the
+    # returned state
+    chunk = 256 if X.shape[0] <= 2000 else 96
+    st, k, prev_k = None, 0, -1
+    while True:
+        t0 = time.perf_counter()
+        res = solve_qcp_batch(
+            Ab, bb, cb, init_state=st,
+            k_cap=np.asarray([k + chunk], np.int32), **kw)
+        status = int(np.asarray(res.status)[0])
+        k = int(np.asarray(res.admm_iters)[0])
+        if status != 0 or k >= kw["max_admm"] or k <= prev_k:
+            break
+        prev_k = k
+        st = (res.u_raw, res.v_raw, res.mu, res.tol_inner,
+              res.admm_iters, res.ipm_iters, res.status)
+        round_s = max(time.perf_counter() - t0, 1e-3)
+        chunk = int(min(4096, max(64, chunk * 20.0 / round_s)))
     m = X.shape[0]
     n = X.shape[1]
     z = np.asarray(res.x[0])
