@@ -694,8 +694,11 @@ def _solve_qcp_batch_twophase(As, bs, cs, Q_diags=None, *,
     while active.size:
         nb = _bucket(active.size)
         idx = active[np.arange(nb) % active.size]
-        caps = np.minimum(state[_K][idx] + compact_period,
-                          max_admm).astype(np.int32)
+        # SHARED scalar cap (a per-lane cap array wedges the remote
+        # compile at large shapes -- see _solve_qcp_batch_jit): every
+        # active lane runs to the same total-iteration rung
+        caps = np.int32(min(int(state[_K][active].max()) + compact_period,
+                            max_admm))
         prev_k = state[_K][active].copy()
         prev_i = state[_I][active].copy()
         r2 = ConicDeviceResult(*jax.device_get(_solve_qcp_batch_jit(
@@ -775,6 +778,11 @@ def _solve_qcp_batch_jit(As, bs, cs, Q_diags=None, *, cones: ConeSpec,
 
     if k_cap is not None:
         k_cap = jnp.asarray(k_cap, jnp.int32)
+        # a PER-LANE (batched) cap wedges the remote Mosaic/XLA compile
+        # at large shapes (reproduced 3x at the LASSO m=1000 embedding:
+        # batched cap never returned from compile, scalar cap compiled
+        # in 44 s) -- callers should pass a shared scalar cap; both are
+        # supported
 
     # HIGHEST matmul precision: the TPU MXU rounds f32 matmul operands
     # to bf16 at DEFAULT precision, breaking the anchored-delta error
@@ -785,7 +793,7 @@ def _solve_qcp_batch_jit(As, bs, cs, Q_diags=None, *, cones: ConeSpec,
             return jax.vmap(lambda A, b, c: one(A, b, c, None, None,
                                                 None))(As, bs, cs)
         qd_b = 0 if Q_diags is not None else None
-        kc_b = 0 if k_cap is not None else None
+        kc_b = (0 if (k_cap is not None and k_cap.ndim) else None)
         ist_b = (0,) * len(init_state) if init_state is not None else None
         f = jax.vmap(
             lambda A, b, c, qd, ist, kc: one(A, b, c, qd, ist, kc),

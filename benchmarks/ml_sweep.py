@@ -187,7 +187,7 @@ def solve_lasso_device(X, y, lam, eps):
         t0 = time.perf_counter()
         res = solve_qcp_batch(
             Ab, bb, cb, init_state=st,
-            k_cap=np.asarray([k + chunk], np.int32), **kw)
+            k_cap=np.int32(k + chunk), **kw)
         status = int(np.asarray(res.status)[0])
         k = int(np.asarray(res.admm_iters)[0])
         if status != 0 or k >= kw["max_admm"] or k <= prev_k:
