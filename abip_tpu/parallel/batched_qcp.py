@@ -650,7 +650,14 @@ def _solve_qcp_batch_twophase(As, bs, cs, Q_diags=None, *,
     # finished lanes into power-of-two buckets between rounds; the caps
     # also bound each device execution (the remote worker kills
     # executions around ~60-100 s).  compact_period=0 disables.
-    compact_period = kw.pop("compact_period", 2048)
+    # default OFF at B<=32: each compaction round re-runs the per-call
+    # setup (equilibration + factor chain, ~0.8 s at dim-1020) and can
+    # hit un-warmed bucket-shape compiles inside the timed path --
+    # measured 8.6-13.5 s vs 3.4 s whole-batch at B=16 (r04 v3 capture).
+    # Pass compact_period>0 explicitly for big batches or watchdog-
+    # sensitive large shapes.
+    compact_period = kw.pop("compact_period",
+                            2048 if As.shape[0] > 32 else 0)
     r1 = _solve_qcp_batch_jit(
         As, bs, cs, Q_diags, engine="sprint",
         sprint_mu_switch=sprint_mu_switch, mu_stop=sprint_mu_switch, **kw)
