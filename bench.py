@@ -360,20 +360,20 @@ def _emit(out):
     recorded = {}
     here = os.path.dirname(os.path.abspath(__file__))
     for key, path, field in (
-        ("conic_dim204_device_pool_vs_ref",
-         "benchmarks/results/r02_conic_throughput.json",
-         ("device_pool", "vs_reference")),
+        ("conic_dim1020_sprint2_vs_ref",
+         "benchmarks/results/r04_conic_dim1020_v4.json",
+         ("batched_sprint2", "wall_speedup_vs_ref_same")),
         ("conic_dim1020_device_pool_vs_ref",
          "benchmarks/results/r02_conic_throughput_dim1020.json",
          ("device_pool", "vs_reference")),
         ("lp_m500_n5000_device_pool_wall_vs_ref",
          "benchmarks/results/r02_lp_throughput_m500.json",
          ("device_pool", "wall_speedup_vs_reference")),
-        ("conic_dim2040_device_pool_vs_ref",
-         "benchmarks/results/r02_conic_throughput_dim2040.json",
-         ("device_pool", "vs_reference")),
-        ("pagerank_1m_solve_sec",
-         "benchmarks/results/r02_pagerank/pagerank@1000000-0.json",
+        ("lasso_paper_sgm10_speedup",
+         "benchmarks/results/r04_ml_lasso_paper_table.json",
+         (None, "sgm10_speedup")),
+        ("pagerank_1e5_tpu_solve_sec",
+         "benchmarks/results/r04_pagerank_tpu/pagerank@100000-0.json",
          (None, "time")),
         ("qp_fullQ_dim612_device_pool_vs_ref",
          "benchmarks/results/r02_qp_throughput_dim612.json",

@@ -275,6 +275,37 @@ def main(argv=None):
     return _batched_sections(args, out, insts, cones, jnp, solve_qcp_batch)
 
 
+
+def _ref_on_instances(ref_bin, eps, insts):
+    """Serial reference wall/iters on EXACTLY these instances (the
+    same-instance honest ratio -- fresh draws vary ~2-4x in difficulty,
+    so a fixed-draw reference column under/over-states the ratio)."""
+    if not os.path.exists(ref_bin):
+        return None
+    it_ref = t_ref = 0.0
+    solved = 0
+    for name, A, b, c, cn, Q, _ in insts:
+        with tempfile.NamedTemporaryFile(suffix=".bin", delete=False) as f:
+            Qm = (np.diag(Q) if (Q is not None and Q.ndim == 1) else Q)
+            export_conic(f.name, A, b, c, cn, Q=Qm)
+            path = f.name
+        try:
+            raw = subprocess.run(
+                [ref_bin, path, str(eps)], capture_output=True,
+                text=True, check=True).stdout.strip().splitlines()[-1]
+            raw = re.sub(r"\b-inf\b", "-Infinity", raw)
+            raw = re.sub(r"\binf\b", "Infinity", raw)
+            raw = re.sub(r"\bnan\b", "NaN", raw)
+            r = json.loads(raw)
+        finally:
+            os.unlink(path)
+        it_ref += r["admm"]
+        t_ref += r["time_sec"]
+        solved += r["status"].startswith("Solved")
+    return {"wall_sec": round(t_ref, 3), "total_admm": int(it_ref),
+            "solved": solved}
+
+
 def _batched_sections(args, out, insts, cones, jnp, solve_qcp_batch):
     """Batched device driver sections: steps (one program for the
     suite) and, for conic families, the two-phase sprint2 engine
@@ -335,7 +366,7 @@ def _batched_sections(args, out, insts, cones, jnp, solve_qcp_batch):
             dt = time.perf_counter() - t0
             its = int(np.asarray(rb.admm_iters).sum())
             rounds.append((its / dt, its, dt,
-                           bool((np.asarray(rb.status) == 1).all())))
+                           bool((np.asarray(rb.status) == 1).all()), fr))
         rounds.sort(key=lambda r: r[0])
         med = rounds[(len(rounds) - 1) // 2]
         out["batched_sprint2"] = {
@@ -345,6 +376,17 @@ def _batched_sections(args, out, insts, cones, jnp, solve_qcp_batch):
             "rounds": [{"rate": round(r[0], 1), "wall": round(r[2], 3),
                         "solved": r[3]} for r in rounds],
         }
+        # honest same-instance head-to-head: the reference binary on the
+        # MEDIAN round's exact draws (LP bench methodology)
+        ref_same = _ref_on_instances(args.ref_bin, args.eps, med[4])
+        if ref_same:
+            out["batched_sprint2"].update(
+                ref_same_instances=ref_same,
+                wall_speedup_vs_ref_same=round(
+                    ref_same["wall_sec"] / med[2], 2),
+                iters_rate_vs_ref_same=round(
+                    med[0] / (ref_same["total_admm"]
+                              / max(ref_same["wall_sec"], 1e-9)), 2))
 
     _finish(out, args)
     return out
