@@ -428,14 +428,14 @@ def _bench_inner():
     # /tmp sweep in session log): criterion every 16th, average candidate
     # every 20th iteration
     kw["solver"] = os.environ.get("ABIP_BENCH_SOLVER", "inverse")
-    # criterion cadence: host-measured optimum is 16; on TPU the chunked
-    # f64 residual check (software-emulated f64 on v5e) dominates the
-    # batched chunk, and the r02 sweeps measured gains up to q=768
-    # (B=16 honest rounds: q=128 5.4x, q=256 10.3x, q=512 12.0x,
-    # q=768 16-17.6x, q=1024 14.7x; r02_tpu_sweep_pass3-5.json) with
-    # every lane still solving to 1e-6 and instance throughput rising
-    # alongside (5.0 -> ~11 instances/s)
-    default_qres = "16" if jax.default_backend() == "cpu" else "768"
+    # criterion cadence: host-measured optimum is 16; on TPU each chunk
+    # exit pays the f64 residual check + (delta engine) anchor rebuild,
+    # so larger chunks win: honest delta-engine rounds at B=16 measured
+    # q=768 67-74k it/s, q=1536 81-88k / 20-24 inst/s, q=3072 96-116k
+    # it/s but with iteration inflation and a weaker instance rate --
+    # 1536 is the balanced default (r04 probes, /tmp/bsweep_q*.json
+    # summarized in docs/performance.md)
+    default_qres = "16" if jax.default_backend() == "cpu" else "1536"
     kw["qres_period"] = int(os.environ.get("ABIP_BENCH_QRES", default_qres))
     kw["avg_period"] = int(os.environ.get("ABIP_BENCH_AVG", "20"))
 
