@@ -182,3 +182,20 @@ def test_delta_kernel_interpret_matches_ref():
     for a, bb in zip(ref, ker):
         np.testing.assert_allclose(np.asarray(a), np.asarray(bb),
                                    rtol=2e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("engine", ["steps", "delta"])
+def test_delta_engine_certificates(engine):
+    """Infeasible/unbounded detection must survive the engine swap
+    (`abip.c:1565-1576` certificate classification)."""
+    kw = dict(eps=1e-6, max_ipm=200, max_admm=200_000, solver="inverse",
+              qres_period=768, avg_period=20, precision="mixed",
+              cadence="chunk", engine=engine)
+    A = jnp.asarray([[1.0, 1.0], [1.0, 1.0]])
+    r = device_solve_lp(A, jnp.asarray([1.0, 3.0]),
+                        jnp.asarray([1.0, 1.0]), **kw)
+    assert int(r.status) == -2          # infeasible
+    A2 = jnp.asarray([[1.0, -1.0]])
+    r2 = device_solve_lp(A2, jnp.asarray([0.0]),
+                         jnp.asarray([-1.0, 0.0]), **kw)
+    assert int(r2.status) == -1         # unbounded
