@@ -101,9 +101,13 @@ def _device_solve_qcp(A, b, c, Q_diag, layout: ConeLayout, *, eps, max_ipm,
         kcap = jnp.asarray(max_admm, jnp.int32)
     else:
         kcap = jnp.minimum(jnp.asarray(k_cap, jnp.int32), max_admm)
-    if engine not in ("steps", "sprint"):
-        raise ValueError(f"engine must be 'steps' or 'sprint'; got {engine!r}")
+    if engine not in ("steps", "sprint", "delta"):
+        raise ValueError(
+            f"engine must be 'steps', 'sprint', or 'delta'; got {engine!r}")
     sprint = engine == "sprint"
+    delta_eng = engine == "delta"
+    if delta_eng and cadence != "chunk":
+        raise ValueError("engine='delta' requires cadence='chunk'")
     if sprint:
         # the fused kernel replaces the whole inner chunk; it is pure
         # f32, so it only runs phase-1 style -- above the mu switch,
@@ -310,12 +314,13 @@ def _device_solve_qcp(A, b, c, Q_diag, layout: ConeLayout, *, eps, max_ipm,
     r_vec = jnp.concatenate([r_y, r_x])
     a_coef = rho_tau + jnp.dot(rho[: m + n] * r_vec, r_vec)
 
-    if sprint:
+    if sprint or delta_eng:
         from ..ops.conic_pallas import (_pad128, cone_kernel_data,
                                         fused_dr_sprint_stop)
 
         if full_Q:
-            raise ValueError("engine='sprint' supports diagonal (or no) Q")
+            raise ValueError(
+                f"engine={engine!r} supports diagonal (or no) Q")
         cdk = cone_kernel_data(layout, _pad128(n))
         if woodbury:
             Minv32s = (dss.Ginv64.astype(f32) if mixed
@@ -334,6 +339,19 @@ def _device_solve_qcp(A, b, c, Q_diag, layout: ConeLayout, *, eps, max_ipm,
         c32s = c.astype(f32)
         Qd32s = (Q_diag.astype(f32) if Q_diag is not None
                  else jnp.zeros((n,), f32))
+        if delta_eng:
+            # padded operand blocks for the delta chunk (loop-invariant)
+            _mp_d, _np_d = _pad128(m), _pad128(n)
+            A32p_d = jnp.zeros((_mp_d, _np_d), f32).at[:m, :n].set(A32)
+            if woodbury:
+                Minv32p_d = jnp.zeros((_mp_d, _mp_d), f32).at[
+                    :m, :m].set(Minv32s)
+                Hinv32p_d = jnp.zeros((1, _np_d), f32).at[0, :n].set(
+                    Hinv32s)
+            else:
+                Minv32p_d = jnp.zeros((_np_d, _np_d), f32).at[
+                    :n, :n].set(Minv32s)
+                Hinv32p_d = jnp.zeros((1, _np_d), f32)
 
     def residuals(u, v_origin, prev, mv, rmv):
         return conic_ops.conic_residuals(
@@ -482,20 +500,44 @@ def _device_solve_qcp(A, b, c, Q_diag, layout: ConeLayout, *, eps, max_ipm,
         return IC(u=u, v=v, v_origin=v_origin, j=s.j + t_done, k=k,
                   err_inner=err.astype(dtype), status=st, res=r)
 
+    def delta_chunk(s: IC, o: "OC"):
+        """One anchored-delta chunk (`ops/conic_delta.py`): up to
+        inner_crit_period f32 delta iterations from a fresh f64 anchor,
+        then ONE f64 residual/status check -- the conic endgame at LP
+        delta-engine economy."""
+        from ..ops.conic_delta import run_conic_delta_chunk
+
+        probe = min(probe_period, inner_crit_period)
+        res_d = run_conic_delta_chunk(
+            A, solve_fn, Q_diag if Q_diag is not None else None,
+            r_vec[:m], r_vec[m:], b, c, a_coef, rho_y, rho_x, rho_tau,
+            o.mu, alpha, o.tol_inner, s.u, s.v, s.err_inner,
+            layout, cdk, A32p_d, Minv32p_d, Hinv32p_d, woodbury,
+            T=inner_crit_period, probe=probe)
+        u = res_d.u
+        v = res_d.v
+        v_origin = rho * v
+        k = s.k + res_d.t_done
+        r = residuals(u, v_origin, s.res, mv64, rmv64)
+        st = converged(r, (o.i > 0) & (k > 0))
+        return IC(u=u, v=v, v_origin=v_origin, j=s.j + res_d.t_done,
+                  k=k, err_inner=res_d.err, status=st, res=r)
+
     def outer_body(o: OC):
         s = o.inner._replace(
             j=jnp.zeros((), jnp.int32),
             err_inner=jnp.full((), jnp.inf, dtype),
             status=jnp.zeros((), jnp.int32),
         )
-        if sprint:
+        if sprint or delta_eng:
             # no per-stage anchors: the kernel re-derives its f32 state
             # from the carried f64 iterate at every chunk entry
             def icond_s(s: IC):
                 return ((s.err_inner >= o.tol_inner) & (s.status == 0)
                         & (s.k < kcap))
 
-            s = jax.lax.while_loop(icond_s, lambda ss: sprint_chunk(ss, o),
+            chunk_fn = delta_chunk if delta_eng else sprint_chunk
+            s = jax.lax.while_loop(icond_s, lambda ss: chunk_fn(ss, o),
                                    s)
             r = residuals(s.u, s.v_origin, s.res, mv64, rmv64)
             st = jnp.where(s.status != 0, s.status,
@@ -642,6 +684,12 @@ def _solve_qcp_batch_twophase(As, bs, cs, Q_diags=None, *,
     kw.pop("init_state", None)
     kw.setdefault("cadence", "chunk")
     kw.setdefault("solver", "inverse")
+    # endgame="delta": finish unfinished lanes with the anchored-delta
+    # conic engine (`ops/conic_delta.py`) instead of anchored-f64 steps
+    endgame = kw.pop("endgame", "steps")
+    if endgame not in ("steps", "delta"):
+        raise ValueError(f"endgame must be 'steps' or 'delta'; "
+                         f"got {endgame!r}")
     # phase-2 straggler COMPACTION (LP twophase analogue): the conic
     # endgame holds ~97% of the iterations (the mu ladder passes the
     # 1e-3 switch after ~32), and one straggler lane taxes the whole
@@ -671,8 +719,10 @@ def _solve_qcp_batch_twophase(As, bs, cs, Q_diags=None, *,
 
     if not compact_period:
         init = _resume(r1)
-        r2 = _solve_qcp_batch_jit(As, bs, cs, Q_diags, engine="steps",
-                                  init_state=init, **kw)
+        r2 = _solve_qcp_batch_jit(
+            As, bs, cs, Q_diags,
+            engine="delta" if endgame == "delta" else "steps",
+            init_state=init, **kw)
         d = jnp.asarray(done1)
 
         def pick(a1, a2):
@@ -710,7 +760,8 @@ def _solve_qcp_batch_twophase(As, bs, cs, Q_diags=None, *,
         prev_i = state[_I][active].copy()
         r2 = ConicDeviceResult(*jax.device_get(_solve_qcp_batch_jit(
             As_n[idx], bs_n[idx], cs_n[idx],
-            None if Qd_n is None else Qd_n[idx], engine="steps",
+            None if Qd_n is None else Qd_n[idx],
+            engine="delta" if endgame == "delta" else "steps",
             init_state=tuple(s[idx] for s in state), k_cap=caps,
             **kw)))
         live = np.arange(active.size)
