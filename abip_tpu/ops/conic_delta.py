@@ -162,7 +162,9 @@ def _soc_delta(a0, bsq0, da, dbsq, lam):
     dD = dden + dR
     dr = (16.0 * (a0 + a) * da - r0 * dD) / D
     ddisc = (r0 + r + 8.0) * dr / (disc + disc0 + _TINY)
-    sgn = jnp.where(a > 0, 1.0, -1.0)
+    # f32 literals: two bare Python floats in where() promote to
+    # f64 under x64 and crash Mosaic layout inference (832e64d)
+    sgn = jnp.where(a > 0, jnp.float32(1.0), jnp.float32(-1.0))
     ds = (dr + sgn * ddisc) / 2.0
     # eta = a + 2a/s  ->  d = da + 2 (da s0 - a0 ds) / (s s0)
     d_eta = da + 2.0 * (da * s0_safe - a0 * ds) / (s_safe * s0_safe)
@@ -239,13 +241,9 @@ def _rsoc_delta(ze0, zn0, zx0, dze, dzn, dzx, lam):
 
     neg0 = d0 < 0
     negc = d_c < 0
-    w0 = jnp.where(neg0, w_neg0, (gp0 - 4.0 + S0) / 2.0)
-    wc = jnp.where(negc, Nu0 + 0.0, 0.0)  # placeholder; use chain values
+    w_abs0 = jnp.where(neg0, w_neg0, (gp0 - 4.0 + S0) / 2.0)
     dw = jnp.where(neg0 & negc, dw_neg,
                    jnp.where((~neg0) & (~negc), dw_pos, jnp.nan))
-    # recompute absolute w for fallbacks and downstream anchors
-    # (cheap: reuse the same formulas)
-    w_abs0 = w0
     w_absc = jnp.where(negc, (2.0 * sumc * sumc / lam) / gnc
                        / (1.0 + 4.0 / gnc + hc),
                        (gpc - 4.0 + Sc) / 2.0)

@@ -684,9 +684,12 @@ def _solve_qcp_batch_twophase(As, bs, cs, Q_diags=None, *,
     kw.pop("init_state", None)
     kw.setdefault("cadence", "chunk")
     kw.setdefault("solver", "inverse")
-    # endgame="delta": finish unfinished lanes with the anchored-delta
-    # conic engine (`ops/conic_delta.py`) instead of anchored-f64 steps
-    endgame = kw.pop("endgame", "steps")
+    # endgame="delta" (default): finish unfinished lanes with the
+    # anchored-delta conic engine (`ops/conic_delta.py`) -- measured
+    # 3.35x same-instance wall vs the reference at dim-1020 (steps
+    # endgame: 1.49x), trajectory-identical counts on the CPU parity
+    # batch.  endgame="steps" restores the anchored-f64 path.
+    endgame = kw.pop("endgame", "delta")
     if endgame not in ("steps", "delta"):
         raise ValueError(f"endgame must be 'steps' or 'delta'; "
                          f"got {endgame!r}")

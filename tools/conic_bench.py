@@ -350,6 +350,9 @@ def _batched_sections(args, out, insts, cones, jnp, solve_qcp_batch):
     # -- ours: batched sprint2 (fused conic DR kernel phase 1) ------------
     if not args.qp:
         kws = dict(kw, inner_crit_period=512, probe_period=8)
+        eg = os.environ.get("ABIP_CONIC_ENDGAME")
+        if eg:
+            kws["endgame"] = eg
         rb = solve_qcp_batch(As, bs, cs, None, engine="sprint2", **kws)
         _bsync(rb)      # compile/warm off the clock
         salt = (int(time.time()) % 1_000_000) * 100
