@@ -361,7 +361,7 @@ def _emit(out):
     here = os.path.dirname(os.path.abspath(__file__))
     for key, path, field in (
         ("conic_dim1020_sprint2_vs_ref",
-         "benchmarks/results/r04_conic_dim1020_v4.json",
+         "benchmarks/results/r04_conic_dim1020_delta.json",
          ("batched_sprint2", "wall_speedup_vs_ref_same")),
         ("conic_dim1020_device_pool_vs_ref",
          "benchmarks/results/r02_conic_throughput_dim1020.json",
