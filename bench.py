@@ -366,9 +366,9 @@ def _emit(out):
         ("conic_dim1020_device_pool_vs_ref",
          "benchmarks/results/r02_conic_throughput_dim1020.json",
          ("device_pool", "vs_reference")),
-        ("lp_m500_n5000_device_pool_wall_vs_ref",
-         "benchmarks/results/r02_lp_throughput_m500.json",
-         ("device_pool", "wall_speedup_vs_reference")),
+        ("lp_m500_n5000_tpu_wall_vs_ref",
+         "benchmarks/results/r04_lp_m500_tpu.json",
+         (None, "wall_speedup_vs_ref_same")),
         ("lasso_paper_sgm10_speedup",
          "benchmarks/results/r04_ml_lasso_paper_table.json",
          (None, "sgm10_speedup")),
