@@ -88,6 +88,11 @@ def main(argv=None):
                     help="solve each class as ONE vmapped program "
                          "(solve_qcp_batch, mixed precision + built-in "
                          "equilibration)")
+    ap.add_argument("--engine", default="steps",
+                    choices=["steps", "sprint2", "delta"],
+                    help="batched device engine (sprint2 = fused phase 1 "
+                         "+ delta endgame default; delta = single-phase "
+                         "anchored-delta)")
     ap.add_argument("--method", default="admm", choices=["admm", "pdhg"],
                     help="pdhg = the conic restarted-PDHG competitor "
                          "(solve_qcp_pdhg) under the same KKT contract")
@@ -140,9 +145,14 @@ def main(argv=None):
             # ~300k where the host driver took 270k).
             Qs = (jnp.asarray(np.stack([t[4] for t in insts]))
                   if is_qp else None)
+            # full (2-D) Q forces the steps engine (the fused phase-1
+            # sprint and delta kernels take diagonal Q only)
+            eng = ("steps" if (Qs is not None and Qs.ndim == 3)
+                   else args.engine)
             rb = solve_qcp_batch(As, bs, cs, Qs, cones=cones, eps=args.eps,
                                  precision="mixed", normalize=True,
-                                 rho_y=1e-3, max_admm=1_000_000)
+                                 rho_y=1e-3, max_admm=1_000_000,
+                                 engine=eng)
             batch_wall = time.perf_counter() - t0
         for i in range(args.per_class):
             name, A, b, c, Q, pobj_star = insts[i]
