@@ -278,7 +278,13 @@ def _device_solve_lp_impl(A, b, c, *, eps=1e-6, max_ipm=200, max_admm=200_000,
             Ninv64_delta.astype(f32))
 
         def solve64_delta(rhs):
-            return Ninv64_delta @ rhs
+            # explicit-inverse application is not backward stable
+            # (`linsys/schur._ir_apply`): one f64 vector-IR step against
+            # N64 restores backward stability for cond(N) beyond the
+            # ~1e3 Newton budget at the cost of two f64 matvecs per
+            # anchor solve (per-chunk, not per-iteration -- negligible)
+            z = Ninv64_delta @ rhs
+            return z + Ninv64_delta @ (rhs - N64 @ z)
 
         # every f64 solve in this engine rides the Newton inverse, so
         # the f64 Cholesky/trisolve ops above become dead code (XLA DCE)
@@ -849,14 +855,20 @@ def _vmapped_solver(opts_key):
 
 @_lru_cache(maxsize=128)
 def _vmapped_resume_solver(opts_key):
-    """Cached phase-2/resume variant (9-tuple init_state + traced cap)."""
+    """Cached phase-2/resume variant (9-tuple init_state + traced cap).
+
+    The cap is a SHARED SCALAR broadcast over lanes (vmap in_axes=None):
+    per-lane traced cap arrays wedge the remote Mosaic/XLA compile at
+    large shapes (reproduced 3x on the conic path -- see
+    `batched_qcp._solve_qcp_batch_jit` and CLAUDE.md)."""
     opts = dict(opts_key)
     return jax.jit(jax.vmap(
         lambda A, b, c, u0, v0, mu0, k0, i0, st0, us0, vs0, sj0, kc:
         device_solve_lp(
             A, b, c,
             init_state=(u0, v0, mu0, k0, i0, st0, us0, vs0, sj0),
-            k_cap=kc, **opts)))
+            k_cap=kc, **opts),
+        in_axes=(0,) * 12 + (None,)))
 
 
 def solve_lp_batch(As, bs, cs, mesh=None, **kw) -> DeviceSolveResult:
@@ -969,7 +981,7 @@ def _solve_lp_batch_twophase(As, bs, cs, mesh=None, **kw) -> DeviceSolveResult:
         # 8 s/round compacted vs 1.5-5.8 s whole-batch)
         r2 = fn2(As, bs, cs, r1.u_raw, r1.v_raw, r1.mu, r1.admm_iters,
                  r1.ipm_iters, r1.status, r1.u_sum_raw, r1.v_sum_raw,
-                 r1.sj, jnp.full(As.shape[0], max_admm, jnp.int32))
+                 r1.sj, jnp.asarray(max_admm, jnp.int32))
         d = jnp.asarray(done1)
 
         def pick(a1, a2):
@@ -999,8 +1011,11 @@ def _solve_lp_batch_twophase(As, bs, cs, mesh=None, **kw) -> DeviceSolveResult:
         # pad the bucket with copies of active lanes (content is
         # irrelevant for cost: every lane pays every trip under vmap)
         idx = active[np.arange(nb) % active.size]
-        caps = np.minimum(state[_K][idx] + compact_period,
-                          max_admm).astype(np.int32)
+        # SHARED scalar cap (per-lane cap arrays wedge the remote compile
+        # at large shapes; matches the conic compaction loop): every
+        # active lane runs to the same total-iteration rung
+        caps = np.int32(min(int(state[_K][active].max()) + compact_period,
+                            max_admm))
         prev_k = state[_K][active].copy()
         prev_i = state[_I][active].copy()
         r2 = DeviceSolveResult(*jax.device_get(fn2(

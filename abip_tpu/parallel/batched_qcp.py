@@ -108,6 +108,15 @@ def _device_solve_qcp(A, b, c, Q_diag, layout: ConeLayout, *, eps, max_ipm,
     delta_eng = engine == "delta"
     if delta_eng and cadence != "chunk":
         raise ValueError("engine='delta' requires cadence='chunk'")
+    if delta_eng and init_state is None:
+        # the conic delta chunk does NOT implement the first-iteration
+        # tau_t := 1 special case (`source/abip.c:186-254`; see
+        # conic_delta_anchor's NOTE) -- it is an ENDGAME entered at
+        # k > 0.  A cold start would silently diverge from the
+        # reference trajectory on iteration 0.
+        raise ValueError(
+            "engine='delta' is an endgame: pass init_state from a prior "
+            "steps/sprint phase (cold start lacks the k=0 tau_t=1 case)")
     if sprint:
         # the fused kernel replaces the whole inner chunk; it is pure
         # f32, so it only runs phase-1 style -- above the mu switch,

@@ -41,16 +41,27 @@ def sync_packed(tree):
     import numpy as np
     import jax.numpy as jnp
 
+    if not jax.config.x64_enabled:
+        # Without x64, jnp.float64 silently means float32 and the packing
+        # would corrupt f64/int32 leaves; plain device_get stays exact.
+        return sync(tree)
+
     leaves, treedef = jax.tree_util.tree_flatten(tree)
     if not leaves:
         return tree
     arrs = [jnp.asarray(x) for x in leaves]
-    packed = jnp.concatenate(
-        [x.ravel().astype(jnp.float64) for x in arrs]) \
-        if len(arrs) > 1 else arrs[0].ravel().astype(jnp.float64)
-    flat = np.asarray(packed)
+    # f64 packing is exact for f32/f64/int32/bool but lossy for 64-bit
+    # ints above 2^53 -- route those leaves through plain device_get.
+    packable = [x.dtype.itemsize < 8 or jnp.issubdtype(x.dtype, jnp.floating)
+                for x in arrs]
+    pk = [x for x, ok in zip(arrs, packable) if ok]
+    flat = np.asarray(jnp.concatenate([x.ravel().astype(jnp.float64) for x in pk])) \
+        if pk else np.zeros((0,))
     out, off = [], 0
-    for x in arrs:
+    for x, ok in zip(arrs, packable):
+        if not ok:
+            out.append(jax.device_get(x))
+            continue
         k = int(np.prod(x.shape)) if x.shape else 1
         out.append(flat[off:off + k].reshape(x.shape).astype(x.dtype))
         off += k

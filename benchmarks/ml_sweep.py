@@ -211,6 +211,8 @@ def solve_lasso_device(X, y, lam, eps):
         res_pri = float(res.res_pri[0])
         res_dual = float(res.res_dual[0])
         rel_gap = float(res.rel_gap[0])
+        pobj = float(res.pobj[0])
+        dobj = float(res.dobj[0])
 
     return w, obj, _Sol()
 
@@ -259,7 +261,12 @@ def sweep_lasso(scale, eps, outdir, matrix_free=False, method="abip",
                 "admm_iter": int(sol.admm_iters),
                 "pres": float(sol.res_pri), "dres": float(sol.res_dual),
                 "gap": float(sol.rel_gap),
-                "pobj": float(obj), "dobj": float(obj_star),
+                # dobj is the SOLVER's dual objective (the reference
+                # always reports one, `abip.h:139-158`); the ISTA oracle
+                # optimum travels separately as obj_star/obj_err
+                "pobj": float(obj),
+                "dobj": float(getattr(sol, "dobj", float("nan"))),
+                "obj_star": float(obj_star),
                 "obj_err": abs(obj - obj_star) / max(1.0, abs(obj_star)),
                 "time": wall,
             }
@@ -315,7 +322,26 @@ def sweep_svm(scale, eps, outdir):
     return out
 
 
+def _validate_solved(rec):
+    """A status of Solved is unclaimable without finite certificates:
+    the reference always reports a finite dual objective alongside the
+    primal (`/root/reference/src/abip-qcp/include/abip.h:139-158`).
+    Downgrade any Solved record with non-finite pobj/dobj/residuals to
+    'Unverified' so a broken extract path cannot masquerade as a win."""
+    if rec.get("status") != "Solved":
+        return rec
+    import math as _math
+
+    bad = [k for k in ("pobj", "dobj", "pres", "dres", "gap")
+           if k in rec and not _math.isfinite(float(rec[k]))]
+    if bad:
+        rec["status"] = "Unverified"
+        rec["unverified_fields"] = bad
+    return rec
+
+
 def _write(outdir, rec):
+    _validate_solved(rec)
     if outdir:
         os.makedirs(outdir, exist_ok=True)
         with open(os.path.join(outdir, f"{rec['name']}.json"), "w") as f:

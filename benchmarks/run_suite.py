@@ -514,6 +514,9 @@ def run_generated(spec, eps, outdir, batched=False, precision="f64",
 
 
 def _write(outdir, name, rec):
+    from benchmarks.ml_sweep import _validate_solved
+
+    _validate_solved(rec)
     if outdir:
         os.makedirs(outdir, exist_ok=True)
         with open(os.path.join(outdir, f"{name}.json"), "w") as f:
