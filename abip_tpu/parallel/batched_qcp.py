@@ -101,10 +101,11 @@ def _device_solve_qcp(A, b, c, Q_diag, layout: ConeLayout, *, eps, max_ipm,
         kcap = jnp.asarray(max_admm, jnp.int32)
     else:
         kcap = jnp.minimum(jnp.asarray(k_cap, jnp.int32), max_admm)
-    if engine not in ("steps", "sprint", "delta"):
-        raise ValueError(
-            f"engine must be 'steps', 'sprint', or 'delta'; got {engine!r}")
+    if engine not in ("steps", "sprint", "ladder", "delta"):
+        raise ValueError(f"engine must be 'steps', 'sprint', 'ladder', "
+                         f"or 'delta'; got {engine!r}")
     sprint = engine == "sprint"
+    ladder_eng = engine == "ladder"
     delta_eng = engine == "delta"
     if delta_eng and cadence != "chunk":
         raise ValueError("engine='delta' requires cadence='chunk'")
@@ -117,19 +118,21 @@ def _device_solve_qcp(A, b, c, Q_diag, layout: ConeLayout, *, eps, max_ipm,
         raise ValueError(
             "engine='delta' is an endgame: pass init_state from a prior "
             "steps/sprint phase (cold start lacks the k=0 tau_t=1 case)")
-    if sprint:
-        # the fused kernel replaces the whole inner chunk; it is pure
-        # f32, so it only runs phase-1 style -- above the mu switch,
-        # with the anchored steps engine taking the accuracy endgame
-        # (the two-phase driver in solve_qcp_batch wires this up)
+    if sprint or ladder_eng:
+        # the fused kernels replace the whole inner chunk (sprint) or
+        # the whole barrier ladder (ladder); both are pure f32, so they
+        # only run phase-1 style -- above the mu switch, with the
+        # anchored engines taking the accuracy endgame (the two-phase
+        # driver in solve_qcp_batch wires this up)
         if not (mu_stop and mu_stop >= sprint_mu_switch):
-            raise ValueError("engine='sprint' runs phase-1 style: pass "
+            raise ValueError(f"engine={engine!r} runs phase-1 style: pass "
                              "mu_stop >= sprint_mu_switch")
         if cadence != "chunk":
-            raise ValueError("engine='sprint' requires cadence='chunk'")
+            raise ValueError(f"engine={engine!r} requires cadence='chunk'")
         if not isinstance(layout, ConeLayout):
-            raise ValueError("engine='sprint' requires a static ConeLayout "
-                             "(heterogeneous padded layouts use steps)")
+            raise ValueError(f"engine={engine!r} requires a static "
+                             "ConeLayout (heterogeneous padded layouts "
+                             "use steps)")
     chunked = cadence == "chunk"
     dtype = A.dtype
     m, n = A.shape
@@ -323,8 +326,9 @@ def _device_solve_qcp(A, b, c, Q_diag, layout: ConeLayout, *, eps, max_ipm,
     r_vec = jnp.concatenate([r_y, r_x])
     a_coef = rho_tau + jnp.dot(rho[: m + n] * r_vec, r_vec)
 
-    if sprint or delta_eng:
+    if sprint or ladder_eng or delta_eng:
         from ..ops.conic_pallas import (_pad128, cone_kernel_data,
+                                        fused_dr_ladder,
                                         fused_dr_sprint_stop)
 
         if full_Q:
@@ -348,6 +352,8 @@ def _device_solve_qcp(A, b, c, Q_diag, layout: ConeLayout, *, eps, max_ipm,
         c32s = c.astype(f32)
         Qd32s = (Q_diag.astype(f32) if Q_diag is not None
                  else jnp.zeros((n,), f32))
+        D32s = D_s.astype(f32)
+        E32s = E_s.astype(f32)
         if delta_eng:
             # padded operand blocks for the delta chunk (loop-invariant)
             _mp_d, _np_d = _pad128(m), _pad128(n)
@@ -538,6 +544,31 @@ def _device_solve_qcp(A, b, c, Q_diag, layout: ConeLayout, *, eps, max_ipm,
             err_inner=jnp.full((), jnp.inf, dtype),
             status=jnp.zeros((), jnp.int32),
         )
+        if ladder_eng:
+            # the WHOLE barrier ladder runs inside one kernel launch
+            # (in-kernel adjust_barrier on f32 error-ratio); one f64
+            # residual/status pass per launch.  A T-cap exit returns
+            # with mu still >= mu_stop and outer_cond re-enters.
+            probe = min(probe_period, inner_crit_period)
+            u2, v2, t_done, err, mu2, tol2, stages = fused_dr_ladder(
+                A32, Minv32s, Hinv32s, rvec32, b32s, c32s, Qd32s,
+                D32s, E32s, cdk, rho_y, rho_x, rho_tau, a_coef,
+                o.mu, o.tol_inner, jnp.asarray(mu_stop, f32),
+                jnp.asarray(eps, f32), sc_b, sc_c, nm_inf_b0,
+                nm_inf_c0, alpha, s.u.astype(f32), s.v.astype(f32),
+                s.k.astype(f32), T=max(2048, inner_crit_period),
+                probe=probe, psi=float(psi), woodbury=woodbury)
+            u = u2.astype(dtype)
+            v = v2.astype(dtype)
+            v_origin = rho * v
+            k = s.k + t_done
+            r = residuals(u, v_origin, s.res, mv64, rmv64)
+            st = converged(r, (o.i > 0) & (k > 0))
+            s = s._replace(u=u, v=v, v_origin=v_origin, j=s.j + t_done,
+                           k=k, err_inner=err.astype(dtype), status=st,
+                           res=r)
+            return OC(inner=s, mu=mu2.astype(dtype),
+                      tol_inner=tol2.astype(dtype), i=o.i + stages)
         if sprint or delta_eng:
             # no per-stage anchors: the kernel re-derives its f32 state
             # from the carried f64 iterate at every chunk entry
@@ -718,8 +749,17 @@ def _solve_qcp_batch_twophase(As, bs, cs, Q_diags=None, *,
     # sensitive large shapes.
     compact_period = kw.pop("compact_period",
                             2048 if As.shape[0] > 32 else 0)
+    # phase1="ladder" (default): the whole barrier ladder in ONE kernel
+    # launch per lane (in-kernel adjust_barrier; measured 2.46 s -> one
+    # launch at dim-1020 B=16, where the per-stage sprint paid ~0.6 s of
+    # launch + f64-residual overhead per barrier stage for ~8 f32
+    # iterations of work).  phase1="sprint" restores the per-stage kernel.
+    phase1 = kw.pop("phase1", "ladder")
+    if phase1 not in ("ladder", "sprint"):
+        raise ValueError(f"phase1 must be 'ladder' or 'sprint'; "
+                         f"got {phase1!r}")
     r1 = _solve_qcp_batch_jit(
-        As, bs, cs, Q_diags, engine="sprint",
+        As, bs, cs, Q_diags, engine=phase1,
         sprint_mu_switch=sprint_mu_switch, mu_stop=sprint_mu_switch, **kw)
     done1 = np.asarray(r1.status) != 0
     if done1.all():
