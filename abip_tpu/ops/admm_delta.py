@@ -328,6 +328,8 @@ def _delta_op(T, probe, interpret):
 
     n_out_small = 7
 
+    from .spmv_pallas import vmem_params
+
     @custom_vmap
     def op(*args):
         mp, np_ = args[1].shape
@@ -345,6 +347,8 @@ def _delta_op(T, probe, interpret):
             ),
             in_specs=[vmem] * 22,
             out_specs=(vmem,) * n_out_small,
+            compiler_params=vmem_params(
+                4 * sum(int(np.prod(a.shape)) for a in args)),
             interpret=interpret,
         )(*args)
 
@@ -383,6 +387,8 @@ def _delta_op(T, probe, interpret):
             out_specs=(mat3(1, mp), mat3(1, np_), mat3(1, np_),
                        mat3(1, mp), mat3(1, np_), mat3(1, np_),
                        mat3(1, 128)),
+            compiler_params=vmem_params(
+                4 * sum(int(np.prod(a.shape[1:])) for a in args)),
             interpret=interpret,
         )(*args)
         return tuple(outs), (True,) * n_out_small
@@ -526,11 +532,13 @@ def run_delta_chunk(A64, solve64, h, g, g_th, rho_y, lam, alpha, thresh,
     per-lane stopping.  `u_sum`/`v_sum`/`sj` thread the stage-average
     accumulators (see `parallel/batched.py` C docstring for why they
     must survive chunk boundaries)."""
-    if use_pallas is None:
-        from .spmv_pallas import pallas_default
-
-        use_pallas = pallas_default()
     m, n = A64.shape
+    if use_pallas is None:
+        from .spmv_pallas import pallas_default, pallas_fits
+
+        mp, np_ = _pad128(m), _pad128(n)
+        use_pallas = pallas_default() and pallas_fits(
+            4 * (mp * np_ + mp * mp + 13 * np_ + 6 * mp))
     anc = delta_anchor(A64, solve64, h, g, g_th, rho_y, lam, alpha,
                        thresh, u, v, u_sum, v_sum, sj, qres,
                        A32p=A32p, Ninvp=Ninvp)

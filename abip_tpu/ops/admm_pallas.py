@@ -32,6 +32,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .spmv_pallas import vmem_params
+
 try:
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -362,6 +364,8 @@ def _stop_op(T, probe, interpret):
             ),
             in_specs=[vmem] * 12,
             out_specs=(vmem, vmem, vmem, vmem),
+            compiler_params=vmem_params(
+                4 * (A_p.size + Ninv_p.size + 9 * (mp + np_))),
             interpret=interpret,
         )(scal, A_p, Ninv_p, hy, hx, gy, gx, maskx, y0, x0, vy0, vx0)
 
@@ -395,6 +399,8 @@ def _stop_op(T, probe, interpret):
                       mat3(1, np_), mat3(1, mp), mat3(1, np_)],
             out_specs=(mat3(1, mp), mat3(1, np_), mat3(1, np_),
                        mat3(1, 128)),
+            compiler_params=vmem_params(
+                4 * (mp * np_ + mp * mp + 9 * (mp + np_))),
             interpret=interpret,
         )(*args)
         return tuple(outs), (True, True, True, True)
@@ -418,11 +424,13 @@ def fused_admm_sprint_stop(A32, Ninv32, h32, g32, rho_y, g_th, lam, alpha,
     Reference inner stop this implements: `abip.c:2131-2173` (the
     `iterate_Q_norm_resd < gamma*mu` break, checked every iteration).
     """
-    if use_pallas is None:
-        from .spmv_pallas import pallas_default
-
-        use_pallas = pallas_default()
     m, n = A32.shape
+    if use_pallas is None:
+        from .spmv_pallas import pallas_default, pallas_fits
+
+        _mp, _np = _pad128(m), _pad128(n)
+        use_pallas = pallas_default() and pallas_fits(
+            4 * (_mp * _np + _mp * _mp + 7 * (_mp + _np)))
     l = m + n + 1
     scalars_tuple = (
         jnp.asarray(rho_y, jnp.float32),
@@ -485,11 +493,13 @@ def fused_admm_sprint(A32, Ninv32, h32, g32, rho_y, g_th, lam, alpha,
     use_pallas=None resolves by backend (kernel on TPU, identical-math
     XLA fallback elsewhere).
     """
-    if use_pallas is None:
-        from .spmv_pallas import pallas_default
-
-        use_pallas = pallas_default()
     m, n = A32.shape
+    if use_pallas is None:
+        from .spmv_pallas import pallas_default, pallas_fits
+
+        _mp, _np = _pad128(m), _pad128(n)
+        use_pallas = pallas_default() and pallas_fits(
+            4 * (_mp * _np + _mp * _mp + 7 * (_mp + _np)))
     l = m + n + 1
     scalars = jnp.stack([
         jnp.asarray(rho_y, jnp.float32),
@@ -537,6 +547,8 @@ def fused_admm_sprint(A32, Ninv32, h32, g32, rho_y, g_th, lam, alpha,
         ),
         in_specs=[smem] + [vmem] * 10,
         out_specs=(vmem, vmem, vmem, smem),
+        compiler_params=vmem_params(
+            4 * (A_p.size + Ninv_p.size + 8 * (mp + np_))),
         interpret=interpret,
     )(scalars, A_p, Ninv_p, hy, hx, gy, gx, y0, x0, vy0, vx0)
     u_out = jnp.concatenate([y[0, :m], x[0, :n], sc[0][None]])

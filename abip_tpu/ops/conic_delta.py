@@ -54,6 +54,7 @@ try:
 except Exception:  # pragma: no cover
     _HAVE_PALLAS = False
 
+from .spmv_pallas import vmem_params
 from .conic_pallas import (ConeKernelData, _dot, _dot_t, _pad128,
                            cone_kernel_data)
 
@@ -652,11 +653,15 @@ def run_conic_delta_chunk(A64, solve_fn, Qd64, ry64, rx64, b64, c64,
                           ) -> ConicDeltaResult:
     """One anchored-delta conic chunk; vmap-able (kernel path TBD uses
     the XLA fallback under vmap until the Mosaic shells land)."""
-    if use_pallas is None:
-        from .spmv_pallas import pallas_default
-
-        use_pallas = pallas_default()
     m, n = A64.shape
+    if use_pallas is None:
+        from .spmv_pallas import pallas_default, pallas_fits
+
+        _mp, _np = _pad128(m), _pad128(n)
+        _mk = _mp if woodbury else _np
+        use_pallas = pallas_default() and pallas_fits(
+            4 * (_mp * _np + _mk * _mk
+                 + cd.Mh1.shape[0] * _np * 3 + 16 * (_mp + _np)))
     anc = conic_delta_anchor(A64, solve_fn, Qd64, ry64, rx64, b64, c64,
                              a_coef, rho_y, rho_x, rho_tau, lam, alpha,
                              thresh, u, v, q_init, layout, cd,
@@ -745,6 +750,8 @@ def _conic_delta_op(T, probe, woodbury, interpret):
             ),
             in_specs=[vmem] * len(args),
             out_specs=(vmem,) * 5,
+            compiler_params=vmem_params(
+                4 * sum(int(np.prod(a.shape)) for a in args)),
             interpret=interpret,
         )(*args)
 
@@ -770,6 +777,8 @@ def _conic_delta_op(T, probe, woodbury, interpret):
                 jax.ShapeDtypeStruct((B, 1, 128), f32),
             ),
             in_specs=specs,
+            compiler_params=vmem_params(
+                4 * sum(int(np.prod(a.shape[1:])) for a in args)),
             out_specs=(mat3(1, mp), mat3(1, np_), mat3(1, mp),
                        mat3(1, np_), mat3(1, 128)),
             interpret=interpret,

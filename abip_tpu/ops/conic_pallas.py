@@ -40,6 +40,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .spmv_pallas import vmem_params
+
 try:
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -414,6 +416,8 @@ def _dr_op(T, probe, woodbury, interpret):
             ),
             in_specs=[vmem] * len(args),
             out_specs=(vmem,) * 5,
+            compiler_params=vmem_params(
+                4 * sum(int(np.prod(a.shape)) for a in args)),
             interpret=interpret,
         )(*args)
 
@@ -441,6 +445,8 @@ def _dr_op(T, probe, woodbury, interpret):
             in_specs=specs,
             out_specs=(mat3(1, mp), mat3(1, np_), mat3(1, mp),
                        mat3(1, np_), mat3(1, 128)),
+            compiler_params=vmem_params(
+                4 * sum(int(np.prod(a.shape[1:])) for a in args)),
             interpret=interpret,
         )(*args)
         return tuple(outs), (True,) * 5
@@ -481,13 +487,16 @@ def fused_dr_sprint_stop(A32, Minv32, Hinv32, r_vec32, b32, c32, Qd32,
     Batchable: under `vmap` a custom rule launches a grid-over-
     instances kernel.
     """
-    if use_pallas is None:
-        from .spmv_pallas import pallas_default
-
-        use_pallas = pallas_default()
     m, n = A32.shape
-    l = m + n + 1
     mp, np_ = _pad128(m), _pad128(n)
+    if use_pallas is None:
+        from .spmv_pallas import pallas_default, pallas_fits
+
+        mk = mp if woodbury else np_
+        use_pallas = pallas_default() and pallas_fits(
+            4 * (mp * np_ + mk * mk
+                 + cd.Mh1.shape[0] * np_ * 3 + 12 * (mp + np_)))
+    l = m + n + 1
     if cd.maskx.shape[-1] != np_:
         raise ValueError(
             f"cone kernel data built at width {cd.maskx.shape[-1]}, "
@@ -732,6 +741,8 @@ def _ladder_op(T, probe, psi, woodbury, interpret):
             ),
             in_specs=[vmem] * len(args),
             out_specs=(vmem,) * 5,
+            compiler_params=vmem_params(
+                4 * sum(int(np.prod(a.shape)) for a in args)),
             interpret=interpret,
         )(*args)
 
@@ -759,6 +770,8 @@ def _ladder_op(T, probe, psi, woodbury, interpret):
             in_specs=specs,
             out_specs=(mat3(1, mp), mat3(1, np_), mat3(1, mp),
                        mat3(1, np_), mat3(1, 128)),
+            compiler_params=vmem_params(
+                4 * sum(int(np.prod(a.shape[1:])) for a in args)),
             interpret=interpret,
         )(*args)
         return tuple(outs), (True,) * 5
@@ -783,13 +796,16 @@ def fused_dr_ladder(A32, Minv32, Hinv32, r_vec32, b32, c32, Qd32, D32, E32,
     (the equilibration scalings, for the in-kernel f32 error-ratio) and
     the (mu, tol_inner, mu_stop, eps, sc_b, sc_c, nm_inf_b, nm_inf_c)
     scalars.  Returns (u, v, t_done, err, mu, tol_inner, stages)."""
-    if use_pallas is None:
-        from .spmv_pallas import pallas_default
-
-        use_pallas = pallas_default()
     m, n = A32.shape
-    l = m + n + 1
     mp, np_ = _pad128(m), _pad128(n)
+    if use_pallas is None:
+        from .spmv_pallas import pallas_default, pallas_fits
+
+        mk = mp if woodbury else np_
+        use_pallas = pallas_default() and pallas_fits(
+            4 * (mp * np_ + mk * mk
+                 + cd.Mh1.shape[0] * np_ * 3 + 12 * (mp + np_)))
+    l = m + n + 1
     if cd.maskx.shape[-1] != np_:
         raise ValueError(
             f"cone kernel data built at width {cd.maskx.shape[-1]}, "

@@ -129,6 +129,49 @@ def _bcsr_kernel(cols_ref, data_ref, x_ref, out_ref):
     out_ref[0, 0, :] += y[:, 0]
 
 
+def vmem_params(per_step_bytes):
+    """CompilerParams raising the scoped-VMEM budget for kernels whose
+    resident operand set exceeds the compiler's 16 MiB default.
+
+    v5e's PHYSICAL VMEM is 128 MiB -- measured (r5): a 96 MiB VMEM
+    operand loads and computes fine once `vmem_limit_bytes` is raised.
+    The 16 MiB default had been mistaken for a hardware ceiling and
+    forced the beyond-VMEM LP shapes (m=500 x n=5000 up) off the delta
+    engine onto the steps fallback.  Returns None (compiler default)
+    for small operand sets; otherwise a budget of ~2.2x the per-grid-
+    step operand bytes (double-buffering headroom) capped at 110 MiB.
+    """
+    # ~2.8x operands + 4 MiB: just above the scheduler's MINIMAL plan
+    # (double-buffered grid operands + loop carries + matmul scratch;
+    # measured 31.1 MiB against 11.7 MiB of operands at m=500 x n=5000)
+    # but BELOW the next buffering quantum -- given 41.6 MiB the Mosaic
+    # scheduler prefetched ~6 grid steps and demanded 74.5 MiB, so a
+    # generous budget re-OOMs itself.  Cap at 110 MiB of the 128 MiB
+    # physical VMEM.
+    need = int(per_step_bytes * 2.8) + (4 << 20)
+    if need <= (16 << 20):
+        return None
+    from jax.experimental.pallas import tpu as _pltpu
+
+    return _pltpu.CompilerParams(vmem_limit_bytes=min(need, 110 << 20))
+
+
+# Per-lane operand-set budget for the fused VMEM kernels.  Above this,
+# the grid-over-instances kernels hit the Mosaic scoped-VMEM stack
+# planner's non-monotonic buffering: at m=500 x n=5000 (11.7 MiB of
+# operands) it demanded 31.1 MiB under a 28.6 MiB limit and 74.5 MiB
+# under 35-42 MiB limits -- raising the budget makes it prefetch MORE
+# grid steps and re-OOM.  Large shapes route to the XLA fallback
+# (identical math, HBM-streamed matmuls) instead.
+PALLAS_OPBYTES_SAFE = 6 << 20
+
+
+def pallas_fits(op_bytes) -> bool:
+    """True when a fused kernel's per-lane operand set is small enough
+    for the VMEM-resident Pallas path (see PALLAS_OPBYTES_SAFE)."""
+    return int(op_bytes) <= PALLAS_OPBYTES_SAFE
+
+
 def pallas_default() -> bool:
     """Use the Pallas kernels when compiling for a real TPU backend.
 

@@ -66,6 +66,29 @@ class _AnchorQ(NamedTuple):
     Szx0: jnp.ndarray   # S64 @ zx0 (for anchored iterative refinement)
 
 
+class PreparedConic(NamedTuple):
+    """Cached per-instance setup: equilibrated data + Schur factors +
+    the tau-quadratic precompute, all as vmappable ARRAYS so repeated
+    calls (resume rounds, compaction buckets, warm re-solves) skip the
+    setup chain entirely.  Build with `prepare_conic_batch`; pass via
+    `solve_qcp_batch(..., prepared=...)`.  The dss pytree's static aux
+    (mode, form) fixes the solver/form for every consuming call."""
+
+    A: jnp.ndarray          # scaled
+    b: jnp.ndarray
+    c: jnp.ndarray
+    Q_diag: jnp.ndarray     # scaled (None when no quadratic term)
+    D: jnp.ndarray
+    E: jnp.ndarray
+    sc_b: jnp.ndarray
+    sc_c: jnp.ndarray
+    nm_inf_b0: jnp.ndarray  # inf-norms of the ORIGINAL data
+    nm_inf_c0: jnp.ndarray
+    dss: DenseSchurSolver   # registered pytree (factors as leaves)
+    r_vec: jnp.ndarray      # K^-1(-b; c) (`pre_calculate`)
+    a_coef: jnp.ndarray
+
+
 def _device_solve_qcp(A, b, c, Q_diag, layout: ConeLayout, *, eps, max_ipm,
                       max_admm, alpha, rho_y, rho_x, rho_tau, psi,
                       inner_check_period, precision="f64", ir_steps=1,
@@ -73,7 +96,7 @@ def _device_solve_qcp(A, b, c, Q_diag, layout: ConeLayout, *, eps, max_ipm,
                       normalize=False, anchor_period=100, form="auto",
                       cadence="cond", probe_period=8, scaling=None,
                       engine="steps", sprint_mu_switch=1e-3, mu_stop=0.0,
-                      init_state=None, k_cap=None):
+                      init_state=None, k_cap=None, prepared=None):
     """One conic instance entirely on device (no equilibration: callers
     pre-scale, as the reference app configs do).  Dense Schur backend.
 
@@ -134,10 +157,24 @@ def _device_solve_qcp(A, b, c, Q_diag, layout: ConeLayout, *, eps, max_ipm,
                              "ConeLayout (heterogeneous padded layouts "
                              "use steps)")
     chunked = cadence == "chunk"
+    if prepared is not None:
+        if normalize or scaling is not None:
+            raise ValueError("prepared already carries the scaling; do "
+                             "not also pass normalize=True or scaling=")
+        A, b, c, Q_diag = prepared.A, prepared.b, prepared.c, prepared.Q_diag
+        scaling = (prepared.D, prepared.E, prepared.sc_b, prepared.sc_c,
+                   prepared.nm_inf_b0, prepared.nm_inf_c0)
     dtype = A.dtype
     m, n = A.shape
     l = m + n + 1
     mixed = precision == "mixed"
+    if prepared is not None:
+        want_mode = "newton" if mixed else "chol"
+        if prepared.dss.mode != want_mode:
+            raise ValueError(
+                f"prepared factors were built mode={prepared.dss.mode!r} "
+                f"but precision={precision!r} needs {want_mode!r}: call "
+                "prepare_conic_batch with the same precision")
 
     # inf-norms of ORIGINAL data (`init_work`, `source/abip.c:873-874`)
     nm_inf_b0 = jnp.max(jnp.abs(b)) if m else jnp.zeros((), dtype)
@@ -189,7 +226,10 @@ def _device_solve_qcp(A, b, c, Q_diag, layout: ConeLayout, *, eps, max_ipm,
     # Solutions are identical up to roundoff; setup drops from O(n^3/3)
     # to O(m^2 n + m^3/3) and the f64 stage-anchor solves shrink 9x at
     # m = n/3 (f64 trisolves are the emulated-precision hot spot on v5e).
-    if form == "auto":
+    if prepared is not None:
+        # the prepared factors fix the form (static pytree aux)
+        woodbury = prepared.dss.form == "woodbury"
+    elif form == "auto":
         # Woodbury's extra per-apply products are cheaper than the n^2
         # primal apply only when m is well under n; on equal footing the
         # primal form has fewer ops in the loop body (matters on CPU,
@@ -209,9 +249,10 @@ def _device_solve_qcp(A, b, c, Q_diag, layout: ConeLayout, *, eps, max_ipm,
     # (mode="newton"): the f64 Cholesky + n (or m) software-emulated f64
     # trisolves of the explicit-inverse build were the dominant per-call
     # setup cost on v5e (see linsys.schur._newton_inverse)
-    dss = DenseSchurSolver(A, Q_diag, rho[:m], rho[m : m + n],
-                           mode="newton" if mixed else "chol",
-                           form="woodbury" if woodbury else "primal")
+    dss = prepared.dss if prepared is not None else DenseSchurSolver(
+        A, Q_diag, rho[:m], rho[m : m + n],
+        mode="newton" if mixed else "chol",
+        form="woodbury" if woodbury else "primal")
 
     def solve_fn(w_y, w_x, k, warm):
         return dss.solve(w_y, w_x)
@@ -322,9 +363,13 @@ def _device_solve_qcp(A, b, c, Q_diag, layout: ConeLayout, *, eps, max_ipm,
 
         return amv, armv, anchored_solve
 
-    r_y, r_x, _ = solve_fn(-b, c, -1, None)
-    r_vec = jnp.concatenate([r_y, r_x])
-    a_coef = rho_tau + jnp.dot(rho[: m + n] * r_vec, r_vec)
+    if prepared is not None:
+        r_vec = prepared.r_vec
+        a_coef = prepared.a_coef
+    else:
+        r_y, r_x, _ = solve_fn(-b, c, -1, None)
+        r_vec = jnp.concatenate([r_y, r_x])
+        a_coef = rho_tau + jnp.dot(rho[: m + n] * r_vec, r_vec)
 
     if sprint or ladder_eng or delta_eng:
         from ..ops.conic_pallas import (_pad128, cone_kernel_data,
@@ -758,8 +803,20 @@ def _solve_qcp_batch_twophase(As, bs, cs, Q_diags=None, *,
     if phase1 not in ("ladder", "sprint"):
         raise ValueError(f"phase1 must be 'ladder' or 'sprint'; "
                          f"got {phase1!r}")
+    # prepare setup ONCE (equilibration + factors + r-vector) and share
+    # it across phase 1, phase 2, and every compaction round -- each
+    # otherwise re-runs the whole chain per call
+    prep = kw.pop("prepared", None)
+    if prep is None and kw.get("normalize"):
+        prep = prepare_conic_batch(
+            As, bs, cs, Q_diags, cones=kw["cones"],
+            rho_y=kw.get("rho_y", 1e-6), rho_x=kw.get("rho_x", 1.0),
+            rho_tau=kw.get("rho_tau", 1.0),
+            precision=kw.get("precision", "f64"),
+            form=kw.get("form", "auto"), normalize=True)
+        kw = dict(kw, normalize=False)
     r1 = _solve_qcp_batch_jit(
-        As, bs, cs, Q_diags, engine=phase1,
+        As, bs, cs, Q_diags, engine=phase1, prepared=prep,
         sprint_mu_switch=sprint_mu_switch, mu_stop=sprint_mu_switch, **kw)
     done1 = np.asarray(r1.status) != 0
     if done1.all():
@@ -774,7 +831,7 @@ def _solve_qcp_batch_twophase(As, bs, cs, Q_diags=None, *,
         r2 = _solve_qcp_batch_jit(
             As, bs, cs, Q_diags,
             engine="delta" if endgame == "delta" else "steps",
-            init_state=init, **kw)
+            init_state=init, prepared=prep, **kw)
         d = jnp.asarray(done1)
 
         def pick(a1, a2):
@@ -815,6 +872,8 @@ def _solve_qcp_batch_twophase(As, bs, cs, Q_diags=None, *,
             None if Qd_n is None else Qd_n[idx],
             engine="delta" if endgame == "delta" else "steps",
             init_state=tuple(s[idx] for s in state), k_cap=caps,
+            prepared=(None if prep is None
+                      else jax.tree.map(lambda a: a[idx], prep)),
             **kw)))
         live = np.arange(active.size)
         fin = ((r2.status[live] != 0)
@@ -848,7 +907,7 @@ def _solve_qcp_batch_jit(As, bs, cs, Q_diags=None, *, cones: ConeSpec,
                          cadence="chunk", probe_period=8,
                          engine="steps", sprint_mu_switch=1e-3,
                          mu_stop=0.0, init_state=None,
-                         k_cap=None) -> ConicDeviceResult:
+                         k_cap=None, prepared=None) -> ConicDeviceResult:
     """Solve a stacked batch of same-shape conic programs on device.
 
     As: (B, m, n); bs: (B, m); cs: (B, n); Q_diags: optional (B, n)
@@ -873,7 +932,7 @@ def _solve_qcp_batch_jit(As, bs, cs, Q_diags=None, *, cones: ConeSpec,
     """
     layout = ConeLayout(cones)
 
-    def one(A, b, c, qd, ist, kc):
+    def one(A, b, c, qd, ist, kc, prep):
         return _device_solve_qcp(
             A, b, c, qd, layout, eps=eps, max_ipm=max_ipm,
             max_admm=max_admm, alpha=alpha, rho_y=rho_y, rho_x=rho_x,
@@ -883,7 +942,7 @@ def _solve_qcp_batch_jit(As, bs, cs, Q_diags=None, *, cones: ConeSpec,
             normalize=normalize, anchor_period=anchor_period, form=form,
             cadence=cadence, probe_period=probe_period,
             engine=engine, sprint_mu_switch=sprint_mu_switch,
-            mu_stop=mu_stop, init_state=ist, k_cap=kc,
+            mu_stop=mu_stop, init_state=ist, k_cap=kc, prepared=prep,
         )
 
     if k_cap is not None:
@@ -899,16 +958,80 @@ def _solve_qcp_batch_jit(As, bs, cs, Q_diags=None, *, cones: ConeSpec,
     # budget of the mixed mode (see device_solve_lp's docstring for the
     # measured straggler pathology this caused on the LP side)
     with jax.default_matmul_precision("highest"):
-        if Q_diags is None and init_state is None and k_cap is None:
+        if (Q_diags is None and init_state is None and k_cap is None
+                and prepared is None):
             return jax.vmap(lambda A, b, c: one(A, b, c, None, None,
-                                                None))(As, bs, cs)
+                                                None, None))(As, bs, cs)
         qd_b = 0 if Q_diags is not None else None
         kc_b = (0 if (k_cap is not None and k_cap.ndim) else None)
         ist_b = (0,) * len(init_state) if init_state is not None else None
+        pr_b = 0 if prepared is not None else None
         f = jax.vmap(
-            lambda A, b, c, qd, ist, kc: one(A, b, c, qd, ist, kc),
-            in_axes=(0, 0, 0, qd_b, ist_b, kc_b))
-        return f(As, bs, cs, Q_diags, init_state, k_cap)
+            lambda A, b, c, qd, ist, kc, prep: one(A, b, c, qd, ist, kc,
+                                                   prep),
+            in_axes=(0, 0, 0, qd_b, ist_b, kc_b, pr_b))
+        return f(As, bs, cs, Q_diags, init_state, k_cap, prepared)
+
+
+@partial(jax.jit, static_argnames=("cones", "rho_y", "rho_x", "rho_tau",
+                                   "precision", "form", "normalize"))
+def prepare_conic_batch(As, bs, cs, Q_diags=None, *, cones: ConeSpec,
+                        rho_y=1e-6, rho_x=1.0, rho_tau=1.0,
+                        precision="f64", form="auto",
+                        normalize=True) -> PreparedConic:
+    """Build the per-instance setup ONCE: equilibration, Schur factors,
+    and the tau-quadratic precompute (`pre_calculate`,
+    `source/abip.c:886-910`) as a vmappable `PreparedConic` batch.
+
+    Pass the result to `solve_qcp_batch(..., prepared=...)` (with
+    matching rho/precision/form kwargs and normalize=False implied):
+    resume rounds, compaction buckets, and warm re-solves then skip the
+    whole setup chain instead of re-running it per call."""
+    layout = ConeLayout(cones)
+    mixed = precision == "mixed"
+
+    def one(A, b, c, Q_diag):
+        m, n = A.shape
+        dtype = A.dtype
+        nm_b = jnp.max(jnp.abs(b)) if m else jnp.zeros((), dtype)
+        nm_c = jnp.max(jnp.abs(c))
+        if normalize:
+            from ..qcp import conic_defaults
+            from ..scaling import equilibrate_conic
+
+            A2, Q2, b2, c2, scal = equilibrate_conic(
+                A, Q_diag, b, c, layout, conic_defaults())
+            D, E = scal.D, scal.E
+            sc_b, sc_c = scal.sc_b, scal.sc_c
+        else:
+            A2, Q2, b2, c2 = A, Q_diag, b, c
+            D = jnp.ones((m,), dtype)
+            E = jnp.ones((n,), dtype)
+            sc_b = jnp.ones((), dtype)
+            sc_c = jnp.ones((), dtype)
+        full_Q = Q2 is not None and Q2.ndim == 2
+        if form == "auto":
+            woodbury = 2 * m <= n and not full_Q
+        else:
+            woodbury = form == "woodbury"
+        dss = DenseSchurSolver(A2, Q2, jnp.full((m,), rho_y, dtype),
+                               jnp.full((n,), rho_x, dtype),
+                               mode="newton" if mixed else "chol",
+                               form="woodbury" if woodbury else "primal")
+        r_y, r_x, _ = dss.solve(-b2, c2)
+        r_vec = jnp.concatenate([r_y, r_x])
+        rho_vec = jnp.concatenate([jnp.full((m,), rho_y, dtype),
+                                   jnp.full((n,), rho_x, dtype)])
+        a_coef = rho_tau + jnp.dot(rho_vec * r_vec, r_vec)
+        return PreparedConic(A=A2, b=b2, c=c2, Q_diag=Q2, D=D, E=E,
+                             sc_b=sc_b, sc_c=sc_c, nm_inf_b0=nm_b,
+                             nm_inf_c0=nm_c, dss=dss, r_vec=r_vec,
+                             a_coef=a_coef)
+
+    with jax.default_matmul_precision("highest"):
+        if Q_diags is None:
+            return jax.vmap(lambda A, b, c: one(A, b, c, None))(As, bs, cs)
+        return jax.vmap(one)(As, bs, cs, Q_diags)
 
 
 @partial(jax.jit, static_argnames=("cones", "eps", "max_ipm", "max_admm",

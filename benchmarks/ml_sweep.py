@@ -155,50 +155,86 @@ def sweep_lasso_ref_only(scale, eps, outdir, ref_bin, tlimit=2000.0,
     return out
 
 
+def _lasso_embed_device(Xj, yj, lam):
+    """The RSOC embedding of `lasso_to_conic` built ON DEVICE: only X
+    travels through the tunnel (~8 MB/s), never the (m+1) x (2+m+2n)
+    reformulated matrix."""
+    import jax.numpy as jnp
+
+    m, n = Xj.shape
+    p, q = m + 1, 2 + m + 2 * n
+    A = jnp.zeros((p, q), Xj.dtype)
+    A = A.at[0, 0].set(1.0)
+    A = A.at[1:, 2 : 2 + m].set(jnp.eye(m, dtype=Xj.dtype))
+    A = A.at[1:, 2 + m : 2 + m + n].set(Xj)
+    A = A.at[1:, 2 + m + n :].set(-Xj)
+    b = jnp.concatenate([jnp.ones((1,), Xj.dtype), yj])
+    c = jnp.zeros((q,), Xj.dtype).at[1].set(1.0).at[2 + m :].set(lam)
+    return A, b, c
+
+
 def solve_lasso_device(X, y, lam, eps):
     """LASSO through the whole-solve-on-device conic driver (B=1).
 
     The TPU route for the paper-scale grid: the dense RSOC embedding
-    (`lasso_to_conic`) solved by `solve_qcp_batch` -- Woodbury dual
-    form factors the (m+1)^2 G, so even m=5000 x n=15000 is a ~5001^2
-    factor + matmul-only iterations.  The matrix-free host driver's
-    per-CG-dispatch overhead made it ~200 s at m=1000 x n=5000 on the
-    remote TPU where this route is expected in seconds."""
+    (built on device by `_lasso_embed_device`) through the ladder
+    phase 1 + anchored-delta endgame, with the setup chain
+    (equilibration + Woodbury (m+1)^2 Newton factor + r-vector) paid
+    ONCE via `prepare_conic_batch` and shared by every capped resume
+    round (the remote TPU worker kills executions around ~60-100 s).
+    The r04 route re-ran setup per round and lost 6x to the host."""
+    import jax
     import jax.numpy as jnp
     import numpy as np
 
-    from abip_tpu.parallel.batched_qcp import solve_qcp_batch
-    from abip_tpu.problems.lasso import lasso_to_conic
+    from abip_tpu import ConeSpec
+    from abip_tpu.parallel.batched_qcp import (_solve_qcp_batch_jit,
+                                               prepare_conic_batch)
+    from abip_tpu.utils.timing import sync
 
-    prob = lasso_to_conic(X, y, lam)
-    kw = dict(cones=prob.cones, eps=eps, precision="mixed", rho_y=1e-3,
-              normalize=True, solver="inverse", cadence="chunk",
+    m, n = X.shape
+    cones = ConeSpec(rsoc=(2 + m,), nonneg=2 * n)
+    Xj = jnp.asarray(X)
+    yj = jnp.asarray(y)
+    sync(jnp.sum(Xj) + jnp.sum(yj))         # stage the upload off-clock
+
+    @jax.jit
+    def embed(Xd, yd):
+        A, b, c = _lasso_embed_device(Xd, yd, lam)
+        return A[None], b[None], c[None]
+
+    t0 = time.perf_counter()
+    Ab, bb, cb = embed(Xj, yj)
+    prep = prepare_conic_batch(Ab, bb, cb, cones=cones, rho_y=1e-3,
+                               precision="mixed", normalize=True)
+    kw = dict(cones=cones, eps=eps, precision="mixed", rho_y=1e-3,
+              normalize=False, solver="inverse", cadence="chunk",
               inner_crit_period=512, probe_period=8, max_admm=1_000_000)
-    Ab = jnp.asarray(prob.A)[None]
-    bb = jnp.asarray(prob.b)[None]
-    cb = jnp.asarray(prob.c)[None]
-    # capped resume rounds: the remote TPU worker kills executions
-    # around ~60-100 s, so each device call runs at most `chunk` ADMM
-    # iterations (adapted toward ~20 s/round) and resumes from the
-    # returned state
-    chunk = 256 if X.shape[0] <= 2000 else 96
-    st, k, prev_k = None, 0, -1
-    while True:
-        t0 = time.perf_counter()
-        res = solve_qcp_batch(
-            Ab, bb, cb, init_state=st,
-            k_cap=np.int32(k + chunk), **kw)
+    # phase 1: the in-kernel barrier ladder to the mu switch
+    res = _solve_qcp_batch_jit(Ab, bb, cb, None, engine="ladder",
+                               prepared=prep, sprint_mu_switch=1e-3,
+                               mu_stop=1e-3, **kw)
+    st = (res.u_raw, res.v_raw, res.mu, res.tol_inner,
+          res.admm_iters, res.ipm_iters, res.status)
+    status = int(np.asarray(res.status)[0])
+    k = int(np.asarray(res.admm_iters)[0])
+    setup_p1_s = time.perf_counter() - t0
+    # phase 2: capped anchored-delta resume rounds (adapted toward
+    # ~25 s/round, SCALAR caps -- per-lane cap arrays wedge the remote
+    # compile at these shapes)
+    chunk, prev_k = 2048, -1
+    while status == 0 and k < kw["max_admm"] and k > prev_k:
+        prev_k = k
+        t1 = time.perf_counter()
+        res = _solve_qcp_batch_jit(
+            Ab, bb, cb, None, engine="delta", prepared=prep,
+            init_state=st, k_cap=np.int32(k + chunk), **kw)
         status = int(np.asarray(res.status)[0])
         k = int(np.asarray(res.admm_iters)[0])
-        if status != 0 or k >= kw["max_admm"] or k <= prev_k:
-            break
-        prev_k = k
         st = (res.u_raw, res.v_raw, res.mu, res.tol_inner,
               res.admm_iters, res.ipm_iters, res.status)
-        round_s = max(time.perf_counter() - t0, 1e-3)
-        chunk = int(min(4096, max(64, chunk * 20.0 / round_s)))
-    m = X.shape[0]
-    n = X.shape[1]
+        round_s = max(time.perf_counter() - t1, 1e-3)
+        chunk = int(min(65536, max(256, chunk * 25.0 / round_s)))
     z = np.asarray(res.x[0])
     w = z[2 + m:2 + m + n] - z[2 + m + n:]
     obj = 0.5 * np.sum((X @ w - y) ** 2) + lam * np.abs(w).sum()
@@ -213,6 +249,7 @@ def solve_lasso_device(X, y, lam, eps):
         rel_gap = float(res.rel_gap[0])
         pobj = float(res.pobj[0])
         dobj = float(res.dobj[0])
+        setup_p1_sec = setup_p1_s      # prepare + embed + ladder phase
 
     return w, obj, _Sol()
 
@@ -322,6 +359,85 @@ def sweep_svm(scale, eps, outdir):
     return out
 
 
+def libsvm_like_instance(m, n, nnz_per_row=14, seed=0):
+    """Synthetic a9a/w8a-shaped data: m samples of n sparse BINARY
+    features (~nnz_per_row active each, the a9a density), labels from a
+    planted hyperplane with 10% flip noise.  The real sets
+    (`test_svm.m:44-52`) are environment-blocked (no egress); this
+    reproduces their shape and sparsity, not their distribution."""
+    rng = np.random.default_rng(seed)
+    X = np.zeros((m, n))
+    for i in range(m):
+        idx = rng.choice(n, size=min(nnz_per_row, n), replace=False)
+        X[i, idx] = 1.0
+    w = rng.standard_normal(n)
+    b0 = rng.standard_normal()
+    y = np.sign(X @ w + b0 + 0.5 * rng.standard_normal(m))
+    y[y == 0] = 1.0
+    flip = rng.random(m) < 0.10
+    y[flip] = -y[flip]
+    return X, y
+
+
+def sweep_svm_scale(eps, outdir, ref_bin=None, shapes=((10_000, 123),
+                                                       (20_000, 300)),
+                    C=1.0, tlimit=2000.0):
+    """Realistic-scale SVM (a9a/w8a shapes): QP and SOCP matrix-free
+    forms must agree with each other, with a wall column from the
+    reference abip_ml binary (prob_type 1 = SOCP, 3 = QP;
+    `mex/abip_ml_mex.c:90-268`) on the SAME data.  The r04 sweep
+    validated cross-form agreement only at m<=1000 synthetic scale."""
+    from abip_tpu.problems import solve_svm
+
+    out = []
+    for m, n in shapes:
+        name = f"svmscale_m{m}_n{n}_C{C:g}"
+        done = os.path.join(outdir or ".", name + ".json")
+        if outdir and os.path.exists(done):
+            with open(done) as f:
+                rec = json.load(f)
+            out.append(rec)
+            print(json.dumps(rec) + "  # cached", flush=True)
+            continue
+        X, y = libsvm_like_instance(m, n, seed=m + n)
+        recs = {}
+        for form in ("qp", "socp"):
+            t0 = time.perf_counter()
+            w, b0, obj, sol = solve_svm(X, y, C, form=form, eps=eps,
+                                        matrix_free=True)
+            recs[form] = (obj, sol, time.perf_counter() - t0)
+        obj_qp, sol_qp, t_qp = recs["qp"]
+        obj_socp, sol_socp, t_socp = recs["socp"]
+        rec = {
+            "name": name, "m": m, "n": n, "C": C,
+            "status": sol_qp.status_name,
+            "status_socp": sol_socp.status_name,
+            "admm_iter": int(sol_qp.admm_iters),
+            "admm_iter_socp": int(sol_socp.admm_iters),
+            "pres": float(sol_qp.res_pri), "dres": float(sol_qp.res_dual),
+            "gap": float(sol_qp.rel_gap),
+            "pobj": float(obj_qp), "pobj_socp": float(obj_socp),
+            "dobj": float(sol_qp.dobj),
+            "form_gap": abs(obj_qp - obj_socp) / max(1.0, abs(obj_qp)),
+            "time": t_qp, "time_socp": t_socp,
+        }
+        if ref_bin and os.path.exists(ref_bin):
+            for ptype, label in ((3, "ref_qp"), (1, "ref_socp")):
+                ref = run_reference_ml(ref_bin, X, y, C, eps,
+                                       prob_type=ptype, tlimit=tlimit)
+                if "time_sec" in ref:
+                    rec[label + "_time"] = ref["time_sec"]
+                    rec[label + "_status"] = ref["status"]
+                    rec[label + "_admm"] = ref["admm"]
+                    rec[label + "_pobj"] = ref.get("pobj")
+                else:
+                    rec[label + "_error"] = ref.get("error", "no output")
+        out.append(rec)
+        _write(outdir, rec)
+        print(json.dumps(rec), flush=True)
+    return out
+
+
 def _validate_solved(rec):
     """A status of Solved is unclaimable without finite certificates:
     the reference always reports a finite dual objective alongside the
@@ -350,7 +466,8 @@ def _write(outdir, rec):
 
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("--kind", choices=["lasso", "svm"], required=True)
+    ap.add_argument("--kind", choices=["lasso", "svm", "svm-scale"],
+                    required=True)
     ap.add_argument("--scale", type=float, default=0.1,
                     help="grid scale vs the reference protocol (1.0 = "
                          "test_lasso.m's m up to 5000, n up to 15000)")
@@ -393,6 +510,9 @@ def main(argv=None):
                         matrix_free=args.matrix_free, method=args.method,
                         ref_bin=args.ref_bin, tlimit=args.tlimit,
                         oracle=not args.no_oracle)
+    elif args.kind == "svm-scale":
+        sweep_svm_scale(args.eps, args.outdir, ref_bin=args.ref_bin,
+                        tlimit=args.tlimit)
     else:
         if args.method != "abip":
             raise SystemExit("--method pdhg applies to --kind lasso (the "
