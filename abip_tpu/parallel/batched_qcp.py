@@ -1168,7 +1168,7 @@ def solve_qcp_het_batch(problems, *, eps=1e-4, max_ipm=200,
                         ir_steps=1, inner_crit_period=1,
                         solver="cholesky", normalize=True,
                         anchor_period=100, form="auto", cadence="chunk",
-                        probe_period=8) -> ConicDeviceResult:
+                        probe_period=8, route="auto") -> ConicDeviceResult:
     """Solve a batch of conic programs with HETEROGENEOUS shapes and
     cone structures in ONE compiled program.
 
@@ -1177,6 +1177,15 @@ def solve_qcp_het_batch(problems, *, eps=1e-4, max_ipm=200,
     (`scripts/bench-qcp/test_cblib.m:60-76`); here the cone layout is
     lane DATA (`PaddedConeLayout`), so a single vmapped program covers
     the whole suite.
+
+    route: "auto" (default) measures the pad-to-natural FLOP waste of
+    the lockstep batch (every lane pays the max-shape matmuls every
+    iteration); above 2x it dispatches the per-instance device route
+    instead (shape-bucketed compiles, one program per distinct shape) --
+    hardware measurement on the 12-class mixed suite: the padded batch
+    ran 0.12x the per-instance rate (r04_het_batch_tpu.json), so the
+    batch is only the right tool for near-uniform suites.  "batch" /
+    "pool" force either path.
 
     normalize=True equilibrates each lane ON HOST at its natural shape
     (identical math to the host driver / `solve_qcp_batch(normalize=
@@ -1192,6 +1201,25 @@ def solve_qcp_het_batch(problems, *, eps=1e-4, max_ipm=200,
 
     from ..qcp import conic_defaults
     from ..scaling import equilibrate_conic
+
+    if route not in ("auto", "batch", "pool"):
+        raise ValueError(f"route must be 'auto', 'batch', or 'pool'; "
+                         f"got {route!r}")
+    if route == "auto":
+        m_pad_est = max(a.shape[0] for a, *_ in problems)
+        n_pad_est = max(a.shape[1] for a, *_ in problems)
+        nat = sum(a.shape[0] * a.shape[1] for a, *_ in problems)
+        waste = len(problems) * m_pad_est * n_pad_est / max(nat, 1)
+        route = "pool" if waste > 2.0 else "batch"
+    if route == "pool":
+        return _solve_qcp_het_pool(
+            problems, eps=eps, max_ipm=max_ipm, max_admm=max_admm,
+            alpha=alpha, rho_y=rho_y, rho_x=rho_x, rho_tau=rho_tau,
+            psi=psi, inner_check_period=inner_check_period,
+            precision=precision, ir_steps=ir_steps,
+            inner_crit_period=inner_crit_period, solver=solver,
+            normalize=normalize, anchor_period=anchor_period, form=form,
+            cadence=cadence, probe_period=probe_period)
 
     dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
     if normalize:
@@ -1241,3 +1269,38 @@ def solve_qcp_het_batch(problems, *, eps=1e-4, max_ipm=200,
         inner_crit_period=inner_crit_period, solver=solver,
         anchor_period=anchor_period, form=form, cadence=cadence,
         probe_period=probe_period)
+
+
+def _solve_qcp_het_pool(problems, *, normalize, **kw) -> ConicDeviceResult:
+    """Per-instance device route for heterogeneous suites (the winning
+    side of the r04 hardware measurement): one `solve_qcp_device`
+    program per DISTINCT shape/cone spec, results re-padded to the
+    het-batch contract so callers see the same `ConicDeviceResult`."""
+    import numpy as np
+
+    m_pad = max(a.shape[0] for a, *_ in problems)
+    n_pad = max(a.shape[1] for a, *_ in problems)
+    outs = []
+    for (A, b, c, Q, spec) in problems:
+        outs.append(solve_qcp_device(
+            jnp.asarray(A), jnp.asarray(b), jnp.asarray(c),
+            None if Q is None else jnp.asarray(Q), cones=spec,
+            normalize=normalize, **kw))
+
+    def padded(field, width):
+        rows = []
+        for r in outs:
+            v = np.asarray(getattr(r, field))
+            rows.append(np.pad(v, (0, width - v.shape[0])))
+        return jnp.asarray(np.stack(rows))
+
+    def scalar(field):
+        return jnp.asarray(np.stack(
+            [np.asarray(getattr(r, field)) for r in outs]))
+
+    return ConicDeviceResult(
+        x=padded("x", n_pad), y=padded("y", m_pad), s=padded("s", n_pad),
+        status=scalar("status"), ipm_iters=scalar("ipm_iters"),
+        admm_iters=scalar("admm_iters"), res_pri=scalar("res_pri"),
+        res_dual=scalar("res_dual"), rel_gap=scalar("rel_gap"),
+        pobj=scalar("pobj"), dobj=scalar("dobj"))

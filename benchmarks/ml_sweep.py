@@ -255,7 +255,7 @@ def solve_lasso_device(X, y, lam, eps):
 
 
 def sweep_lasso(scale, eps, outdir, matrix_free=False, method="abip",
-                ref_bin=None, tlimit=2000.0, oracle=True):
+                ref_bin=None, tlimit=2000.0, oracle=True, cells=None):
     from benchmarks.generate import lasso_instance
 
     from abip_tpu.problems import solve_lasso
@@ -265,6 +265,8 @@ def sweep_lasso(scale, eps, outdir, matrix_free=False, method="abip",
     out = []
     for m in ms:
         for n in ns:
+            if cells is not None and (m, n) not in cells:
+                continue
             X, y, lam = lasso_instance(m=m, n=n, seed=m + n)
             done = os.path.join(outdir or ".", f"lasso_m{m}_n{n}.json")
             if outdir and os.path.exists(done):
@@ -273,6 +275,12 @@ def sweep_lasso(scale, eps, outdir, matrix_free=False, method="abip",
                 out.append(rec)
                 print(json.dumps(rec) + "  # cached", flush=True)
                 continue
+            if method == "device":
+                # warm the shape's programs OFF the clock with a
+                # DIFFERENT draw (same data would replay cached remote
+                # executions and fake the wall)
+                Xw, yw, lw = lasso_instance(m=m, n=n, seed=m + n + 999)
+                solve_lasso_device(Xw, yw, lw, eps)
             t0 = time.perf_counter()
             if method == "device":
                 w, obj, sol = solve_lasso_device(X, y, lam, eps)
@@ -307,6 +315,8 @@ def sweep_lasso(scale, eps, outdir, matrix_free=False, method="abip",
                 "obj_err": abs(obj - obj_star) / max(1.0, abs(obj_star)),
                 "time": wall,
             }
+            if hasattr(sol, "setup_p1_sec"):
+                rec["setup_p1_sec"] = round(float(sol.setup_p1_sec), 3)
             if ref_bin:
                 ref = run_reference_ml(ref_bin, X, y, lam, eps,
                                        prob_type=0, tlimit=tlimit)
@@ -489,6 +499,8 @@ def main(argv=None):
     ap.add_argument("--tlimit", type=float, default=2000.0,
                     help="per-instance cap, both sides (test_lasso.m: "
                          "2000 s)")
+    ap.add_argument("--cells", default=None,
+                    help="restrict the lasso grid to 'MxN,MxN,...' cells")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("-o", "--outdir", default=None)
     args = ap.parse_args(argv)
@@ -506,10 +518,14 @@ def main(argv=None):
                                  args.ref_bin, tlimit=args.tlimit,
                                  oracle=not args.no_oracle)
         else:
+            cells = None
+            if args.cells:
+                cells = {tuple(int(v) for v in c.split("x"))
+                         for c in args.cells.split(",")}
             sweep_lasso(args.scale, args.eps, args.outdir,
                         matrix_free=args.matrix_free, method=args.method,
                         ref_bin=args.ref_bin, tlimit=args.tlimit,
-                        oracle=not args.no_oracle)
+                        oracle=not args.no_oracle, cells=cells)
     elif args.kind == "svm-scale":
         sweep_svm_scale(args.eps, args.outdir, ref_bin=args.ref_bin,
                         tlimit=args.tlimit)

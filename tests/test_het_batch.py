@@ -123,3 +123,20 @@ def test_het_batch_oracle_objectives():
     for k, star in enumerate(stars):
         pobj = float(np.asarray(res.pobj)[k])
         assert abs(pobj - star) <= 1e-4 * (1 + abs(star)), (k, pobj, star)
+
+
+def test_het_route_auto_and_forced_agree():
+    """route='auto' (pool when padding waste > 2x) must return the same
+    statuses/objectives as the forced lockstep batch -- the r04 hardware
+    measurement made the padded batch a footgun on mixed suites
+    (0.12x the per-instance rate), so 'auto' is the shipped default."""
+    probs = _mini_problems(4)
+    kw = dict(eps=1e-5, precision="f64", normalize=True)
+    r_auto = solve_qcp_het_batch(probs, **kw)
+    r_batch = solve_qcp_het_batch(probs, route="batch", **kw)
+    assert (np.asarray(r_auto.status) == 1).all()
+    np.testing.assert_array_equal(np.asarray(r_auto.status),
+                                  np.asarray(r_batch.status))
+    np.testing.assert_allclose(np.asarray(r_auto.pobj),
+                               np.asarray(r_batch.pobj),
+                               rtol=1e-4, atol=1e-6)
