@@ -893,6 +893,24 @@ def solve_lp_batch(As, bs, cs, mesh=None, **kw) -> DeviceSolveResult:
     0/20 at switch 1e-7 vs 20/20 at 1e-5).
     """
     kw.setdefault("cadence", "chunk")
+    # batch TILING: the per-lane grid kernels' sweet spot is B=16
+    # (hardware sweep r04_bsweep*.json: 67-74k it/s at B=16 vs 62.8k at
+    # B=32 and 44.1k at B=64 -- larger lockstep batches only add
+    # straggler spread and per-chunk anchor/residual work for finished
+    # lanes, and first compiles grew 138 s -> 444 s).  Larger batches
+    # run as back-to-back tiles of `tile` lanes: aggregate throughput
+    # stays at the B=16 rate (monotone in B) and no new program shapes
+    # compile.  tile=0 disables (one whole-batch program).
+    tile = kw.pop("tile", 16)
+    B = As.shape[0]
+    if mesh is None and tile and B > tile and B % tile == 0:
+        outs = [solve_lp_batch(As[i:i + tile], bs[i:i + tile],
+                               cs[i:i + tile], mesh=None, tile=tile, **kw)
+                for i in range(0, B, tile)]
+        return DeviceSolveResult(*[
+            None if outs[0][f] is None else
+            jnp.concatenate([o[f] for o in outs])
+            for f in range(len(outs[0]))])
     if kw.get("engine") == "sprint2":
         return _solve_lp_batch_twophase(As, bs, cs, mesh=mesh, **kw)
     kw.pop("endgame", None)   # sprint2-only knob

@@ -158,7 +158,9 @@ def sweep_lasso_ref_only(scale, eps, outdir, ref_bin, tlimit=2000.0,
 def _lasso_embed_device(Xj, yj, lam):
     """The RSOC embedding of `lasso_to_conic` built ON DEVICE: only X
     travels through the tunnel (~8 MB/s), never the (m+1) x (2+m+2n)
-    reformulated matrix."""
+    reformulated matrix.  lam is a TRACED scalar so the jitted shell
+    below caches per SHAPE (a closure float would re-trace per call --
+    measured 12.5 s of 'setup' that was really an embed recompile)."""
     import jax.numpy as jnp
 
     m, n = Xj.shape
@@ -169,8 +171,26 @@ def _lasso_embed_device(Xj, yj, lam):
     A = A.at[1:, 2 + m : 2 + m + n].set(Xj)
     A = A.at[1:, 2 + m + n :].set(-Xj)
     b = jnp.concatenate([jnp.ones((1,), Xj.dtype), yj])
+    lam = jnp.asarray(lam, Xj.dtype)
     c = jnp.zeros((q,), Xj.dtype).at[1].set(1.0).at[2 + m :].set(lam)
     return A, b, c
+
+
+def _lasso_embed_batched(Xd, yd, lam):
+    A, b, c = _lasso_embed_device(Xd, yd, lam)
+    return A[None], b[None], c[None]
+
+
+_lasso_embed_jit = None
+
+
+def _embed_jit():
+    global _lasso_embed_jit
+    if _lasso_embed_jit is None:
+        import jax
+
+        _lasso_embed_jit = jax.jit(_lasso_embed_batched)
+    return _lasso_embed_jit
 
 
 def solve_lasso_device(X, y, lam, eps):
@@ -198,13 +218,8 @@ def solve_lasso_device(X, y, lam, eps):
     yj = jnp.asarray(y)
     sync(jnp.sum(Xj) + jnp.sum(yj))         # stage the upload off-clock
 
-    @jax.jit
-    def embed(Xd, yd):
-        A, b, c = _lasso_embed_device(Xd, yd, lam)
-        return A[None], b[None], c[None]
-
     t0 = time.perf_counter()
-    Ab, bb, cb = embed(Xj, yj)
+    Ab, bb, cb = _embed_jit()(Xj, yj, jnp.asarray(lam))
     prep = prepare_conic_batch(Ab, bb, cb, cones=cones, rho_y=1e-3,
                                precision="mixed", normalize=True)
     kw = dict(cones=cones, eps=eps, precision="mixed", rho_y=1e-3,
@@ -219,15 +234,19 @@ def solve_lasso_device(X, y, lam, eps):
     status = int(np.asarray(res.status)[0])
     k = int(np.asarray(res.admm_iters)[0])
     setup_p1_s = time.perf_counter() - t0
-    # phase 2: capped anchored-delta resume rounds (adapted toward
-    # ~25 s/round, SCALAR caps -- per-lane cap arrays wedge the remote
-    # compile at these shapes)
+    # phase 2: capped resume rounds (adapted toward ~25 s/round,
+    # SCALAR caps -- per-lane cap arrays wedge the remote compile at
+    # these shapes).  Endgame engine by embedding width: the f32
+    # delta-frame inner criterion floors around q ~ 2e4 (measured: the
+    # q=21002 cell cap-exited for 1e6 iterations with mu pinned), so
+    # wide cells take the anchored-f64 steps engine instead.
+    endgame = "delta" if (2 + m + 2 * n) <= 12288 else "steps"
     chunk, prev_k = 2048, -1
     while status == 0 and k < kw["max_admm"] and k > prev_k:
         prev_k = k
         t1 = time.perf_counter()
         res = _solve_qcp_batch_jit(
-            Ab, bb, cb, None, engine="delta", prepared=prep,
+            Ab, bb, cb, None, engine=endgame, prepared=prep,
             init_state=st, k_cap=np.int32(k + chunk), **kw)
         status = int(np.asarray(res.status)[0])
         k = int(np.asarray(res.admm_iters)[0])
