@@ -439,6 +439,10 @@ def _device_solve_qcp(A, b, c, Q_diag, layout: ConeLayout, *, eps, max_ipm,
         mu: jnp.ndarray
         tol_inner: jnp.ndarray
         i: jnp.ndarray
+        # consecutive stages that stalled AT the mu floor (f32 criterion
+        # noise floor; see the stage_budget note) -- two in a row end
+        # the solve with the stagnation code
+        stall: jnp.ndarray = jnp.zeros((), jnp.int32)
 
     def mv64(x):
         return A @ x
@@ -616,10 +620,20 @@ def _device_solve_qcp(A, b, c, Q_diag, layout: ConeLayout, *, eps, max_ipm,
                       tol_inner=tol2.astype(dtype), i=o.i + stages)
         if sprint or delta_eng:
             # no per-stage anchors: the kernel re-derives its f32 state
-            # from the carried f64 iterate at every chunk entry
+            # from the carried f64 iterate at every chunk entry.
+            # stage_budget bounds one stage: the f32 kernels' inner
+            # criterion has a noise floor ~sqrt(q)*eps32, and once the
+            # gamma*mu^psi tolerance drops below it a stage can NEVER
+            # meet its criterion (measured: the q=21002 LASSO embedding
+            # pinned mu at stage 7 for 1e6 iterations).  A stage that
+            # burns the budget advances the barrier anyway -- bounded
+            # deviation (stages are normally 10-1000 iterations), and
+            # the f64 residual checks still gate every status.
+            stage_budget = 8 * inner_crit_period
+
             def icond_s(s: IC):
                 return ((s.err_inner >= o.tol_inner) & (s.status == 0)
-                        & (s.k < kcap))
+                        & (s.k < kcap) & (s.j < stage_budget))
 
             chunk_fn = delta_chunk if delta_eng else sprint_chunk
             s = jax.lax.while_loop(icond_s, lambda ss: chunk_fn(ss, o),
@@ -631,11 +645,24 @@ def _device_solve_qcp(A, b, c, Q_diag, layout: ConeLayout, *, eps, max_ipm,
             mu, tol = conic_ops.adjust_barrier_device(o.mu, r.error_ratio,
                                                       eps, psi)
             done = st != 0
-            cap_exit = s.err_inner >= o.tol_inner
-            mu = jnp.where(done | cap_exit, o.mu, mu)
-            tol = jnp.where(cap_exit, o.tol_inner, tol)
+            stalled = s.j >= stage_budget
+            cap_exit = (s.err_inner >= o.tol_inner) & ~stalled
+            # mu floor for stall-advances: unbounded advances drove mu
+            # to 0.17^200 ~ 1e-154, whose f32 barrier weight underflows
+            # to zero and NaNs the prox (measured on the q=21002 LASSO
+            # cell).  At the floor, a stalled stage keeps mu and counts
+            # toward the stagnation exit (status 2, `has_converged`'s
+            # res_dif role) instead.
+            at_floor = stalled & (o.mu <= eps * 1e-3)
+            mu = jnp.where(done | cap_exit | at_floor, o.mu, mu)
+            tol = jnp.where(cap_exit | at_floor, o.tol_inner, tol)
             di = jnp.where(cap_exit, 0, 1).astype(o.i.dtype)
-            return OC(inner=s, mu=mu, tol_inner=tol, i=o.i + di)
+            stall_new = jnp.where(at_floor, o.stall + 1,
+                                  jnp.zeros((), jnp.int32))
+            st = jnp.where((st == 0) & (stall_new >= 2), 2, st)
+            s = s._replace(status=st)
+            return OC(inner=s, mu=mu, tol_inner=tol, i=o.i + di,
+                      stall=stall_new)
         anc = make_anchor(s.u, s.v)
         mv, rmv, stage_solve = make_ops(anc)
 

@@ -234,19 +234,17 @@ def solve_lasso_device(X, y, lam, eps):
     status = int(np.asarray(res.status)[0])
     k = int(np.asarray(res.admm_iters)[0])
     setup_p1_s = time.perf_counter() - t0
-    # phase 2: capped resume rounds (adapted toward ~25 s/round,
-    # SCALAR caps -- per-lane cap arrays wedge the remote compile at
-    # these shapes).  Endgame engine by embedding width: the f32
-    # delta-frame inner criterion floors around q ~ 2e4 (measured: the
-    # q=21002 cell cap-exited for 1e6 iterations with mu pinned), so
-    # wide cells take the anchored-f64 steps engine instead.
-    endgame = "delta" if (2 + m + 2 * n) <= 12288 else "steps"
+    # phase 2: capped anchored-delta resume rounds (adapted toward
+    # ~25 s/round, SCALAR caps -- per-lane cap arrays wedge the remote
+    # compile at these shapes).  Wide embeddings rely on the delta
+    # engine's stage-stall guard (the f32 criterion floors ~sqrt(q)*
+    # eps32; a stalled stage advances the barrier after 8*T iterations).
     chunk, prev_k = 2048, -1
     while status == 0 and k < kw["max_admm"] and k > prev_k:
         prev_k = k
         t1 = time.perf_counter()
         res = _solve_qcp_batch_jit(
-            Ab, bb, cb, None, engine=endgame, prepared=prep,
+            Ab, bb, cb, None, engine="delta", prepared=prep,
             init_state=st, k_cap=np.int32(k + chunk), **kw)
         status = int(np.asarray(res.status)[0])
         k = int(np.asarray(res.admm_iters)[0])

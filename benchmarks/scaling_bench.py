@@ -61,6 +61,17 @@ def main(argv=None):
                 jnp.asarray(np.stack([d[1] for d in data])),
                 jnp.asarray(np.stack([d[2] for d in data])))
 
+    def batch_replicated(nd, seed0=0):
+        """The SAME per-device instance set on every device: weak
+        scaling then measures the PARALLEL overhead alone (ideal = flat
+        wall), not the draw-to-draw iteration-count lottery that a
+        fresh instance set per device count mixes in (the r04 0.737
+        'dip' at 2 devices was that lottery: 2 extra instances with
+        different difficulty entered the comparison)."""
+        A1, b1, c1 = batch(args.per_device, seed0)
+        return (jnp.tile(A1, (nd, 1, 1)), jnp.tile(b1, (nd, 1)),
+                jnp.tile(c1, (nd, 1)))
+
     avail = jax.devices()
     results = []
     base_rate = None
@@ -71,14 +82,18 @@ def main(argv=None):
         B = args.per_device * nd
         mesh = Mesh(np.array(avail[:nd]), ("batch",))
         kw = dict(eps=args.eps, precision=args.precision)
-        # warm/compile on one dataset, time on a fresh one
-        res = solve_lp_batch(*batch(B, 10_000), mesh=mesh, **kw)
+        # warm/compile on one dataset, then median-of-3 timed rounds
+        # (single-round walls on a busy host carry CPU-steal noise)
+        res = solve_lp_batch(*batch_replicated(nd, 10_000), mesh=mesh, **kw)
         _bsync(res)
-        As, bs, cs = batch(B, 0)
-        t0 = time.perf_counter()
-        res = solve_lp_batch(As, bs, cs, mesh=mesh, **kw)
-        _bsync(res)
-        dt = time.perf_counter() - t0
+        walls = []
+        for r_i in range(3):
+            As, bs, cs = batch_replicated(nd, 100 * r_i)
+            t0 = time.perf_counter()
+            res = solve_lp_batch(As, bs, cs, mesh=mesh, **kw)
+            _bsync(res)
+            walls.append(time.perf_counter() - t0)
+        dt = sorted(walls)[len(walls) // 2]
         its = int(np.asarray(res.admm_iters).sum())
         solved = int((np.asarray(res.status) == 1).sum())
         rate = its / dt
