@@ -360,21 +360,27 @@ def _emit(out):
     recorded = {}
     here = os.path.dirname(os.path.abspath(__file__))
     for key, path, field in (
-        ("conic_dim1020_sprint2_vs_ref",
-         "benchmarks/results/r04_conic_dim1020_delta.json",
+        ("conic_dim1020_ladder_vs_ref",
+         "benchmarks/results/r05_conic_dim1020_ladder.json",
          ("batched_sprint2", "wall_speedup_vs_ref_same")),
-        ("conic_dim1020_device_pool_vs_ref",
-         "benchmarks/results/r02_conic_throughput_dim1020.json",
-         ("device_pool", "vs_reference")),
         ("lp_m500_n5000_tpu_wall_vs_ref",
-         "benchmarks/results/r04_lp_m500_tpu.json",
+         "benchmarks/results/r05_lp_m500_tpu.json",
+         (None, "wall_speedup_vs_ref_same")),
+        ("lp_m1000_n10000_tpu_wall_vs_ref",
+         "benchmarks/results/r05_lp_m1000_tpu.json",
          (None, "wall_speedup_vs_ref_same")),
         ("lasso_paper_sgm10_speedup",
          "benchmarks/results/r04_ml_lasso_paper_table.json",
          (None, "sgm10_speedup")),
-        ("pagerank_1e5_tpu_solve_sec",
-         "benchmarks/results/r04_pagerank_tpu/pagerank@100000-0.json",
+        ("lasso_m2000_n5000_tpu_sec",
+         "benchmarks/results/r05_ml_lasso_paper_tpu/lasso_m2000_n5000.json",
          (None, "time")),
+        ("pagerank_n1e4_batch_vs_host",
+         "benchmarks/results/r05_pagerank_batch_n1e4.json",
+         (None, "wall_speedup_vs_host")),
+        ("svm_m50k_qp_vs_ref",
+         "benchmarks/results/r05_ml_svm_scale/svmscale_m50000_n123_C1.json",
+         (None, "qp_speedup_vs_ref")),
         ("qp_fullQ_dim612_device_pool_vs_ref",
          "benchmarks/results/r02_qp_throughput_dim612.json",
          ("device_pool", "vs_reference")),

@@ -90,8 +90,14 @@ def probe_b(B: int, rounds: int):
             kw.pop(k, None)
 
     def batch(s0):
+        import jax.numpy as jnp
+
         data = [reference_smoke_lp(seed=s0 + i) for i in range(B)]
-        return tuple(map(np.stack, zip(*data)))
+        out = tuple(jnp.asarray(np.stack(z)) for z in zip(*data))
+        # stage the upload BEFORE any clock (tunnel uploads ~8 MB/s;
+        # 51 MB at B=64 would otherwise dominate the timed wall)
+        _sync(sum(jnp.sum(a) for a in out))
+        return out
 
     t0 = time.perf_counter()
     _sync(solve_lp_batch(*batch(seed0), **kw))
