@@ -203,7 +203,6 @@ def solve_lasso_device(X, y, lam, eps):
     ONCE via `prepare_conic_batch` and shared by every capped resume
     round (the remote TPU worker kills executions around ~60-100 s).
     The r04 route re-ran setup per round and lost 6x to the host."""
-    import jax
     import jax.numpy as jnp
     import numpy as np
 
