@@ -541,8 +541,17 @@ def _device_solve_qcp(A, b, c, Q_diag, layout: ConeLayout, *, eps, max_ipm,
         k = s.k + dk
         r = residuals(u, v_origin, s.res, mv64, rmv64)
         st = converged(r, (ipm_i > 0) & (k > 0))
+        # f64-AUTHORITATIVE inner criterion at the chunk boundary: the
+        # anchored-f32 probe above floors at ~sqrt(q)*eps32 absolute
+        # (measured on TPU at q=21002: stages could never meet
+        # tol = gamma*mu below the floor and pres pinned at 2.9e-3 while
+        # the CPU backend converged), so stage advancement is gated on a
+        # true-f64 evaluation -- 2 emulated matvecs amortized over up to
+        # inner_crit_period iterations.
+        err64 = conic_ops.inner_conv_check(u, v_origin, mv64, rmv64,
+                                           Q_times, b, c, m, n)
         return IC(u=u, v=v, v_origin=v_origin, j=s.j + dk,
-                  k=k, err_inner=err_inner, status=st, res=r)
+                  k=k, err_inner=err64, status=st, res=r)
 
     def sprint_chunk(s: IC, o: "OC"):
         """One fused-kernel chunk: up to inner_crit_period f32 DR
@@ -584,8 +593,13 @@ def _device_solve_qcp(A, b, c, Q_diag, layout: ConeLayout, *, eps, max_ipm,
         k = s.k + res_d.t_done
         r = residuals(u, v_origin, s.res, mv64, rmv64)
         st = converged(r, (o.i > 0) & (k > 0))
+        # f64-authoritative criterion at the chunk boundary (see
+        # inner_body_chunk: the kernel's f32 delta-frame value floors
+        # at ~sqrt(q)*eps32 and pinned wide embeddings)
+        err64 = conic_ops.inner_conv_check(u, v_origin, mv64, rmv64,
+                                           Q_times, b, c, m, n)
         return IC(u=u, v=v, v_origin=v_origin, j=s.j + res_d.t_done,
-                  k=k, err_inner=res_d.err, status=st, res=r)
+                  k=k, err_inner=err64, status=st, res=r)
 
     def outer_body(o: OC):
         s = o.inner._replace(
