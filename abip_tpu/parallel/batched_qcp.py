@@ -640,10 +640,16 @@ def _device_solve_qcp(A, b, c, Q_diag, layout: ConeLayout, *, eps, max_ipm,
             # gamma*mu^psi tolerance drops below it a stage can NEVER
             # meet its criterion (measured: the q=21002 LASSO embedding
             # pinned mu at stage 7 for 1e6 iterations).  A stage that
-            # burns the budget advances the barrier anyway -- bounded
-            # deviation (stages are normally 10-1000 iterations), and
-            # the f64 residual checks still gate every status.
-            stage_budget = 8 * inner_crit_period
+            # burns the budget advances the barrier anyway -- a LAST-
+            # RESORT guard, floored at 16384 iterations so legitimate
+            # hard stages (r04 straggler data: one phase-2 stage ran
+            # 11,256 iterations) are untouched, and so a small
+            # inner_crit_period cannot shrink the budget into the
+            # normal operating range (8*T with T=1 mis-stalled every
+            # fuzz class at ~100 iterations).  The f64-authoritative
+            # chunk-boundary criterion handles the floor in the common
+            # case; this bounds the pathological remainder.
+            stage_budget = max(16384, 8 * inner_crit_period)
 
             def icond_s(s: IC):
                 return ((s.err_inner >= o.tol_inner) & (s.status == 0)

@@ -92,3 +92,19 @@ def test_conic_ladder_cold_delta_rejected():
                        match="endgame"):
         solve_qcp_batch(As, bs, cs, cones=cones, eps=1e-4,
                         engine="delta", cadence="chunk")
+
+
+def test_stage_budget_floor_small_crit_period():
+    """Regression: with inner_crit_period=1 the stage-stall budget must
+    NOT shrink into the normal operating range (8*T=8 mis-stalled every
+    fuzz class at ~100 iterations with mu crashed to the floor and a
+    spurious status-2 exit)."""
+    from abip_tpu.parallel.batched_qcp import solve_qcp_batch
+
+    As, bs, cs, stars, cones = _family(3, 5_000)
+    r = solve_qcp_batch(As, bs, cs, cones=cones, eps=1e-6,
+                        engine="sprint2", phase1="ladder",
+                        precision="mixed", rho_y=1e-3, normalize=True,
+                        inner_crit_period=1, probe_period=1)
+    assert (np.asarray(r.status) == 1).all(), np.asarray(r.status)
+    assert np.abs(np.asarray(r.pobj) - stars).max() < 2e-5
