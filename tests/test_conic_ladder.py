@@ -108,3 +108,28 @@ def test_stage_budget_floor_small_crit_period():
                         inner_crit_period=1, probe_period=1)
     assert (np.asarray(r.status) == 1).all(), np.asarray(r.status)
     assert np.abs(np.asarray(r.pobj) - stars).max() < 2e-5
+
+
+def test_prepared_setup_matches_in_driver_normalize():
+    """prepare_conic_batch + normalize=False must reproduce the
+    in-driver normalize=True trajectories exactly (same equilibration,
+    factors, and pre_calculate chain -- one code path, two call sites)."""
+    from abip_tpu.parallel.batched_qcp import (_solve_qcp_batch_jit,
+                                               prepare_conic_batch)
+
+    As, bs, cs, stars, cones = _family(3, 7_100)
+    kw = dict(cones=cones, eps=1e-6, precision="mixed", rho_y=1e-3,
+              solver="inverse", cadence="chunk", inner_crit_period=64,
+              probe_period=8)
+    r_norm = _solve_qcp_batch_jit(As, bs, cs, None, engine="steps",
+                                  normalize=True, **kw)
+    prep = prepare_conic_batch(As, bs, cs, cones=cones, rho_y=1e-3,
+                               precision="mixed", normalize=True)
+    r_prep = _solve_qcp_batch_jit(As, bs, cs, None, engine="steps",
+                                  normalize=False, prepared=prep, **kw)
+    np.testing.assert_array_equal(np.asarray(r_prep.status),
+                                  np.asarray(r_norm.status))
+    np.testing.assert_array_equal(np.asarray(r_prep.admm_iters),
+                                  np.asarray(r_norm.admm_iters))
+    np.testing.assert_allclose(np.asarray(r_prep.pobj),
+                               np.asarray(r_norm.pobj), rtol=1e-10)
