@@ -1351,3 +1351,50 @@ def _solve_qcp_het_pool(problems, *, normalize, **kw) -> ConicDeviceResult:
         admm_iters=scalar("admm_iters"), res_pri=scalar("res_pri"),
         res_dual=scalar("res_dual"), rel_gap=scalar("rel_gap"),
         pobj=scalar("pobj"), dobj=scalar("dobj"))
+
+
+def host_polish(A, b, c, cones: ConeSpec, result: ConicDeviceResult,
+                lane=0, *, eps, Q=None, mu_floor=1e-12, **overrides):
+    """Finish a Solved/Inaccurate accelerator lane in native f64 on the host.
+
+    The anchored-f32 engines floor the primal residual at roughly
+    sqrt(q)*eps32 through the MXU (wide embeddings, q >= 2e4), and
+    pure-f64 conic phase-2 at those shapes is a documented remote-worker
+    crash trigger -- so the LAST barrier stage runs on the host CPU
+    backend instead: rebuild the workspace there (its own equilibration),
+    invert its scaling for the accelerator's unscaled (x, y, s)
+    (`ConicWorkspace._warm_start`), and resume at the accelerator's
+    barrier state through the checkpoint seam.  This is the same
+    init/solve split the reference exposes for repeated solves
+    (`/root/reference/src/abip-qcp/source/abip.c:1271-1311`) pointed at
+    a second backend; the reference's own linsys layer routes by regime
+    the same way (`source/util.c:237-244`).
+
+    Runs on `jax.devices("cpu")` via `jax.default_device`, so it is safe
+    inside an accelerator process.  Returns the host driver's
+    `ConicSolution` (status/residuals re-certified in f64).
+    """
+    from ..qcp import ConicWorkspace, conic_defaults
+    from ..utils.checkpoint import ConicCheckpoint
+
+    x = np.asarray(result.x[lane], np.float64)
+    y = np.asarray(result.y[lane], np.float64)
+    s = np.asarray(result.s[lane], np.float64)
+    mu = max(float(np.asarray(result.mu[lane])), mu_floor)
+    k0 = int(np.asarray(result.admm_iters[lane]))
+    stgs = conic_defaults(eps=eps, **overrides)
+    tol_inner = float(np.asarray(result.tol_inner[lane]))
+    if not np.isfinite(tol_inner) or tol_inner <= 0.0:
+        tol_inner = 4.0 * mu ** stgs.psi
+
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        w = ConicWorkspace(np.asarray(A, np.float64),
+                           np.asarray(b, np.float64),
+                           np.asarray(c, np.float64),
+                           cones, Q=Q, settings=stgs)
+        u, v = w._warm_start((x, y, s), mu, 1.0)
+        ck = ConicCheckpoint(u=np.asarray(u), v=np.asarray(v), mu=mu,
+                             tol_inner=tol_inner, admm_iters=k0,
+                             ipm_iters=0)
+        return w.solve(resume=ck)

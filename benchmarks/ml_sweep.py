@@ -181,6 +181,25 @@ def _lasso_embed_batched(Xd, yd, lam):
     return A[None], b[None], c[None]
 
 
+def _lasso_embed_host(X, y, lam):
+    """Numpy mirror of `_lasso_embed_device` for the host-polish stage:
+    rebuilding the (m+1) x (2+m+2n) embedding from X costs milliseconds
+    on host RAM, vs tens of seconds to download the device copy through
+    the ~8 MB/s tunnel."""
+    m, n = X.shape
+    p, q = m + 1, 2 + m + 2 * n
+    A = np.zeros((p, q))
+    A[0, 0] = 1.0
+    A[1:, 2 : 2 + m] = np.eye(m)
+    A[1:, 2 + m : 2 + m + n] = X
+    A[1:, 2 + m + n :] = -X
+    b = np.concatenate([[1.0], np.asarray(y, float)])
+    c = np.zeros(q)
+    c[1] = 1.0
+    c[2 + m :] = float(lam)
+    return A, b, c
+
+
 _lasso_embed_jit = None
 
 
@@ -239,6 +258,7 @@ def solve_lasso_device(X, y, lam, eps):
     # engine's stage-stall guard (the f32 criterion floors ~sqrt(q)*
     # eps32; a stalled stage advances the barrier after 8*T iterations).
     chunk, prev_k = 2048, -1
+    best_pres = float("inf")
     while status == 0 and k < kw["max_admm"] and k > prev_k:
         prev_k = k
         t1 = time.perf_counter()
@@ -250,21 +270,68 @@ def solve_lasso_device(X, y, lam, eps):
         st = (res.u_raw, res.v_raw, res.mu, res.tol_inner,
               res.admm_iters, res.ipm_iters, res.status)
         round_s = max(time.perf_counter() - t1, 1e-3)
+        # f32 floor signature: dual + gap certified, primal pinned near
+        # (but above) eps across a full >=2048-iteration round.  Stop
+        # burning stall-advance rounds and hand the last stage to the
+        # host polish, which re-certifies everything in f64.
+        pres = float(np.asarray(res.res_pri)[0])
+        if (status == 0 and k - prev_k >= 2048
+                and float(np.asarray(res.res_dual)[0]) < eps
+                and float(np.asarray(res.rel_gap)[0]) < eps
+                and eps <= pres < 50 * eps and pres > 0.9 * best_pres):
+            status = 2
+            break
+        best_pres = min(best_pres, pres)
         chunk = int(min(65536, max(256, chunk * 25.0 / round_s)))
-    z = np.asarray(res.x[0])
+
+    polish_s = 0.0
+    psol = None
+    if status == 2:
+        # Solved/Inaccurate = the TPU anchored-f32 primal-residual floor
+        # (~sqrt(q)*eps32 through the MXU at wide embeddings): finish the
+        # last barrier stage on the host in native f64 from the device
+        # state (pure-f64 phase-2 at these shapes is a documented remote-
+        # worker crash trigger, so the polish cannot run on-chip).
+        from abip_tpu.parallel.batched_qcp import host_polish
+
+        t2 = time.perf_counter()
+        Ah, bh, ch = _lasso_embed_host(X, y, lam)
+        psol = host_polish(Ah, bh, ch, cones, res, lane=0, eps=eps,
+                           rho_y=1e-3)
+        polish_s = time.perf_counter() - t2
+
+    if psol is not None:
+        z = np.asarray(psol.x)
+    else:
+        z = np.asarray(res.x[0])
     w = z[2 + m:2 + m + n] - z[2 + m + n:]
     obj = 0.5 * np.sum((X @ w - y) ** 2) + lam * np.abs(w).sum()
+    dev_status, dev_k = status, k
 
     class _Sol:
-        status_name = ("Solved" if int(res.status[0]) == 1
-                       else f"status{int(res.status[0])}")
-        ipm_iters = int(res.ipm_iters[0])
-        admm_iters = int(res.admm_iters[0])
-        res_pri = float(res.res_pri[0])
-        res_dual = float(res.res_dual[0])
-        rel_gap = float(res.rel_gap[0])
-        pobj = float(res.pobj[0])
-        dobj = float(res.dobj[0])
+        if psol is not None:
+            status_name = psol.status_name
+            ipm_iters = int(res.ipm_iters[0]) + psol.ipm_iters
+            admm_iters = int(res.admm_iters[0]) + psol.admm_iters
+            res_pri = float(psol.res_pri)
+            res_dual = float(psol.res_dual)
+            rel_gap = float(psol.rel_gap)
+            pobj = float(psol.pobj)
+            dobj = float(psol.dobj)
+            polish_sec = polish_s
+            polish_admm = int(psol.admm_iters)
+            device_status = int(dev_status)
+            device_admm = int(dev_k)
+        else:
+            status_name = ("Solved" if int(res.status[0]) == 1
+                           else f"status{int(res.status[0])}")
+            ipm_iters = int(res.ipm_iters[0])
+            admm_iters = int(res.admm_iters[0])
+            res_pri = float(res.res_pri[0])
+            res_dual = float(res.res_dual[0])
+            rel_gap = float(res.rel_gap[0])
+            pobj = float(res.pobj[0])
+            dobj = float(res.dobj[0])
         setup_p1_sec = setup_p1_s      # prepare + embed + ladder phase
 
     return w, obj, _Sol()
@@ -333,6 +400,11 @@ def sweep_lasso(scale, eps, outdir, matrix_free=False, method="abip",
             }
             if hasattr(sol, "setup_p1_sec"):
                 rec["setup_p1_sec"] = round(float(sol.setup_p1_sec), 3)
+            for f in ("polish_sec", "polish_admm", "device_status",
+                      "device_admm"):
+                if hasattr(sol, f):
+                    rec[f] = (round(float(getattr(sol, f)), 3)
+                              if f == "polish_sec" else int(getattr(sol, f)))
             if ref_bin:
                 ref = run_reference_ml(ref_bin, X, y, lam, eps,
                                        prob_type=0, tlimit=tlimit)
