@@ -1380,12 +1380,19 @@ def host_polish(A, b, c, cones: ConeSpec, result: ConicDeviceResult,
     x = np.asarray(result.x[lane], np.float64)
     y = np.asarray(result.y[lane], np.float64)
     s = np.asarray(result.s[lane], np.float64)
-    mu = max(float(np.asarray(result.mu[lane])), mu_floor)
     k0 = int(np.asarray(result.admm_iters[lane]))
     stgs = conic_defaults(eps=eps, **overrides)
-    tol_inner = float(np.asarray(result.tol_inner[lane]))
-    if not np.isfinite(tol_inner) or tol_inner <= 0.0:
-        tol_inner = 4.0 * mu ** stgs.psi
+    # Resume mu CLAMPED BELOW by the target tolerance: the accelerator's
+    # stage-stall guard advances the barrier WITHOUT converging the
+    # stalled stages, so its final mu (as low as eps*1e-3) describes a
+    # stage the iterate never earned.  Resuming there hands the host a
+    # stiff near-zero-barrier subproblem with a near-zero inner
+    # tolerance (measured: ~25 CPU-minutes of grinding at m=1000,
+    # n=10000).  mu = max(mu_dev, eps) restarts at an honest final
+    # stage; the host ladder then drives mu down only as its stages
+    # actually converge (`adjust_barrier`, `source/abip.c:994-1071`).
+    mu = min(max(float(np.asarray(result.mu[lane])), mu_floor, eps), 1.0)
+    tol_inner = 4.0 * mu ** stgs.psi
 
     cpu = jax.devices("cpu")[0]
     with jax.default_device(cpu):
